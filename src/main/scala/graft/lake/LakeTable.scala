@@ -1,0 +1,293 @@
+package graft.lake
+
+import graft.core.UserException
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import java.net.URLDecoder
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import TransactionLog._
+
+/** Reader/writer for graft lake tables (see TransactionLog for the
+  * protocol). Public surface mirrors what the reference drives through
+  * delta-rs + generated SQL: mode-dispatched writes with schema merge
+  * and partitioning (K1-K3), MERGE upsert (U3), snapshot reads, time
+  * travel, history, vacuum.
+  *
+  * Scale posture:
+  * - data files are written by Spark tasks in parallel (one parquet
+  *   file per task per partition dir) — the driver only moves/commits
+  *   file *names*, never rows;
+  * - reads hand Spark the exact live-file list from the log (no
+  *   directory listing) with `basePath` set, so hive-style partition
+  *   columns come back and partition pruning works;
+  * - merge is copy-on-write with file-level pruning: only data files
+  *   that actually contain matching keys are rewritten, found via an
+  *   inner join on `_metadata.file_path` — at 100 TB this is the
+  *   difference between rewriting 3 files and rewriting the table.
+  */
+final class LakeTable(spark: SparkSession, val path: Path) {
+
+  def exists: Boolean = tableExists(path)
+  def version: Long = latestVersion(path)
+  def snapshotNow: Snapshot = snapshot(path)
+  def historyInfo: Seq[CommitInfo] = history(path)
+
+  /** DataFrame over the latest snapshot (or `versionAsOf`). */
+  def read(versionAsOf: Long = -1L): DataFrame = {
+    val snap = snapshot(path, versionAsOf)
+    val schema = snap.schema
+    if (snap.files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val paths = snap.files.map(f => path.resolve(f.path).toString)
+      val raw =
+        if (snap.metadata.partitionColumns.nonEmpty)
+          spark.read.option("basePath", path.toString).parquet(paths: _*)
+        else spark.read.parquet(paths: _*)
+      // Align to the committed schema: add columns introduced by schema
+      // evolution that predate-files lack, order + cast per metadata.
+      val withMissing = schema.fields.foldLeft(raw) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      withMissing.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+  }
+
+  // ---- writes -------------------------------------------------------------
+
+  /** Mode-dispatched write, the Spark-side equivalent of
+    * `write_deltalake(uri, batch, mode, partition_by, schema_mode="merge")`
+    * (/root/reference/src/component.py:353-365). One atomic commit
+    * replaces the reference's per-batch loop (SURVEY.md §7.3).
+    * `mode` ∈ append | overwrite | error (errorifexists).
+    */
+  def write(
+      df: DataFrame,
+      mode: String,
+      partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = true,
+      compression: String = "snappy"): Unit = {
+    val normalized = mode.toLowerCase match {
+      case "error" | "errorifexists" => "error"
+      case m @ ("append" | "overwrite") => m
+      case other => throw UserException(s"Unsupported write mode: $other")
+    }
+    if (normalized == "error" && exists)
+      throw UserException(s"Table already exists at $path (mode=error).")
+
+    val existing = if (exists) Some(snapshot(path)) else None
+    existing.foreach { s =>
+      if (s.metadata.partitionColumns.nonEmpty && partitionBy.nonEmpty &&
+          s.metadata.partitionColumns != partitionBy)
+        throw UserException(
+          s"Partition columns ${partitionBy.mkString(",")} do not match table " +
+            s"partitioning ${s.metadata.partitionColumns.mkString(",")}")
+    }
+    val partCols =
+      if (normalized == "append") existing.map(_.metadata.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+      else partitionBy
+
+    // Schema reconciliation (schema_mode="merge" on every reference
+    // write, component.py:97,109): append may add columns; overwrite
+    // replaces data but merges the schema too.
+    val targetSchema: StructType = existing match {
+      case Some(s) if normalized == "append" =>
+        val out = mergeSchemas(s.schema, df.schema, allowNew = mergeSchema)
+        out
+      case Some(s) if mergeSchema => mergeSchemas(s.schema, df.schema, allowNew = true)
+      case _ => df.schema
+    }
+    val aligned = alignToSchema(df, targetSchema)
+
+    val adds = writeDataFiles(aligned, partCols, compression)
+    val ts = System.currentTimeMillis()
+    val metaId = existing.map(_.metadata.id).getOrElse(UUID.randomUUID().toString)
+    val meta = Metadata(metaId, targetSchema, partCols)
+    val removes: Seq[String] =
+      if (normalized == "overwrite") existing.map(_.files.map(_.path)).getOrElse(Nil) else Nil
+
+    commitWithRetry(retryable = normalized == "append") { version =>
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction(
+        if (normalized == "overwrite") "WRITE.Overwrite" else "WRITE.Append",
+        Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")), ts)
+      if (version == 0L) actions += protocolAction()
+      if (version == 0L || existing.forall(_.schema != targetSchema) ||
+          existing.forall(_.metadata.partitionColumns != partCols))
+        actions += metadataAction(meta)
+      removes.foreach(p => actions += removeAction(p, ts))
+      adds.foreach(a => actions += addAction(a))
+      actions.result()
+    }
+  }
+
+  /** MERGE upsert (U3): update-all-when-matched / insert-all-when-not,
+    * keys from the table manifest PKs
+    * (/root/reference/src/component.py:238-260). Copy-on-write with
+    * file pruning.
+    */
+  def merge(source: DataFrame, keys: Seq[String]): Unit = {
+    if (keys.isEmpty)
+      throw UserException(
+        "Upsert mode requires primary keys to be defined in the table manifest.")
+    if (!exists) { write(source, "append"); return }
+    val snap = snapshot(path)
+    val schema = snap.schema
+    val src = alignToSchema(source, schema).cache()
+    try {
+      val srcKeys = src.select(keys.map(col): _*).dropDuplicates(keys)
+
+      // File pruning: which live files contain rows whose key matches a
+      // source key? `_metadata.file_path` is Spark's per-row file
+      // provenance — distinct over the inner join gives exactly the
+      // files MERGE must rewrite.
+      val target = read()
+      val withFile = target.withColumn("__file", col("_metadata.file_path"))
+      val joinCond = keys.map(k => withFile(k) === srcKeys(k)).reduce(_ && _)
+      val touchedFiles: Set[String] = withFile
+        .join(srcKeys, joinCond, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val tableUri = path.toUri.toString.stripSuffix("/")
+      def isTouched(f: AddFile): Boolean = {
+        val abs = path.resolve(f.path).toUri.toString
+        touchedFiles.contains(abs) || touchedFiles.exists(_.endsWith("/" + f.path))
+      }
+      val touched = snap.files.filter(isTouched)
+      val _ = tableUri
+
+      // Rewrite = (touched-file rows not matching) ∪ source rows; plus
+      // source rows matching *untouched* files cannot exist by
+      // construction, so all source rows land in the rewrite.
+      val touchedDf =
+        if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          val ps = touched.map(f => path.resolve(f.path).toString)
+          val raw =
+            if (snap.metadata.partitionColumns.nonEmpty)
+              spark.read.option("basePath", path.toString).parquet(ps: _*)
+            else spark.read.parquet(ps: _*)
+          alignToSchema(raw, schema)
+        }
+      val rewritten = graft.operators.MergeOps.upsert(touchedDf, src, keys)
+      val adds = writeDataFiles(rewritten, snap.metadata.partitionColumns, "snappy")
+      val ts = System.currentTimeMillis()
+
+      commitWithRetry(retryable = false) { version =>
+        val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+        actions += commitInfoAction("MERGE", Map("keys" -> keys.mkString(",")), ts)
+        val _ = version
+        touched.foreach(f => actions += removeAction(f.path, ts))
+        adds.foreach(a => actions += addAction(a))
+        actions.result()
+      }
+    } finally src.unpersist()
+  }
+
+  /** Deletes unreferenced data files (VACUUM, retention ignored —
+    * local dev semantics).
+    */
+  def vacuum(): Int = {
+    val live = snapshot(path).files.map(f => path.resolve(f.path).normalize).toSet
+    var removed = 0
+    Files.walk(path).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filterNot(p => p.startsWith(logDir(path)))
+      .filterNot(p => live.contains(p.normalize))
+      .foreach { p => Files.delete(p); removed += 1 }
+    removed
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private def commitWithRetry(retryable: Boolean)(
+      mkActions: Long => Seq[com.fasterxml.jackson.databind.node.ObjectNode]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val next = latestVersion(path) + 1
+      done = tryCommit(path, next, mkActions(next))
+      if (!done) {
+        attempts += 1
+        if (!retryable || attempts > 20)
+          throw new java.util.ConcurrentModificationException(
+            s"Commit conflict on $path at version $next")
+      }
+    }
+  }
+
+  /** Writes `df` as parquet files inside the table directory (staged in
+    * a temp subdir, then renamed — same filesystem, so moves are
+    * cheap metadata ops) and returns the add actions.
+    */
+  private def writeDataFiles(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      compression: String): Seq[AddFile] = {
+    Files.createDirectories(path)
+    val stage = path.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
+    val writer = df.write.option("compression", compression)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stage.toString)
+
+    val files = Files.walk(stage).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val adds = files.map { f =>
+      val rel = stage.relativize(f).toString
+      val dest = path.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(f, dest)
+      val pv = partitionValuesOf(rel)
+      AddFile(rel, pv, Files.size(dest),
+        Files.getLastModifiedTime(dest).toMillis)
+    }
+    // best-effort cleanup of the stage scaffolding (_SUCCESS, dirs)
+    Files.walk(stage).iterator().asScala.toSeq.reverse.foreach { p =>
+      try Files.deleteIfExists(p) catch { case _: Throwable => () }
+    }
+    adds
+  }
+
+  /** Parses hive-style `col=value` dirs from a relative file path. */
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          val dec = URLDecoder.decode(v, StandardCharsets.UTF_8)
+          Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
+        case _ => None
+      }
+    }.toMap
+
+  private def mergeSchemas(existing: StructType, incoming: StructType, allowNew: Boolean): StructType = {
+    val existingNames = existing.fieldNames.toSet
+    val newFields = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    if (newFields.nonEmpty && !allowNew)
+      throw UserException(
+        s"Schema mismatch: new columns ${newFields.map(_.name).mkString(",")} " +
+          "(enable mergeSchema to evolve).")
+    StructType(existing.fields ++ newFields.map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** Order, add-missing-as-null, and cast `df` to `schema`. */
+  private def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+}
+
+object LakeTable {
+  def forPath(spark: SparkSession, p: String): LakeTable =
+    new LakeTable(spark, TransactionLog.pathOf(p))
+}

@@ -1,0 +1,233 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** A Spark-native transactional table log implementing the open Delta
+  * Lake transaction protocol subset the reference exercises through
+  * delta-rs (`write_deltalake`, /root/reference/src/component.py:353-365):
+  * ordered JSON commits under `_delta_log/`, `add`/`remove` file
+  * reconciliation, `metaData` with a Spark-JSON `schemaString` and
+  * partition columns, optimistic concurrency via atomic
+  * put-if-absent commit files.
+  *
+  * Design (Delta Lake paper, VLDB'20): the log is the source of truth —
+  * readers never list data directories, they reconstruct a snapshot
+  * from the log. This is what makes the format object-store friendly at
+  * 100 TB: O(commits) metadata reads instead of O(files) LIST calls,
+  * and atomic visibility for multi-file writes (the reference's
+  * per-25k-row-batch commit loop is strictly weaker — SURVEY.md §7.3).
+  */
+object TransactionLog {
+  private[lake] val mapper = new ObjectMapper()
+
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long,
+      modificationTime: Long,
+      dataChange: Boolean = true,
+      numRecords: Option[Long] = None)
+
+  final case class Metadata(
+      id: String,
+      schema: StructType,
+      partitionColumns: Seq[String])
+
+  final case class Snapshot(
+      version: Long,
+      metadata: Metadata,
+      files: Seq[AddFile]) {
+    def schema: StructType = metadata.schema
+  }
+
+  final case class CommitInfo(
+      version: Long,
+      timestamp: Long,
+      operation: String,
+      operationParameters: Map[String, String])
+
+  def logDir(table: Path): Path = table.resolve("_delta_log")
+
+  private def versionFile(table: Path, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.json")
+
+  def tableExists(table: Path): Boolean =
+    Files.isDirectory(logDir(table)) && latestVersion(table) >= 0
+
+  def latestVersion(table: Path): Long = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return -1L
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Atomic put-if-absent commit. Writes actions to a temp file then
+    * hard-links it to the version file — link creation fails if the
+    * target exists, which is the optimistic-concurrency check (the
+    * local-filesystem analog of an object store's If-None-Match PUT).
+    * Returns false when another writer won the version.
+    */
+  def tryCommit(table: Path, version: Long, actions: Seq[ObjectNode]): Boolean = {
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, actions.map(mapper.writeValueAsString).mkString("", "\n", "\n"))
+    val target = versionFile(table, version)
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          // Filesystems without hard links: non-atomic existence check +
+          // atomic move. Good enough for a dev filesystem.
+          if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
+    }
+  }
+
+  // ---- action constructors ------------------------------------------------
+
+  def protocolAction(): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val p = n.putObject("protocol")
+    p.put("minReaderVersion", 1)
+    p.put("minWriterVersion", 2)
+    n
+  }
+
+  def metadataAction(meta: Metadata): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val m = n.putObject("metaData")
+    m.put("id", meta.id)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", meta.schema.json)
+    val pc = m.putArray("partitionColumns")
+    meta.partitionColumns.foreach(pc.add)
+    m.putObject("configuration")
+    n
+  }
+
+  def addAction(f: AddFile): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", f.path)
+    val pv = a.putObject("partitionValues")
+    f.partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    a.put("size", f.size)
+    a.put("modificationTime", f.modificationTime)
+    a.put("dataChange", f.dataChange)
+    f.numRecords.foreach(nr => a.put("stats", s"""{"numRecords":$nr}"""))
+    n
+  }
+
+  def removeAction(path: String, timestamp: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val r = n.putObject("remove")
+    r.put("path", path)
+    r.put("deletionTimestamp", timestamp)
+    r.put("dataChange", true)
+    n
+  }
+
+  def commitInfoAction(operation: String, params: Map[String, String], ts: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val c = n.putObject("commitInfo")
+    c.put("timestamp", ts)
+    c.put("operation", operation)
+    val p = c.putObject("operationParameters")
+    params.foreach { case (k, v) => p.put(k, v) }
+    n
+  }
+
+  // ---- snapshot reconstruction -------------------------------------------
+
+  /** Replays the log up to and including `targetVersion` (or the
+    * latest). Last metaData wins; `add` then `remove` of the same path
+    * cancels; re-`add` of a live path replaces it (upsert rewrite).
+    */
+  def snapshot(table: Path, targetVersion: Long = -1L): Snapshot = {
+    val latest = latestVersion(table)
+    if (latest < 0)
+      throw new IllegalStateException(s"Not a lake table (no _delta_log): $table")
+    val version =
+      if (targetVersion < 0) latest
+      else if (targetVersion > latest)
+        throw new IllegalArgumentException(
+          s"Version $targetVersion does not exist; latest is $latest")
+      else targetVersion
+
+    var meta: Metadata = null
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    (0L to version).foreach { v =>
+      val file = versionFile(table, v)
+      if (Files.exists(file)) {
+        Files.readAllLines(file).asScala.filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("metaData")) {
+            val m = node.get("metaData")
+            meta = Metadata(
+              m.get("id").asText,
+              DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType],
+              m.get("partitionColumns").elements().asScala.map(_.asText).toSeq)
+          } else if (node.has("add")) {
+            val a = node.get("add")
+            val pv = Option(a.get("partitionValues")).map { o =>
+              o.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+            }.getOrElse(Map.empty[String, String])
+            val nr = Option(a.get("stats")).filter(!_.isNull).flatMap { s =>
+              try Option(mapper.readTree(s.asText).get("numRecords")).map(_.asLong)
+              catch { case NonFatal(_) => None }
+            }
+            live.put(a.get("path").asText, AddFile(
+              a.get("path").asText, pv, a.get("size").asLong,
+              a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), nr))
+          } else if (node.has("remove")) {
+            live.remove(node.get("remove").get("path").asText)
+          }
+        }
+      }
+    }
+    if (meta == null)
+      throw new IllegalStateException(s"Corrupt lake table (no metaData action): $table")
+    Snapshot(version, meta, live.values.toSeq)
+  }
+
+  /** Commit history, newest first (like DESCRIBE HISTORY). */
+  def history(table: Path): Seq[CommitInfo] = {
+    val latest = latestVersion(table)
+    (0L to latest).flatMap { v =>
+      val file = versionFile(table, v)
+      if (!Files.exists(file)) None
+      else Files.readAllLines(file).asScala.collectFirst {
+        case line if line.nonEmpty && mapper.readTree(line).has("commitInfo") =>
+          val c = mapper.readTree(line).get("commitInfo")
+          CommitInfo(v, c.get("timestamp").asLong, c.get("operation").asText,
+            Option(c.get("operationParameters")).map { p =>
+              p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+            }.getOrElse(Map.empty))
+      }
+    }.reverse
+  }
+
+  def pathOf(s: String): Path = Paths.get(s)
+}

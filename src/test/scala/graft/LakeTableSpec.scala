@@ -1,0 +1,116 @@
+package graft
+
+import graft.core.UserException
+import graft.lake.LakeTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class LakeTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-lake").resolve("t").toString
+
+  test("append + read round trip, atomic single commit") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    t.write(df, "append")
+    assert(t.version == 0L)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    t.write(Seq((4L, "d")).toDF("id", "v"), "append")
+    assert(t.version == 1L)
+    assert(t.read().count() == 4)
+  }
+
+  test("overwrite replaces content; error mode throws on existing") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "error")
+    assert(intercept[UserException](
+      t.write(Seq((9L, "z")).toDF("id", "v"), "error"))
+      .getMessage.contains("already exists"))
+    t.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "overwrite")
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+  }
+
+  test("partitioned write: hive dirs, partition column recovered, pruning") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    val df = spark.range(100).select(
+      $"id", (col("id") % 4).cast("int").as("bucket"), rand(7).as("x"))
+    t.write(df, "append", partitionBy = Seq("bucket"))
+    val snap = t.snapshotNow
+    assert(snap.metadata.partitionColumns == Seq("bucket"))
+    assert(snap.files.forall(_.partitionValues.contains("bucket")))
+    val back = t.read()
+    assert(back.count() == 100)
+    assert(back.where($"bucket" === 2).count() == 25)
+    // partition pruning visible in the physical plan
+    val plan = back.where($"bucket" === 2).queryExecution.executedPlan.toString
+    assert(back.columns.contains("bucket"))
+    assert(plan.toLowerCase.contains("partitionfilters"))
+    // appends inherit table partitioning even when not re-specified
+    t.write(spark.range(100, 104).select(
+      $"id", (col("id") % 4).cast("int").as("bucket"), rand(7).as("x")), "append")
+    assert(t.read().where($"bucket" === 3).count() == 26)
+  }
+
+  test("schema evolution: append with new column nulls out old rows") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append")
+    t.write(Seq((2L, "b", 3.5)).toDF("id", "v", "score"), "append")
+    val out = t.read().orderBy("id").collect()
+    assert(t.read().columns.toSeq == Seq("id", "v", "score"))
+    assert(out(0).isNullAt(2) && out(1).getDouble(2) == 3.5)
+    // mergeSchema=false rejects evolution
+    assert(intercept[UserException](
+      t.write(Seq((3L, "c", 1.0, true)).toDF("id", "v", "score", "flag"),
+        "append", mergeSchema = false)).getMessage.contains("Schema mismatch"))
+  }
+
+  test("merge upsert: updates matched, inserts new, leaves rest; file pruning") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    // two files via two appends → merge touching only one key prunes
+    t.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x"), "append")
+    t.write(Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v", "x"), "append")
+    val before = t.snapshotNow.files.map(_.path).toSet
+    t.merge(Seq((2L, "B!", 99.0), (5L, "e", 50.0)).toDF("id", "v", "x"), Seq("id"))
+    val rows = t.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "B!", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+    // the file holding (3,4) must have survived untouched
+    val after = t.snapshotNow.files.map(_.path).toSet
+    assert(after.intersect(before).nonEmpty)
+    // upsert is idempotent on the same source
+    t.merge(Seq((2L, "B!", 99.0), (5L, "e", 50.0)).toDF("id", "v", "x"), Seq("id"))
+    assert(t.read().count() == 5)
+    assert(intercept[UserException](t.merge(Seq((1L, "x", 0.0)).toDF("id", "v", "x"), Nil))
+      .getMessage.contains("primary keys"))
+  }
+
+  test("time travel + history + vacuum") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append")
+    t.write(Seq((2L, "b")).toDF("id", "v"), "append")
+    t.write(Seq((9L, "z")).toDF("id", "v"), "overwrite")
+    assert(t.read(versionAsOf = 0).count() == 1)
+    assert(t.read(versionAsOf = 1).count() == 2)
+    assert(t.read().count() == 1)
+    val h = t.historyInfo
+    assert(h.size == 3 && h.head.operation == "WRITE.Overwrite")
+    val removed = t.vacuum()
+    assert(removed >= 2) // the two pre-overwrite files
+    assert(t.read().count() == 1)
+    assert(intercept[IllegalArgumentException](t.read(versionAsOf = 99))
+      .getMessage.contains("does not exist"))
+  }
+}
