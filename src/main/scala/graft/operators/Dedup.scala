@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine.
+  *
+  * Scale posture (the whole point of these designs):
+  * - Exact dedup is one hash-shuffle on a 32-byte digest, not on the
+  *   full text — shuffle bytes ∝ digest, not document size.
+  * - MinHash+LSH: signatures are computed scan-side (map-only,
+  *   whole-stage codegen over built-in HOFs + md5); only (bucket, id)
+  *   pairs shuffle. The self-join is per-bucket, so the quadratic blowup
+  *   is bounded by bucket size, never O(n²) global.
+  * - SimHash: one 32-bit sketch per doc; candidate pairs from
+  *   high-byte blocking + popcount(xor) ≤ r — integer ops end to end.
+  * - Embedding near-dup: block first (here: id-range probes or LSH in
+  *   graft.operators.Similarity), cosine kernel is the codegen'd
+  *   graft_cosine expression.
+  *
+  * All hash math is md5-derived so the DuckDB oracle can replay it
+  * bit-for-bit (no engine-specific hash functions on the result path).
+  */
+object Dedup {
+
+  /** Exact dedup summary: one row per distinct text with the kept
+    * (minimum) id and the duplicate count. Group key is md5(text) —
+    * at 100 TB you shuffle 16-byte digests, not documents.
+    */
+  def exactSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop-duplicates form (keeps an arbitrary representative — Spark
+    * built-in; used by the lake writer's optional dedup-on-ingest).
+    */
+  def exact(docs: DataFrame, cols: Seq[String]): DataFrame =
+    docs.dropDuplicates(cols)
+
+  /** 3-word shingles of a text column; degenerate texts (<3 words)
+    * shingle to the whole text so every doc has ≥1 shingle.
+    */
+  def shingles(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    when(size(ws) < 3, array(text)).otherwise(
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+  }
+
+  /** MinHash signature component j: min over shingles of
+    * md5(j || '|' || shingle). String-min over hex digests is a valid
+    * uniform min-hash and replays identically in the oracle.
+    */
+  def minhashComponent(text: Column, j: Int): Column =
+    array_min(transform(shingles(text), s => md5(concat(lit(j.toString), lit("|"), s))))
+
+  /** MinHash signatures via explode + groupBy-agg: each shingle is
+    * materialized and hashed exactly ONCE per hash function, and the
+    * k mins are computed with map-side partial aggregation — at scale
+    * only (id, k×32B) rows reach the shuffle, never the shingles.
+    * (The per-row `minhashComponent` formulation rebuilds the shingle
+    * array k times; measured 10× slower.)
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+    val aggs = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: bucket b = md5(mh_{rb} || .. || mh_{rb+r-1}) for
+    * `bands` bands of `rowsPerBand` rows. Docs sharing any band bucket
+    * are candidate near-duplicates.
+    */
+  def lshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // Signatures are small (n_docs × k × 32 B); cache so the self-join
+    // doesn't recompute the shingle scan for both sides. A petabyte
+    // pipeline would persist this table (it's the reusable artifact).
+    val signed = minhashSignatures(docs, idCol, textCol, k).cache()
+    val buckets = signed.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"),
+          md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)))): _*))
+        .as("bucket"))
+    val a = buckets.as("a"); val bdf = buckets.as("b")
+    a.join(bdf, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash: bit i set iff Σ_words (±1 by bit i of the word
+    * value) > 0. One integer sketch per document.
+    */
+  def simhash(text: Column): Column = {
+    val vals = transform(TextAnalysis.words(text), w => TextAnalysis.wordValue(w))
+    // Literal per-bit terms (shiftright needs a literal count); Catalyst
+    // CSEs the repeated `vals` subtree in the generated code.
+    (0 until 32).map { i =>
+      when(
+        aggregate(vals, lit(0L),
+          (acc, v) => acc +
+            when(shiftright(v, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+          > 0L,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash via explode + aggregate — md5 is computed once per word
+    * occurrence (the scalar-expression form recomputes the word-value
+    * array per bit: measured 30× more md5 calls). Partial aggregation
+    * keeps the shuffle at 32 longs per doc.
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("v", TextAnalysis.wordValue(col("w")))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$i"))
+    w.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on the top byte, then exact
+    * Hamming ≤ `maxHamming` via popcount(xor). Integer-only.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sh = simhashTable(docs, idCol, textCol)
+      .select(col("id"), col("simhash").as("sh"))
+      .withColumn("blk", shiftright(col("sh"), 24))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
+    * returns integer intersection/union sizes (engine-portable; the
+    * ratio is a trivial client-side division).
+    */
+  def shingleOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol))).as("sh_set"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_inter"),
+        size(array_union(col("set_a"), col("set_b"))).as("n_union"))
+  }
+
+  /** Embedding cosine near-duplicate pairs above `threshold` between
+    * a probe subset and the corpus. The probe predicate is the
+    * blocking strategy (callers at scale pass an LSH bucket join
+    * instead — see Similarity.lshTopK).
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val all = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    probes.join(all, col("probe_id") < col("cand_id"))
+      .where(graft.functions.VectorFunctions
+        .cosine(spark, col("probe_vec"), col("cand_vec")) > threshold)
+      .select(col("probe_id"), col("cand_id"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.5).
+  *
+  * Two plans, same contract:
+  * - `bruteForceTopK`: probes × corpus with the codegen'd
+  *   `graft_cosine` kernel. The probe side is broadcast (it's small by
+  *   construction), so the corpus scan never shuffles — each executor
+  *   streams its corpus partition past the in-memory probe set. This
+  *   is the exact baseline and stays viable surprisingly far: 1k
+  *   probes × 100M vectors/executor-wave is a pure compute problem.
+  * - `lshTopK`: random-hyperplane LSH — vectors hash to a signature of
+  *   sign-bits against `planes` deterministic hyperplanes; candidates
+  *   are corpus rows sharing a probe's bucket, then exact-rank within
+  *   candidates. Recall < 1 by design; the bucket join replaces the
+  *   full cross product, which is the 100 TB path.
+  *
+  * Hyperplanes are derived from md5 so runs are reproducible without a
+  * seed exchange (and oracle-replayable in principle).
+  */
+object Similarity {
+
+  /** round(cosine, 6) — ranking key. Rounding makes cross-engine
+    * comparison stable; ties break on id.
+    */
+  private def score(df: DataFrame, a: Column, b: Column): Column =
+    round(VectorFunctions.cosine(df.sparkSession, a, b), 6)
+
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int): DataFrame = {
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  /** Deterministic hyperplane component p[d] for plane `p`, dim `d`:
+    * md5-derived uniform in [-1, 1).
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(2147483648.0) - 1.0
+
+  /** Sign-bit signature against `planes` hyperplanes. Computed
+    * map-side with built-ins; one small integer per row.
+    */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val v = vec.cast("array<double>")
+    val dims = sequence(lit(0), size(v) - 1)
+    (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(v, dims, (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH bucketing: exact rank within the probe's bucket. */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      planes: Int = 12): DataFrame = {
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("sig", lshSignature(col("probe_vec"), planes))
+    val cands = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .withColumn("sig", lshSignature(col("cand_vec"), planes))
+    val scored = cands.join(broadcast(probes), Seq("sig"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+}

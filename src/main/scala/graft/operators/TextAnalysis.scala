@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §7.5): tokenization, quality stats, heuristic language ID, document
+  * fingerprinting. All are compositions of built-in (codegen-able)
+  * functions — no UDFs — so they inline into whole-stage codegen and
+  * scale linearly with the scan at 100 TB.
+  *
+  * Every formula here has an exact DuckDB mirror (see
+  * graft.queries.Queries oracle SQL) so the driver's oracle can
+  * hash-compare results; that forces integer/deterministic math
+  * (md5-derived word values, integer counts) rather than
+  * platform-dependent float ops.
+  */
+object TextAnalysis {
+
+  /** 2^31-safe polynomial-hash modulus (large prime). */
+  val FingerprintMod = 1000000007L
+
+  /** Whitespace tokenization; the shared definition for all word ops. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  def uniqueWordCount(text: Column): Column = size(array_distinct(words(text)))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation.
+    * (RE2/Java-compatible pattern so the oracle matches.)
+    */
+  val TokenPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  /** Deterministic 32-bit word value from md5 — the shared "hash
+    * function" for fingerprinting/simhash, chosen because md5 is
+    * identical across engines (oracle-replayable).
+    */
+  def wordValue(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** Rolling polynomial document fingerprint:
+    * h_i = (h_{i-1} * 31 + v(w_i)) mod P, h_0 = 0.
+    * Order-sensitive (unlike a bag-of-words hash), so reordered
+    * near-duplicates fingerprint differently.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(words(text), w => wordValue(w)),
+      lit(0L),
+      (acc, v) => pmod(acc * lit(31L) + v, lit(FingerprintMod)))
+
+  /** Language markers: tiny per-language stopword lists. A real
+    * pipeline swaps in character-n-gram profiles; the operator shape
+    * (score per language → argmax with deterministic tie-break) is
+    * what matters at scale.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "y", "de"),
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(markers.map(m => lit(m): Any): _*)))
+
+  /** Quality stats used for corpus filtering: all integer-valued and
+    * engine-portable.
+    */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+
+  def longestWordLen(text: Column): Column =
+    array_max(transform(words(text), w => length(w)))
+}

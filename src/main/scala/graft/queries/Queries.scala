@@ -1,0 +1,471 @@
+package graft.queries
+
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-facing query inventory: one entry per operator from
+  * SURVEY.md §2 plus the mandated extension operators (§7.5), each
+  * with an ANSI-SQL oracle that DuckDB replays on the same parquet
+  * tables.
+  *
+  * Oracle-determinism rules used throughout (cross-engine hash compare):
+  * - money math in DECIMAL (order-independent exact sums), final
+  *   `CAST(round(x, s) AS DOUBLE)`;
+  * - every count/size/rank cast to BIGINT on the Spark side (DuckDB
+  *   len/count are BIGINT);
+  * - hashes are md5-based (identical in both engines) — never
+  *   engine-specific hash functions;
+  * - no raw `events.ts` in outputs (ns vs µs precision) — epoch
+  *   milliseconds instead;
+  * - LIMIT only under a total order.
+  */
+object Queries {
+
+  final case class QueryDef(
+      impl: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** decimal money helpers shared by the TPC-H-ish queries */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def dec82(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
+  private val one = lit(1).cast("decimal(8,2)")
+
+  val all: Seq[(String, QueryDef)] = Seq(
+
+    // ================= reference parity (SURVEY.md §2) =================
+
+    // S2: parquet scan, identity projection (P1)
+    "q01_identity_scan" -> QueryDef(
+      (s, d) => tbl(s, d, "region"),
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // P2 via entry-point-B shape: typed → all-string stage → cast back
+    "q02_cast_roundtrip" -> QueryDef(
+      (s, d) => StageCast.stageRoundTrip(tbl(s, d, "orders")),
+      Some("""SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_orderkey,
+             |CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS o_custkey,
+             |CAST(CAST(o_orderstatus AS VARCHAR) AS VARCHAR) AS o_orderstatus,
+             |CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+             |CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS o_orderdate,
+             |CAST(CAST(o_orderpriority AS VARCHAR) AS VARCHAR) AS o_orderpriority
+             |FROM orders""".stripMargin)),
+
+    // P2: base-type cast projection (Keboola base types)
+    "q03_cast_types" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem").select(
+        col("l_orderkey").cast("string").as("ok_str"),
+        col("l_linenumber").cast("long").as("ln_int"),
+        col("l_quantity").cast("decimal(18,2)").as("qty_num"),
+        col("l_shipdate").cast("date").as("ship_date")),
+      Some("""SELECT CAST(l_orderkey AS VARCHAR) AS ok_str,
+             |CAST(l_linenumber AS BIGINT) AS ln_int,
+             |CAST(l_quantity AS DECIMAL(18,2)) AS qty_num,
+             |CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""".stripMargin)),
+
+    // scan-side filter + projection pushdown
+    "q04_filter_project" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05""".stripMargin)),
+
+    // U2/K1: append ≡ UNION ALL
+    "q05_append" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        MergeOps.append(o.where(col("o_orderkey") % 2 === 0),
+          o.where(col("o_orderkey") % 2 === 1))
+      },
+      Some("SELECT * FROM orders")),
+
+    // schema_mode=merge: union-by-name with nulls
+    "q06_schema_merge" -> QueryDef(
+      (s, d) => {
+        val r = tbl(s, d, "region")
+        MergeOps.appendMergeSchema(
+          r, r.withColumn("r_name_len", length(col("r_name")).cast("long")))
+      },
+      Some("""SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_name_len FROM region
+             |UNION ALL SELECT r_regionkey, r_name, length(r_name) FROM region""".stripMargin)),
+
+    // U3: MERGE upsert semantics (update-all / insert-all on PK)
+    "q07_upsert" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val target = o.where(col("o_orderkey") % 3 =!= 0)
+        val source = o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderpriority", lit("UPDATED"))
+        MergeOps.upsert(target, source, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, 'UPDATED'
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
+
+    // §2.11: Keboola input-mapping pre-filter
+    "q08_input_mapping" -> QueryDef(
+      (s, d) => MergeOps.inputMappingFilter(
+        tbl(s, d, "customer"),
+        whereColumn = Some("c_mktsegment"),
+        whereValues = Seq("BUILDING", "AUTOMOBILE"),
+        columns = Seq("c_custkey", "c_name", "c_mktsegment"),
+        limit = None),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin)),
+
+    // ================= general analytics (engine capability) ============
+
+    // TPC-H Q1 shape: scan-heavy aggregate
+    "q10_pricing_summary" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).as("dq"),
+          sum(dec2(col("l_extendedprice"))).as("dp"),
+          sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("ddp"),
+          sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount"))) *
+            (one + dec82(col("l_tax")))).as("dc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("dq").cast("double").as("sum_qty"),
+          col("dp").cast("double").as("sum_base_price"),
+          round(col("ddp"), 2).cast("double").as("sum_disc_price"),
+          round(col("dc"), 2).cast("double").as("sum_charge"),
+          round(col("dq").cast("double") / col("count_order"), 4).as("avg_qty"),
+          col("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS sum_disc_price,
+             |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))), 2) AS DOUBLE) AS sum_charge,
+             |round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+             |COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: selective join + top-k under total order
+    "q11_top_revenue" -> QueryDef(
+      (s, d) => {
+        val c = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = tbl(s, d, "orders")
+          .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = tbl(s, d, "lineitem")
+          .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("rev"))
+          .orderBy(col("rev").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            round(col("rev"), 2).cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-table star join (broadcast dims)
+    "q12_regional_revenue" -> QueryDef(
+      (s, d) => {
+        val region = tbl(s, d, "region").where(col("r_name") === "ASIA")
+        val nation = tbl(s, d, "nation")
+        val cust = tbl(s, d, "customer")
+        val ord = tbl(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = tbl(s, d, "lineitem")
+        val supp = tbl(s, d, "supplier")
+        broadcast(region)
+          .join(broadcast(nation), col("r_regionkey") === col("n_regionkey"))
+          .join(cust, col("n_nationkey") === col("c_nationkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("rev"),
+            count(lit(1)).as("n_items"))
+          .select(col("n_name"), round(col("rev"), 2).cast("double").as("revenue"),
+            col("n_items"))
+      },
+      Some("""SELECT n_name,
+             |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM region, nation, customer, orders, lineitem, supplier
+             |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+             |AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    // window functions: running totals per key
+    "q13_window_running" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        tbl(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("run_spend",
+            sum(dec2(col("o_totalprice"))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("o_orderkey"), col("rn"),
+            round(col("run_spend"), 2).cast("double").as("run_spend"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+             |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_spend
+             |FROM orders""".stripMargin)),
+
+    // distinct aggregates
+    "q14_distinct_agg" -> QueryDef(
+      (s, d) => tbl(s, d, "orders").groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |COUNT(DISTINCT o_custkey) AS n_cust,
+             |min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // set operations
+    "q15_setops" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        def keys(st: String) = o.where(col("o_orderstatus") === st).select("o_custkey")
+        keys("F").intersect(keys("O")).except(keys("P"))
+      },
+      Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+             |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin)),
+
+    // semi-structured: JSON extraction + aggregate
+    "q16_events_json" -> QueryDef(
+      (s, d) => tbl(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"),
+          max(col("k")).as("max_k")),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |COUNT(DISTINCT user_id) AS n_users,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // sessionization: gap > 30 min starts a new session (lag + running sum)
+    "q17_sessionize" -> QueryDef(
+      (s, d) => {
+        // ts is raw nanos (LongType — see SparkEntry.configure); integer
+        // division keeps exactness (ns epoch values exceed 2^53).
+        val ev = tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000000").as("ms"), col("value"))
+        val wo = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        ev.withColumn("is_new",
+            when(col("ms") - lag(col("ms"), 1).over(wo) > 1800000L, 1L)
+              .otherwise(when(lag(col("ms"), 1).over(wo).isNull, 1L).otherwise(0L)))
+          .withColumn("session_id",
+            sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id").agg(
+            count(lit(1)).as("n_events"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"),
+            (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+             |m AS (SELECT user_id, event_id, ms, value,
+             |  CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+             |       THEN 1 WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+             |       THEN 1 ELSE 0 END AS is_new FROM e),
+             |s AS (SELECT user_id, ms, value,
+             |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |CAST(max(ms) - min(ms) AS BIGINT) AS dur_ms
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ================= LLM-pipeline extensions (SURVEY.md §7.5) =========
+
+    // exact dedup on content digest
+    "q20_dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exactSummary(tbl(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             |COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash + LSH banding candidate pairs
+    "q21_dedup_minhash" -> QueryDef(
+      (s, d) => Dedup.lshCandidatePairs(tbl(s, d, "documents"), "doc_id", "text", k = 8, bands = 4),
+      Some {
+        val mh = (0 until 8).map(j =>
+          s"list_min(list_transform(shs, x -> md5($j || '|' || x))) AS mh$j").mkString(",\n")
+        val buckets = (0 until 4).map(b =>
+          s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+           |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
+           |mh AS (SELECT doc_id, $mh FROM sh),
+           |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+      }),
+
+    // SimHash sketch per document
+    "q22_dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhashTable(tbl(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_transform(string_split_regex(text, '\s+'),
+             |    wd -> CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT)) AS vals FROM documents)
+             |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+             |  CASE WHEN list_sum(list_transform(vals, v ->
+             |    CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+             |FROM w""".stripMargin)),
+
+    // exact n-gram (3-shingle) overlap between sampled pairs
+    "q23_ngram_overlap" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = docs.where(col("doc_id") % 37 === 0).select(col("doc_id").as("id_a"))
+          .crossJoin(docs.where(col("doc_id") % 41 === 0).select(col("doc_id").as("id_b")))
+          .where(col("id_a") < col("id_b"))
+        Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+          .select(col("id_a"), col("id_b"),
+            col("n_inter").cast("long").as("n_inter"),
+            col("n_union").cast("long").as("n_union"))
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS ws FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [text]
+             |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s FROM w),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a, documents b
+             |  WHERE a.doc_id % 37 = 0 AND b.doc_id % 41 = 0 AND a.doc_id < b.doc_id)
+             |SELECT p.id_a, p.id_b,
+             |  len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS n_inter,
+             |  len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS n_union
+             |FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b""".stripMargin)),
+
+    // embedding-cosine near-duplicate pairs
+    "q24_dedup_embedding" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDup(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 20 === 0, threshold = 0.2),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |SELECT a.vec_id AS probe_id, b.vec_id AS cand_id FROM e a, e b
+             |WHERE a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+             |AND list_cosine_similarity(a.v, b.v) > 0.2""".stripMargin)),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q25_ann_bruteforce" -> QueryDef(
+      (s, d) => Similarity.bruteForceTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 100 === 0, k = 5),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+             |  FROM e p, e c WHERE p.vec_id % 100 = 0 AND p.vec_id <> c.vec_id),
+             |r AS (SELECT probe_id, cand_id, sim,
+             |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+             |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN (the 100 TB path; recall < 1 ⇒ rows-only check)
+    "q26_ann_lsh" -> QueryDef(
+      (s, d) => Similarity.lshTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 100 === 0, k = 5, planes = 8),
+      None),
+
+    // text quality stats
+    "q27_text_stats" -> QueryDef(
+      (s, d) => tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.uniqueWordCount(col("text")).cast("long").as("n_uniq"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+        TextAnalysis.longestWordLen(col("text")).cast("long").as("longest_word")),
+      Some("""SELECT doc_id,
+             |len(string_split_regex(text, '\s+')) AS n_words,
+             |len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
+             |len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens,
+             |len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+             |list_max(list_transform(string_split_regex(text, '\s+'), w -> length(w))) AS longest_word
+             |FROM documents""".stripMargin)),
+
+    // heuristic language ID (marker stopwords, deterministic argmax)
+    "q28_lang_id" -> QueryDef(
+      (s, d) => {
+        val t = col("text")
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          lang -> TextAnalysis.langScore(t, ms).cast("long")
+        }
+        val Seq(en, fr, de, es) = scores.map(_._2)
+        tbl(s, d, "documents").select(
+          col("doc_id"),
+          en.as("s_en"), fr.as("s_fr"), de.as("s_de"), es.as("s_es"),
+          when(en >= fr && en >= de && en >= es, "en")
+            .when(fr >= de && fr >= es, "fr")
+            .when(de >= es, "de").otherwise("es").as("pred_lang"))
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and'))) AS s_en,
+             |  len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('le','la','et','de'))) AS s_fr,
+             |  len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('der','die','und','das'))) AS s_de,
+             |  len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('el','la','y','de'))) AS s_es
+             |  FROM documents)
+             |SELECT doc_id, s_en, s_fr, s_de, s_es,
+             |CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+             |     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+             |     WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+             |FROM sc""".stripMargin)),
+
+    // rolling-hash document fingerprint
+    "q29_fingerprint" -> QueryDef(
+      (s, d) => tbl(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_transform(string_split_regex(text, '\s+'),
+             |    wd -> CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT)) AS vals FROM documents)
+             |SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+             |  (acc, v) -> (acc * 31 + v) % 1000000007) AS BIGINT) AS fp
+             |FROM w""".stripMargin)),
+
+    // multimodal: binary payload packing + magic-number sniff
+    "q30_multimodal_meta" -> QueryDef(
+      (s, d) => Multimodal.packAsMedia(tbl(s, d, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          md5(col("payload").cast("string")).as("content_md5")),
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN hex(substr(text,1,4)) LIKE '89504E47%' THEN 'png'
+             |     WHEN hex(substr(text,1,4)) LIKE 'FFD8FF%' THEN 'jpeg'
+             |     WHEN hex(substr(text,1,4)) LIKE '47494638%' THEN 'gif'
+             |     WHEN hex(substr(text,1,4)) LIKE '52494646%' THEN 'riff'
+             |     WHEN hex(substr(text,1,4)) LIKE '664C6143%' THEN 'flac'
+             |     WHEN hex(substr(text,1,4)) LIKE '1A45DFA3%' THEN 'matroska'
+             |     ELSE 'unknown' END AS format,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |md5(text) AS content_md5
+             |FROM documents""".stripMargin)),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.impl }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
+}
