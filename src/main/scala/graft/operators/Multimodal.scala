@@ -88,7 +88,7 @@ object Multimodal {
   def frameSample(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
     media.select(col("media_id"), col("n_bytes"),
       explode(sequence(lit(0L),
-        greatest((col("n_bytes") - 1) / chunkBytes, lit(0L)))).as("chunk_no"))
+        greatest(floor((col("n_bytes") - 1) / chunkBytes), lit(0L)))).as("chunk_no"))
       .where(col("chunk_no") % stride === 0)
       .select(col("media_id"), col("chunk_no"),
         (col("chunk_no") * chunkBytes).as("byte_offset"))

@@ -1,0 +1,175 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- vector kernels -----------------------------------------------------
+
+  test("cosine kernel: exact values, codegen path") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)), // orthogonal
+      (2L, Array(1.0f, 2.0f), Array(2.0f, 4.0f)), // parallel
+      (3L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)), // zero vector
+    ).toDF("id", "a", "b")
+    val out = df.select($"id",
+      VectorFunctions.cosine(spark, $"a", $"b").as("c")).orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(1)) < 1e-15)
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 1e-12)
+    assert(out(2).getDouble(1) == 0.0) // zero-norm guard
+    // registered for SQL too
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val sq = spark.sql(
+      "SELECT graft_dot(cast(a as array<double>), cast(b as array<double>)) d FROM vecs WHERE id = 2")
+    assert(sq.head().getDouble(0) == 10.0)
+  }
+
+  // ---- dedup family -------------------------------------------------------
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny doc"), // < 3 words
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the duplicate pair, keeps min id") {
+    val out = Dedup.exactSummary(docs, "doc_id", "text")
+      .where($"n_copies" > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH: exact dups always collide; near-dups likely; distinct texts don't") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical signatures
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // 7/9 shared shingles
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs equal; near-dups close in hamming") {
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 10)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 5)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("shingle overlap: exact dup has jaccard 1, near-dup fractional") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Int, Int)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 4L))._1 == out((1L, 4L))._2) // identical sets
+    val (i12, u12) = out((1L, 2L))
+    assert(i12 == 6 && u12 == 8) // 7 shingles each, 6 shared
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  test("text stats + fingerprint properties") {
+    val t = Seq((1L, "a bb ccc a"), (2L, "bb a ccc a")).toDF("doc_id", "text")
+    val stats = t.select($"doc_id",
+      TextAnalysis.wordCount($"text").as("n"),
+      TextAnalysis.uniqueWordCount($"text").as("u"),
+      TextAnalysis.longestWordLen($"text").as("l"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy("doc_id").collect()
+    assert(stats(0).getInt(1) == 4 && stats(0).getInt(2) == 3 && stats(0).getInt(3) == 3)
+    // same bag of words, different order → different rolling fingerprint
+    assert(stats(0).getLong(4) != stats(1).getLong(4))
+    assert(stats(0).getLong(4) >= 0 && stats(0).getLong(4) < TextAnalysis.FingerprintMod)
+  }
+
+  test("token count splits letter/digit/punct runs") {
+    val t = Seq(Tuple1("ab 12 c!d")).toDF("text")
+    // tokens: ab | 12 | c | ! | d
+    assert(t.select(TextAnalysis.tokenCount($"text")).head().getInt(0) == 5)
+  }
+
+  test("lang markers score the right language") {
+    val t = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "le chat et la maison de paris")).toDF("doc_id", "text")
+    val en = TextAnalysis.LangMarkers.toMap.apply("en")
+    val fr = TextAnalysis.LangMarkers.toMap.apply("fr")
+    val out = t.select($"doc_id",
+      TextAnalysis.langScore($"text", en).as("s_en"),
+      TextAnalysis.langScore($"text", fr).as("s_fr")).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) > out(0).getInt(2))
+    assert(out(1).getInt(2) > out(1).getInt(1))
+  }
+
+  // ---- similarity search --------------------------------------------------
+
+  test("brute-force topK: self excluded, k respected, rank ordered by sim") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 3, k = 4)
+    val rows = out.orderBy("probe_id", "rank").collect()
+    assert(rows.length == 12)
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH topK returns a subset of brute-force candidates with same scoring") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 100)
+      .select($"cand_id", $"sim").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 5, planes = 6)
+      .select($"cand_id", $"sim").as[(Long, Double)].collect()
+    // every LSH hit that brute force also ranked must agree on the score
+    lsh.foreach { case (id, sim) => bf.get(id).foreach(s => assert(s == sim)) }
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  test("multimodal: sniff + stub decode are deterministic over bytes") {
+    val media = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00, 9)),
+      (3L, "plain text".getBytes("UTF-8")),
+    ).toDF("media_id", "payload")
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+      .withColumn("n_bytes", length($"payload").cast("long"))
+    val formats = media.select("media_id", "format").as[(Long, String)].collect().toMap
+    assert(formats == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
+
+    val feats = Multimodal.decodeStub(media, featureDim = 4)
+    val f = feats.where($"media_id" === 1).head().getSeq[Float](3)
+    assert(f.length == 4)
+    // deterministic: (0x89 + 0x01)/255, (0x50 + 0x02)/255, (0x4e + 3)/255, 0x47/255
+    assert(math.abs(f.head - (0x89 + 1) / 255.0f) < 1e-6)
+
+    val frames = Multimodal.frameSample(
+      media.where($"media_id" === 3), chunkBytes = 3, stride = 2)
+    // 10 bytes → chunks 0..3; stride 2 → 0, 2
+    assert(frames.select("chunk_no").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+  }
+
+  // ---- queries smoke on sf0.001 ------------------------------------------
+
+  test("every registered query runs and flagship entry returns rows") {
+    val dir = "/root/testdata/sf0.001"
+    queries.Queries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name failed")
+    }
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
