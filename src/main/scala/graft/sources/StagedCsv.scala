@@ -19,10 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 25k-row Arrow batches).
   */
 object StagedCsv {
-  def read(spark: SparkSession, table: TableDef, paths: Seq[String]): DataFrame =
+  /** `hasHeader=false` matches production S3 slices (no header,
+    * component.py:166-170); Keboola local-datadir fixtures carry a
+    * header row, which the explicit schema lets us skip.
+    */
+  def read(
+      spark: SparkSession,
+      table: TableDef,
+      paths: Seq[String],
+      hasHeader: Boolean = false): DataFrame =
     spark.read
       .schema(table.stagingSchema)
-      .option("header", "false")
+      .option("header", hasHeader.toString)
       .option("mode", "PERMISSIVE")
       .csv(paths: _*)
 

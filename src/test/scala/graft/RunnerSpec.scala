@@ -1,0 +1,118 @@
+package graft
+
+import graft.core._
+import graft.lake.LakeTable
+import graft.runner.{Actions, Runner}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Entry-point parity tests, including the golden E2E on the
+  * reference's own sample datadir (SURVEY.md §7.6.2).
+  */
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sampleDir = Paths.get("/root/reference/component_config/sample-config")
+
+  private def tmp(): Path = Files.createTempDirectory("graft-runner")
+
+  test("golden E2E: sample datadir → lake table matches out/ mirror") {
+    assume(Files.exists(sampleDir))
+    val dest = tmp().resolve("t")
+    val cfg = Config(destination = Destination(mode = LoadType.Append))
+    Runner.run(spark, cfg, sampleDir, dest)
+    val got = new LakeTable(spark, dest).read()
+    // the reference's out/tables/test.csv mirrors the input byte-for-byte
+    val expected = spark.read.option("header", "true")
+      .csv(sampleDir.resolve("out/tables/test.csv").toString)
+    assert(got.columns.toSeq == expected.columns.toSeq)
+    assert(got.count() == 21)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("mode=error on existing table raises; overwrite replaces") {
+    assume(Files.exists(sampleDir))
+    val dest = tmp().resolve("t")
+    def cfg(m: LoadType.Value) = Config(destination = Destination(mode = m))
+    Runner.run(spark, cfg(LoadType.Error), sampleDir, dest)
+    val e = intercept[UserException](Runner.run(spark, cfg(LoadType.Error), sampleDir, dest))
+    assert(e.getMessage.contains("already exists"))
+    Runner.run(spark, cfg(LoadType.Append), sampleDir, dest)
+    assert(new LakeTable(spark, dest).read().count() == 42)
+    Runner.run(spark, cfg(LoadType.Overwrite), sampleDir, dest)
+    assert(new LakeTable(spark, dest).read().count() == 21)
+  }
+
+  test("external mode gate rejects upsert (M2)") {
+    val cfg = Config(destination = Destination(mode = LoadType.Upsert))
+    val e = intercept[UserException](
+      Runner.run(spark, cfg, sampleDir, tmp().resolve("t")))
+    assert(e.getMessage.contains("Unsupported mode for external table"))
+  }
+
+  test("native upsert end-to-end with PK'd manifest and typed columns") {
+    // synthetic datadir: typed manifest + headered CSV (SURVEY.md §1.3)
+    val dd = tmp()
+    val tdir = dd.resolve("in/tables"); Files.createDirectories(tdir)
+    Files.writeString(tdir.resolve("acct.csv"),
+      "id,amount,when\n1,10.5,2024-01-01T00:00:00\n2,20.25,2024-01-02T00:00:00\n")
+    Files.writeString(tdir.resolve("acct.csv.manifest"),
+      """{"name":"acct","columns":["id","amount","when"],"primary_key":["id"],
+        |"column_metadata":{
+        | "id":[{"key":"KBC.datatype.basetype","value":"INTEGER"}],
+        | "amount":[{"key":"KBC.datatype.basetype","value":"FLOAT"}],
+        | "when":[{"key":"KBC.datatype.basetype","value":"TIMESTAMP"}]}}""".stripMargin)
+    val dest = dd.resolve("lake")
+    def cfg(m: LoadType.Value) = Config(destination = Destination(
+      mode = m, tableType = TableType.Native, warehouse = "local"))
+
+    Runner.run(spark, cfg(LoadType.Append), dd, dest)
+    val t = new LakeTable(spark, dest)
+    assert(t.read().schema.map(_.dataType.typeName).toSeq ==
+      Seq("long", "double", "timestamp"))
+
+    // second run with updated row 2 + new row 3 via upsert
+    Files.writeString(tdir.resolve("acct.csv"),
+      "id,amount,when\n2,99.0,2024-01-02T00:00:00\n3,30.0,2024-01-03T00:00:00\n")
+    Runner.run(spark, cfg(LoadType.Upsert), dd, dest)
+    val rows = t.read().orderBy("id")
+      .select($"id", $"amount").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 10.5), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("native mode gate: upsert without PKs raises the reference error") {
+    assume(Files.exists(sampleDir)) // sample manifest has no PKs
+    val cfg = Config(destination = Destination(
+      mode = LoadType.Upsert, tableType = TableType.Native, warehouse = "local"))
+    val e = intercept[UserException](
+      Runner.run(spark, cfg, sampleDir, tmp().resolve("t")))
+    assert(e.getMessage.contains("primary keys"))
+  }
+
+  test("file inputs: parquet multi-file scan path") {
+    val dd = tmp()
+    val fdir = dd.resolve("in/files"); Files.createDirectories(fdir)
+    spark.range(5).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.parquet(fdir.resolve("p1").toString)
+    // move the part file up as a direct .parquet input
+    val part = Files.list(fdir.resolve("p1")).iterator()
+    val found = collection.mutable.Buffer[Path]()
+    part.forEachRemaining(p => if (p.toString.endsWith(".parquet")) found += p)
+    Files.move(found.head, fdir.resolve("data1.parquet"))
+    val dest = dd.resolve("lake")
+    Runner.run(spark, Config(), dd, dest)
+    assert(new LakeTable(spark, dest).read().count() == 5)
+  }
+
+  test("sync actions return catalog + column metadata") {
+    assert(Actions.listCatalogs(spark).nonEmpty)
+    assert(Actions.listSchemas(spark).exists(_.value == "default"))
+    assert(Actions.listWarehouses(spark).head.label.contains("local spark"))
+    val td = TableDef("t", Seq("a", "b"), Map("a" -> "INTEGER"), Seq("a"))
+    assert(Actions.listTableColumns(td).map(_.label) ==
+      Seq("a (INTEGER)", "b (STRING)"))
+  }
+}
