@@ -73,7 +73,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       mode: String,
       partitionBy: Seq[String] = Nil,
       mergeSchema: Boolean = true,
-      compression: String = "snappy"): Unit = {
+      compression: String = "snappy",
+      operationParams: Map[String, String] = Map.empty): Unit = {
     val normalized = mode.toLowerCase match {
       case "error" | "errorifexists" => "error"
       case m @ ("append" | "overwrite") => m
@@ -117,7 +118,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction(
         if (normalized == "overwrite") "WRITE.Overwrite" else "WRITE.Append",
-        Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")), ts)
+        Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")) ++ operationParams, ts)
       if (version == 0L) actions += protocolAction()
       if (version == 0L || existing.forall(_.schema != targetSchema) ||
           existing.forall(_.metadata.partitionColumns != partCols))

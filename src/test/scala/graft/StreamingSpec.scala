@@ -1,0 +1,104 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionUpdate}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("file stream → lake sink: ingests drops, idempotent on batch replay") {
+    val root = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val lakeDir = root.resolve("lake")
+    val ckpt = root.resolve("ckpt").toString
+
+    val schema = spark.range(0).select($"id", lit("x").as("v")).schema
+    spark.range(0, 5).select($"id", lit("a").as("v")).coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("stage1").toString)
+    copyParts(root.resolve("stage1"), in, "d1")
+
+    val q = EventStreams.toLake(
+      EventStreams.fileStream(spark, in.toString, schema), lakeDir, ckpt)
+    q.processAllAvailable()
+
+    val lake = new LakeTable(spark, lakeDir)
+    assert(lake.read().count() == 5)
+
+    spark.range(5, 12).select($"id", lit("b").as("v")).coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("stage2").toString)
+    copyParts(root.resolve("stage2"), in, "d2")
+    q.processAllAvailable()
+    q.stop()
+    assert(lake.read().count() == 12)
+
+    // idempotence: replaying an already-committed batch id is a no-op
+    val before = lake.version
+    EventStreams.appendBatchIdempotent(
+      spark.range(100, 103).select($"id", lit("z").as("v")).toDF(), lakeDir, 0L)
+    assert(lake.version == before && lake.read().count() == 12)
+    // a NEW batch id still lands
+    EventStreams.appendBatchIdempotent(
+      spark.range(100, 103).select($"id", lit("z").as("v")).toDF(), lakeDir, 99L)
+    assert(lake.read().count() == 15)
+  }
+
+  test("watermarked windowed aggregation over a memory sink") {
+    val root = Files.createTempDirectory("graft-stream-w")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val ev = Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:02:00", "click", 2.0),
+      ("2024-01-01 00:07:00", "view", 5.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    ev.coalesce(1).write.mode("overwrite").parquet(root.resolve("stage").toString)
+    copyParts(root.resolve("stage"), in, "d1")
+
+    val stream = EventStreams.fileStream(spark, in.toString, ev.schema)
+    val agg = EventStreams.windowedCounts(stream, "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out")
+      .select($"event_type", $"n_events", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful sessionization tracks gaps across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(mem.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sess_out").start()
+
+    mem.addData(SessionEvent(1L, 0L, 1.0), SessionEvent(1L, 500L, 2.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, 5000L, 10.0)) // gap > 1s → new session
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out").as[SessionUpdate].collect()
+    val last = rows.maxBy(_.session_id)
+    assert(last.session_id == 1L && last.n_events == 1L && last.sum_value == 10.0)
+    assert(rows.exists(r => r.session_id == 0L && r.n_events == 2L && r.sum_value == 3.0))
+  }
+
+  private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
+    val it = Files.list(stage).iterator()
+    var i = 0
+    it.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        Files.copy(p, dest.resolve(s"$prefix-$i.parquet")); i += 1
+      }
+    }
+  }
+}
