@@ -300,6 +300,25 @@ object Queries {
              |CAST(max(ms) - min(ms) AS BIGINT) AS dur_ms
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
 
+    // as-of join: each purchase matched to the user's most recent view
+    "q18_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events").select(
+          col("user_id"), col("event_id"),
+          expr("ts DIV 1000000").as("ms"), col("event_type"), col("value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ms"))
+        val views = ev.where(col("event_type") === "view")
+          .groupBy("user_id", "ms").agg(max(col("value")).as("view_value"))
+        AsOfJoin.asOf(purchases, views, Seq("user_id"), "ms", "ms",
+          rightValueCols = Seq("view_value"), rightTsAs = "view_ms")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+             |p AS (SELECT user_id, event_id, ms FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ms, max(value) AS view_value FROM e WHERE event_type = 'view' GROUP BY user_id, ms)
+             |SELECT p.user_id, p.event_id, p.ms, v.ms AS view_ms, v.view_value
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ms >= v.ms""".stripMargin)),
+
     // ================= LLM-pipeline extensions (SURVEY.md §7.5) =========
 
     // exact dedup on content digest
