@@ -50,24 +50,26 @@ object Dedup {
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
   }
 
-  /** MinHash signature component j: min over shingles of
-    * md5(j || '|' || shingle). String-min over hex digests is a valid
-    * uniform min-hash and replays identically in the oracle.
+  /** MinHash hash function j over a shingle: the top 60 bits of
+    * md5(j || '|' || shingle) as a BIGINT. A fixed-width integer (vs
+    * the full hex string) keeps the min() aggregation hash-based —
+    * min(string) has a variable-width buffer and silently demotes the
+    * whole aggregate to SortAggregate — and shrinks the signature
+    * table 4×.
     */
-  def minhashComponent(text: Column, j: Int): Column =
-    array_min(transform(shingles(text), s => md5(concat(lit(j.toString), lit("|"), s))))
+  def minhashHash(s: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"$j|"), s)), 1, 15), 16, 10).cast("long")
 
   /** MinHash signatures via explode + groupBy-agg: each shingle is
     * materialized and hashed exactly ONCE per hash function, and the
     * k mins are computed with map-side partial aggregation — at scale
-    * only (id, k×32B) rows reach the shuffle, never the shingles.
-    * (The per-row `minhashComponent` formulation rebuilds the shingle
-    * array k times; measured 10× slower.)
+    * only (id, k×8B) rows reach the shuffle, never the shingles.
+    * (A per-row scalar formulation rebuilds the shingle array k
+    * times; measured 10× slower.)
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-    val aggs = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    val aggs = (0 until k).map(j => min(minhashHash(col("s"), j)).as(s"mh$j"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 

@@ -49,23 +49,31 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
   }
 
-  /** Deterministic hyperplane component p[d] for plane `p`, dim `d`:
-    * md5-derived uniform in [-1, 1).
+  /** Deterministic hyperplane component for plane `p`, dim `d`:
+    * md5-derived uniform in [-1, 1). Computed ONCE on the driver —
+    * hyperplanes are constants, so they embed as literal arrays and
+    * the per-row work is just the codegen'd dot-product kernel
+    * (the expression-level formulation recomputed ~planes×dims md5
+    * calls per row).
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(2147483648.0) - 1.0
+  private[operators] def planeComponent(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$d".getBytes("UTF-8"))
+    val hex8 = digest.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex8, 16).toDouble / 2147483648.0 - 1.0
+  }
 
-  /** Sign-bit signature against `planes` hyperplanes. Computed
-    * map-side with built-ins; one small integer per row.
+  private def planeVector(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => planeComponent(p, d))
+
+  /** Sign-bit signature against `planes` literal hyperplanes of
+    * dimension `dims`; one small integer per row, map-side only.
     */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  def lshSignature(df: DataFrame, vec: Column, planes: Int, dims: Int): Column = {
+    val spark = df.sparkSession
     val v = vec.cast("array<double>")
-    val dims = sequence(lit(0), size(v) - 1)
     (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(v, dims, (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (acc, x) => acc + x)
+      val dotp = VectorFunctions.dot(spark, v, typedlit(planeVector(p, dims)))
       when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -78,11 +86,12 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       planes: Int = 12): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-      .withColumn("sig", lshSignature(col("probe_vec"), planes))
+      .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
     val cands = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-      .withColumn("sig", lshSignature(col("cand_vec"), planes))
+      .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
     val scored = cands.join(broadcast(probes), Seq("sig"))
       .where(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))

@@ -332,7 +332,8 @@ object Queries {
       (s, d) => Dedup.lshCandidatePairs(tbl(s, d, "documents"), "doc_id", "text", k = 8, bands = 4),
       Some {
         val mh = (0 until 8).map(j =>
-          s"list_min(list_transform(shs, x -> md5($j || '|' || x))) AS mh$j").mkString(",\n")
+          s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
+          .mkString(",\n")
         val buckets = (0 until 4).map(b =>
           s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
         s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
