@@ -44,20 +44,25 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val schema = snap.schema
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      val paths = snap.files.map(f => path.resolve(f.path).toString)
-      val raw =
-        if (snap.metadata.partitionColumns.nonEmpty)
-          spark.read.option("basePath", path.toString).parquet(paths: _*)
-        else spark.read.parquet(paths: _*)
-      // Align to the committed schema: add columns introduced by schema
-      // evolution that predate-files lack, order + cast per metadata.
-      val withMissing = schema.fields.foldLeft(raw) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      withMissing.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    }
+    } else readFiles(snap, snap.files)
+  }
+
+  /** Reads a file subset under the COMMITTED snapshot schema. The
+    * schema must be passed explicitly: without it the parquet reader
+    * infers from one arbitrary footer, and files written before a
+    * schema evolution would silently drop the newer columns (the
+    * per-file reader null-fills missing columns when given the full
+    * schema).
+    */
+  private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val schema = snap.schema
+    val paths = files.map(f => path.resolve(f.path).toString)
+    val reader = spark.read.schema(schema)
+    val raw =
+      if (snap.metadata.partitionColumns.nonEmpty)
+        reader.option("basePath", path.toString).parquet(paths: _*)
+      else reader.parquet(paths: _*)
+    raw.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   // ---- writes -------------------------------------------------------------
@@ -169,14 +174,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       // construction, so all source rows land in the rewrite.
       val touchedDf =
         if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else {
-          val ps = touched.map(f => path.resolve(f.path).toString)
-          val raw =
-            if (snap.metadata.partitionColumns.nonEmpty)
-              spark.read.option("basePath", path.toString).parquet(ps: _*)
-            else spark.read.parquet(ps: _*)
-          alignToSchema(raw, schema)
-        }
+        else readFiles(snap, touched)
       val rewritten = graft.operators.MergeOps.upsert(touchedDf, src, keys)
       val adds = writeDataFiles(rewritten, snap.metadata.partitionColumns, "snappy")
       val ts = System.currentTimeMillis()

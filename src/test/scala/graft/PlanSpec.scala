@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants: the properties that decide whether these
+  * queries survive a 100× scale-up. A correctness-green query with a
+  * regressed plan (lost pushdown, cartesian join, shuffle where a
+  * broadcast belongs) fails here before it fails in production.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    queries.Queries.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("q04_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(p.contains("l_quantity") && !p.contains("l_extendedprice"))
+  }
+
+  test("dimension joins broadcast; no shuffle join in the star queries") {
+    for (q <- Seq("q11_top_revenue", "q12_regional_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to shuffle join")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("aggregations are partial (map-side combine) and hash-based") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    // minhash signature agg must stay hash-based (longs, not strings)
+    val m = plan("q21_dedup_minhash")
+    assert(m.contains("partial_min") && !m.contains("SortAggregate"))
+  }
+
+  test("top-k under total order uses the group-limit pushdown, not a full sort") {
+    val p = plan("q25_ann_bruteforce")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial")) // rank limit applied before the shuffle too
+  }
+
+  test("as-of join: one hash exchange, no range blowup") {
+    val p = plan("q18_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("whole-stage codegen covers the scan-side of the hot queries") {
+    // AQE only materializes final stages (with codegen spans) at run time
+    for (q <- Seq("q10_pricing_summary", "q27_text_stats", "q29_fingerprint")) {
+      val d = queries.Queries.queries(q)(spark, dir)
+      d.collect()
+      val p = d.queryExecution.executedPlan.toString
+      // codegen'd operators carry the `*(n)` stage marker in tree output
+      assert(p.contains("*("), s"$q dropped out of codegen")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{MergeOps, StageCast}
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based semantics checks (SURVEY.md §7.6.4): upsert
+  * idempotence, append associativity, overwrite last-write-wins, cast
+  * round-trip stability — on generated row sets with fixed seeds
+  * (scalacheck Gen driven directly; deterministic across runs).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 15L)
+      s <- Gen.alphaStr.map(_.take(8))
+      d <- Gen.choose(-1e6, 1e6).map(x => math.rint(x * 100) / 100)
+    } yield (id, s, d))
+
+  private def sample(seed: Long): List[(Long, String, Double)] =
+    rowsGen.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def df(rows: List[(Long, String, Double)]): DataFrame =
+    rows.toDF("id", "s", "v")
+
+  private def canon(d: DataFrame): Set[(Long, String, Double)] =
+    d.as[(Long, String, Double)].collect().toSet
+
+  private def multiset(d: DataFrame): Map[(Long, String, Double), Long] =
+    d.as[(Long, String, Double)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("upsert is idempotent: upsert(upsert(t, s), s) == upsert(t, s)") {
+    for (seed <- 1L to 6L) {
+      val target = df(sample(seed))
+      // PK-unique source (duplicate source keys make MERGE ambiguous)
+      val source = df(sample(seed + 100)).dropDuplicates("id")
+      val once = MergeOps.upsert(target, source, Seq("id"))
+      val twice = MergeOps.upsert(once, source, Seq("id"))
+      assert(canon(once) == canon(twice), s"seed=$seed")
+    }
+  }
+
+  test("upsert result keys = target keys ∪ source keys; source rows win") {
+    for (seed <- 1L to 6L) {
+      val target = df(sample(seed))
+      val source = df(sample(seed + 200)).dropDuplicates("id")
+      val out = MergeOps.upsert(target, source, Seq("id"))
+      val outKeys = out.select("id").as[Long].collect().toSet
+      val tKeys = target.select("id").as[Long].collect().toSet
+      val sKeys = source.select("id").as[Long].collect().toSet
+      assert(outKeys == (tKeys ++ sKeys), s"seed=$seed")
+      assert(canon(source).subsetOf(canon(out)), s"seed=$seed")
+    }
+  }
+
+  test("append is associative as multisets") {
+    for (seed <- 1L to 4L) {
+      val (a, b, c) = (df(sample(seed)), df(sample(seed + 300)), df(sample(seed + 400)))
+      val left = MergeOps.append(MergeOps.append(a, b), c)
+      val right = MergeOps.append(a, MergeOps.append(b, c))
+      assert(multiset(left) == multiset(right), s"seed=$seed")
+    }
+  }
+
+  test("overwrite is last-write-wins regardless of prior state") {
+    for (seed <- 1L to 4L) {
+      val (a, b) = (df(sample(seed)), df(sample(seed + 500)))
+      assert(multiset(MergeOps.overwrite(a, b)) == multiset(b), s"seed=$seed")
+    }
+  }
+
+  test("stage round trip is lossless for typed rows") {
+    for (seed <- 1L to 4L) {
+      val d = df(sample(seed))
+      assert(multiset(StageCast.stageRoundTrip(d)) == multiset(d), s"seed=$seed")
+    }
+  }
+}
