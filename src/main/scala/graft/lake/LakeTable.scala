@@ -190,6 +190,36 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     } finally src.unpersist()
   }
 
+  /** Small-file compaction (OPTIMIZE): partitions whose live-file
+    * count exceeds `minFilesPerPartition` are rewritten into one file
+    * per partition. Streaming ingest commits per micro-batch and at
+    * 100 TB that means millions of small files — compaction restores
+    * scan efficiency (fewer tasks, bigger sequential reads) without
+    * changing data, so reads before/after are equivalent and time
+    * travel still sees the old files.
+    * Returns the number of files removed.
+    */
+  def compact(minFilesPerPartition: Int = 2): Int = {
+    val snap = snapshot(path)
+    val groups = snap.files.groupBy(_.partitionValues)
+      .filter(_._2.size >= minFilesPerPartition)
+    if (groups.isEmpty) return 0
+    val toCompact = groups.values.flatten.toSeq
+    val df = readFiles(snap, toCompact)
+      .coalesce(math.max(groups.size / 4, 1))
+    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy")
+    val ts = System.currentTimeMillis()
+    commitWithRetry(retryable = false) { _ =>
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction("OPTIMIZE",
+        Map("numRemoved" -> toCompact.size.toString, "numAdded" -> adds.size.toString), ts)
+      toCompact.foreach(f => actions += removeAction(f.path, ts))
+      adds.foreach(a => actions += addAction(a))
+      actions.result()
+    }
+    toCompact.size
+  }
+
   /** Deletes unreferenced data files (VACUUM, retention ignored —
     * local dev semantics).
     */
@@ -213,7 +243,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     while (!done) {
       val next = latestVersion(path) + 1
       done = tryCommit(path, next, mkActions(next))
-      if (!done) {
+      if (done) maybeCheckpoint(path, next)
+      else {
         attempts += 1
         if (!retryable || attempts > 20)
           throw new java.util.ConcurrentModificationException(

@@ -96,6 +96,43 @@ class LakeTableSpec extends AnyFunSuite {
       .getMessage.contains("primary keys"))
   }
 
+  test("checkpointing: O(1) replay after many commits, time travel intact") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    (0 until 13).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), "append"))
+    // cadence 10 → checkpoint at version 10 advertised in _last_checkpoint
+    val ckpt = java.nio.file.Paths.get(p, "_delta_log", "_last_checkpoint")
+    assert(java.nio.file.Files.exists(ckpt))
+    assert(java.nio.file.Files.readString(ckpt).contains("\"version\":10"))
+    assert(t.read().count() == 13)
+    // checkpoint equals pure-JSON replay
+    assert(t.read(versionAsOf = 10).count() == 11)
+    assert(t.read(versionAsOf = 3).count() == 4) // pre-checkpoint time travel
+    val h = t.historyInfo
+    assert(h.size == 13)
+  }
+
+  test("compaction: many small files → one per partition, data unchanged") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    (0 until 6).foreach { i =>
+      t.write(spark.range(i * 10, i * 10 + 10)
+        .select($"id", (col("id") % 2).cast("int").as("par")), "append",
+        partitionBy = Seq("par"))
+    }
+    val before = t.read().orderBy("id").as[(Long, Int)].collect().toSeq
+    val nFilesBefore = t.snapshotNow.files.size
+    assert(nFilesBefore > 2)
+    val removed = t.compact()
+    assert(removed == nFilesBefore)
+    val after = t.read().orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(after == before)
+    assert(t.snapshotNow.files.size <= 2 * 2) // ≤ a few files per partition
+    assert(t.historyInfo.head.operation == "OPTIMIZE")
+    // time travel still sees pre-compaction state
+    assert(t.read(versionAsOf = 0).count() == 10)
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
