@@ -38,13 +38,27 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   def snapshotNow: Snapshot = snapshot(path)
   def historyInfo: Seq[CommitInfo] = history(path)
 
-  /** DataFrame over the latest snapshot (or `versionAsOf`). */
+  /** DataFrame over the latest snapshot (or `versionAsOf`), served
+    * through the log-backed GraftFileIndex: no directory listing,
+    * partition pruning from the log, and per-file min/max skipping
+    * for selective filters.
+    */
   def read(versionAsOf: Long = -1L): DataFrame = {
     val snap = snapshot(path, versionAsOf)
     val schema = snap.schema
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(snap, snap.files)
+    } else {
+      val index = new GraftFileIndex(spark, path, snap)
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, index.partitionSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+      spark.baseRelationToDataFrame(relation)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
   }
 
   /** Reads a file subset under the COMMITTED snapshot schema. The
@@ -277,7 +291,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       Files.move(f, dest)
       val pv = partitionValuesOf(rel)
       AddFile(rel, pv, Files.size(dest),
-        Files.getLastModifiedTime(dest).toMillis)
+        Files.getLastModifiedTime(dest).toMillis,
+        stats = FileStats.forFile(dest))
     }
     // best-effort cleanup of the stage scaffolding (_SUCCESS, dirs)
     Files.walk(stage).iterator().asScala.toSeq.reverse.foreach { p =>

@@ -33,7 +33,22 @@ object TransactionLog {
       size: Long,
       modificationTime: Long,
       dataChange: Boolean = true,
-      numRecords: Option[Long] = None)
+      stats: Option[String] = None) {
+    private lazy val statsNode =
+      stats.flatMap(s => try Some(mapper.readTree(s)) catch { case _: Throwable => None })
+    def numRecords: Option[Long] =
+      statsNode.flatMap(n => Option(n.get("numRecords")).map(_.asLong))
+    def minValues: Map[String, com.fasterxml.jackson.databind.JsonNode] = statsMap("minValues")
+    def maxValues: Map[String, com.fasterxml.jackson.databind.JsonNode] = statsMap("maxValues")
+    def nullCount: Map[String, Long] =
+      statsNode.flatMap(n => Option(n.get("nullCount"))).map { o =>
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+      }.getOrElse(Map.empty)
+    private def statsMap(key: String): Map[String, com.fasterxml.jackson.databind.JsonNode] =
+      statsNode.flatMap(n => Option(n.get(key))).map { o =>
+        o.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+      }.getOrElse(Map.empty)
+  }
 
   final case class Metadata(
       id: String,
@@ -135,7 +150,7 @@ object TransactionLog {
     a.put("size", f.size)
     a.put("modificationTime", f.modificationTime)
     a.put("dataChange", f.dataChange)
-    f.numRecords.foreach(nr => a.put("stats", s"""{"numRecords":$nr}"""))
+    f.stats.foreach(st => a.put("stats", st))
     n
   }
 
@@ -280,12 +295,9 @@ object TransactionLog {
       o.properties().asScala.map(e =>
         e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
     }.getOrElse(Map.empty[String, String])
-    val nr = Option(a.get("stats")).filter(!_.isNull).flatMap { s =>
-      try Option(mapper.readTree(s.asText).get("numRecords")).map(_.asLong)
-      catch { case NonFatal(_) => None }
-    }
+    val st = Option(a.get("stats")).filter(!_.isNull).map(_.asText)
     AddFile(a.get("path").asText, pv, a.get("size").asLong,
-      a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), nr)
+      a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), st)
   }
 
   /** Commit history, newest first (like DESCRIBE HISTORY). */

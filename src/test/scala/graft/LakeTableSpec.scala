@@ -133,6 +133,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(versionAsOf = 0).count() == 10)
   }
 
+  test("data skipping: selective filters open only matching files") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    // 5 appends with disjoint id ranges → 5+ files with disjoint min/max
+    (0 until 5).foreach(i =>
+      t.write(spark.range(i * 100, i * 100 + 100).toDF("id").coalesce(1), "append"))
+    val total = t.snapshotNow.files.size
+    assert(total >= 5)
+
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    // point lookup: only the file whose [min,max] covers 250
+    val point = t.read().where($"id" === 250)
+    assert(point.count() == 1)
+    assert(filesScanned(t.read().where($"id" === 250)) == 1)
+    // range: ids 150..349 span exactly 3 files
+    assert(filesScanned(t.read().where($"id" >= 150 && $"id" < 350)) == 3)
+    // stats recorded in the log
+    val f = t.snapshotNow.files.head
+    assert(f.numRecords.contains(100L))
+    assert(f.minValues.contains("id") && f.maxValues.contains("id"))
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
