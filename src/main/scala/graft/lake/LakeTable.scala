@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.core.UserException
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.URLDecoder
@@ -202,6 +202,41 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         actions.result()
       }
     } finally src.unpersist()
+  }
+
+  /** Copy-on-write DELETE: files that may contain matching rows (found
+    * via `_metadata.file_path` provenance, so stats/partition pruning
+    * applies to the probe) are rewritten without them; untouched files
+    * survive as-is. NULL-valued conditions keep the row (SQL DELETE
+    * semantics). Returns the number of deleted rows.
+    */
+  def delete(condition: Column): Long = {
+    if (!exists) return 0L
+    val snap = snapshot(path)
+    val target = read()
+    val touchedFiles: Set[String] = target
+      .where(condition)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedFiles.isEmpty) return 0L
+    def isTouched(f: AddFile): Boolean = {
+      val abs = path.resolve(f.path).toUri.toString
+      touchedFiles.contains(abs) || touchedFiles.exists(_.endsWith("/" + f.path))
+    }
+    val touched = snap.files.filter(isTouched)
+    val touchedDf = readFiles(snap, touched)
+    val deleted = touchedDf.where(condition).count()
+    val kept = touchedDf.where(!coalesce(condition, lit(false)))
+    val adds = writeDataFiles(kept, snap.metadata.partitionColumns, "snappy")
+    val ts = System.currentTimeMillis()
+    commitWithRetry(retryable = false) { _ =>
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction("DELETE", Map("numDeleted" -> deleted.toString), ts)
+      touched.foreach(f => actions += removeAction(f.path, ts))
+      adds.foreach(a => actions += addAction(a))
+      actions.result()
+    }
+    deleted
   }
 
   /** Small-file compaction (OPTIMIZE): partitions whose live-file

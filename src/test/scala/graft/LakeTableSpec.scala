@@ -161,6 +161,25 @@ class LakeTableSpec extends AnyFunSuite {
     assert(f.minValues.contains("id") && f.maxValues.contains("id"))
   }
 
+  test("delete: copy-on-write, untouched files survive, null-safe condition") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "append")
+    t.write(Seq((3L, "c"), (4L, null.asInstanceOf[String])).toDF("id", "v"), "append")
+    val before = t.snapshotNow.files.map(_.path).toSet
+    // deletes only v='c'; v=null rows kept (NULL condition ≠ true)
+    val n = t.delete($"v" === "c")
+    assert(n == 1L)
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L, 4L))
+    // the (1,2) file was never touched
+    assert(t.snapshotNow.files.map(_.path).toSet.intersect(before).nonEmpty)
+    assert(t.historyInfo.head.operation == "DELETE")
+    // no-match delete is a no-op commit-wise
+    val v = t.version
+    assert(t.delete($"id" === 999L) == 0L)
+    assert(t.version == v)
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
