@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) registers the engine's
+  * native expressions for every session of the cluster — the
+  * deployment-grade alternative to per-session
+  * `VectorFunctions.register` (which remains for embedded use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_cosine", exprs, 2)
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_dot", exprs, 2)
+        DotProduct(exprs.head, exprs(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  private[graft] def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> "-"))
+}

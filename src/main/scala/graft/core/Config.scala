@@ -39,6 +39,11 @@ final case class Destination(
     mode: LoadType.Value = LoadType.Append,
     partitionBy: Seq[String] = Nil,
     compression: String = "UNCOMPRESSED",
+    /** Extension beyond the reference surface: exact-dedup the input on
+      * these columns before writing (empty = off). `Nil`-safe: the
+      * reference's own sample fixture ships duplicate rows.
+      */
+    dedupColumns: Seq[String] = Nil,
 )
 
 final case class Config(

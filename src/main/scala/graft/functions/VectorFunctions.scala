@@ -110,9 +110,15 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      "graft_cosine", exprs => {
+        graft.GraftExtensions.requireArity("graft_cosine", exprs, 2)
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", exprs => {
+        graft.GraftExtensions.requireArity("graft_dot", exprs, 2)
+        DotProduct(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")

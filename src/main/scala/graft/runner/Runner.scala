@@ -60,8 +60,10 @@ object Runner {
   /** External-table path (entry point A): direct lake write. */
   def runExternal(spark: SparkSession, config: Config, dataDir: Path, dest: Path): Unit = {
     config.validateExternalMode()
-    val df = loadInput(spark, dataDir)
     val d = config.destination
+    val loaded = loadInput(spark, dataDir)
+    val df = if (d.dedupColumns.nonEmpty)
+      graft.operators.Dedup.exact(loaded, d.dedupColumns) else loaded
     new LakeTable(spark, dest).write(
       df,
       mode = d.mode.toString,
