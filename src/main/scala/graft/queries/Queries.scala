@@ -300,6 +300,31 @@ object Queries {
              |CAST(max(ms) - min(ms) AS BIGINT) AS dur_ms
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
 
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "q09_semi_anti" -> QueryDef(
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+        val o = tbl(s, d, "orders")
+        c.join(o.where(col("o_orderstatus") === "F"),
+            c("c_custkey") === o("o_custkey"), "left_semi")
+          .join(o.where(col("o_orderstatus") === "P").select(col("o_custkey").as("pk")),
+            c("c_custkey") === col("pk"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
+
+    // grouping sets: ROLLUP with deterministic decimal sums
+    "q19_rollup" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
     // as-of join: each purchase matched to the user's most recent view
     "q18_asof_join" -> QueryDef(
       (s, d) => {
@@ -483,9 +508,68 @@ object Queries {
              |FROM documents""".stripMargin)),
   )
 
+  /** Additional capability queries appended after the §7.5 block. */
+  private val more: Seq[(String, QueryDef)] = Seq(
+
+    // top-k per group (window rank under total order)
+    "q31_topk_per_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, d, "orders")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+             |  FROM orders) WHERE rk <= 3""".stripMargin)),
+
+    // range join: purchase paired with same-user errors within ±5 min
+    "q32_range_join" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events").select(
+          col("user_id"), col("event_id"), expr("ts DIV 1000000").as("ms"),
+          col("event_type"))
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("pms"))
+        val e = ev.where(col("event_type") === "error")
+          .select(col("user_id").as("u2"), col("event_id").as("error_id"), col("ms").as("ems"))
+        p.join(e, col("user_id") === col("u2") &&
+            col("ems") >= col("pms") - 300000L && col("ems") <= col("pms") + 300000L)
+          .select(col("user_id"), col("purchase_id"), col("error_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events)
+             |SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+             |FROM ev p JOIN ev e ON p.user_id = e.user_id
+             | AND p.event_type = 'purchase' AND e.event_type = 'error'
+             | AND e.ms >= p.ms - 300000 AND e.ms <= p.ms + 300000""".stripMargin)),
+
+    // composite document quality score (integer-exact filtering signal)
+    "q33_quality_score" -> QueryDef(
+      (s, d) => {
+        val t = col("text")
+        val words = TextAnalysis.wordCount(t).cast("long")
+        val uniq = TextAnalysis.uniqueWordCount(t).cast("long")
+        val punct = TextAnalysis.punctCount(t).cast("long")
+        val score = uniq * 3 - punct * 2 + least(words, lit(100L))
+        tbl(s, d, "documents").select(col("doc_id"), score.as("quality"),
+          (score >= 150L).as("keep"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |  len(string_split_regex(text, '\s+')) AS words,
+             |  len(list_distinct(string_split_regex(text, '\s+'))) AS uniq,
+             |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct
+             |  FROM documents)
+             |SELECT doc_id, uniq * 3 - punct * 2 + least(words, 100) AS quality,
+             |  (uniq * 3 - punct * 2 + least(words, 100)) >= 150 AS keep FROM m""".stripMargin)),
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (n, q) => n -> q.impl }.toMap
+    (all ++ more).map { case (n, q) => n -> q.impl }.toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
+    (all ++ more).flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
 }
