@@ -78,6 +78,50 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `nCentroids` corpus vectors by id) partitions the corpus into
+    * inverted lists by nearest centroid; a probe searches only the
+    * `nProbe` lists whose centroids are closest to it. Unlike LSH,
+    * list sizes are data-adaptive; like real IVF, recall is tuned by
+    * `nProbe`. Centroid assignment is a broadcast of `nCentroids`
+    * vectors — the corpus scan stays shuffle-free until the final
+    * per-probe top-k.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    def nearestLists(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
+      val scored = df.join(broadcast(centroids), lit(true))
+        .withColumn("__cs", score(df, col(vec), col("cent_vec")))
+      val w = Window.partitionBy(df.columns.head)
+      scored.withColumn("__r",
+          row_number().over(w.orderBy(col("__cs").desc, col("cent_id"))))
+        .where(col("__r") <= n)
+        .drop("cent_vec", "__cs", "__r")
+        .withColumnRenamed("cent_id", out)
+    }
+    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val lists = nearestLists(corpus, "cand_vec", 1, "list_id")
+    val probes = nearestLists(
+      emb.where(probeFilter).select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")),
+      "probe_vec", nProbe, "list_id")
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
   /** ANN via LSH bucketing: exact rank within the probe's bucket. */
   def lshTopK(
       emb: DataFrame,

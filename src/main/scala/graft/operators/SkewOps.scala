@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation: the two-phase salted shape for keys
+  * whose row counts are orders of magnitude apart (the 100 TB failure
+  * mode where one reducer gets the hot key and the stage never
+  * finishes).
+  *
+  * Phase 1 groups on (key, salt) — the hot key's rows spread over
+  * `saltBuckets` reducers; phase 2 re-aggregates the partials on the
+  * key alone, shuffling only `saltBuckets` rows per key. Result is
+  * EXACTLY the unsalted aggregate (sums/counts/min/max re-associate),
+  * which is why the oracle is the plain GROUP BY.
+  *
+  * AQE's skew-join handling covers joins; salting remains the tool for
+  * skewed AGGREGATIONS with algebraic aggregates.
+  */
+object SkewOps {
+
+  /** count + sum(valueCol as decimal) per key, salted. */
+  def saltedAgg(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltBuckets)))
+    salted.groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("ps"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        sum(col("ps")).cast("double").as("total"))
+  }
+}

@@ -547,6 +547,21 @@ object Queries {
              | AND p.event_type = 'purchase' AND e.event_type = 'error'
              | AND e.ms >= p.ms - 300000 AND e.ms <= p.ms + 300000""".stripMargin)),
 
+    // skew-resistant salted aggregation (result ≡ plain GROUP BY)
+    "q34_salted_agg" -> QueryDef(
+      (s, d) => SkewOps.saltedAgg(
+        tbl(s, d, "lineitem"), "l_returnflag", "l_quantity", saltBuckets = 16),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // IVF-style ANN (data-adaptive inverted lists; recall<1 ⇒ rows-only)
+    "q35_ann_ivf" -> QueryDef(
+      (s, d) => Similarity.ivfTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 100 === 0, k = 5),
+      None),
+
     // composite document quality score (integer-exact filtering signal)
     "q33_quality_score" -> QueryDef(
       (s, d) => {

@@ -180,6 +180,22 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.version == v)
   }
 
+  test("concurrent appends: optimistic retry lands every commit exactly once") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((0L, "seed")).toDF("id", "v"), "append")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 6).map { i =>
+      Future(t.write(Seq((i.toLong, s"w$i")).toDF("id", "v"), "append"))
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(t.version == 6L) // 7 commits, 0-based
+    assert(t.read().count() == 7)
+    assert(t.read().select("id").as[Long].collect().toSet == (0L to 6L).toSet)
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)

@@ -137,6 +137,33 @@ class OperatorSpec extends AnyFunSuite {
     lsh.foreach { case (id, sim) => bf.get(id).foreach(s => assert(s == sim)) }
   }
 
+  test("IVF topK: scores agree with brute force; recall reasonable at nProbe=4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5)
+      .select($"probe_id", $"cand_id", $"sim").as[(Long, Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+      nCentroids = 8, nProbe = 4)
+      .select($"probe_id", $"cand_id", $"sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val bfScores = bf.map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (p, c, s) => bfScores.get((p, c)).foreach(x => assert(x == s)) }
+    // with half the lists probed, expect to recover a decent share of true top-5
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val hits = ivf.map(r => (r._1, r._2)).count(bfSet)
+    assert(hits >= bf.length / 4, s"IVF recall too low: $hits/${bf.length}")
+  }
+
+  test("salted aggregation equals the unsalted aggregate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val salted = SkewOps.saltedAgg(li, "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag").as[(String, Long, Double)].collect().toSeq
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("l_returnflag").as[(String, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   test("multimodal: sniff + stub decode are deterministic over bytes") {
