@@ -96,24 +96,32 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    def nearestLists(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
-      val scored = df.join(broadcast(centroids), lit(true))
-        .withColumn("__cs", score(df, col(vec), col("cent_vec")))
-      val w = Window.partitionBy(df.columns.head)
-      scored.withColumn("__r",
-          row_number().over(w.orderBy(col("__cs").desc, col("cent_id"))))
-        .where(col("__r") <= n)
-        .drop("cent_vec", "__cs", "__r")
-        .withColumnRenamed("cent_id", out)
+    // Coarse quantizer: nCentroids vectors collected to the driver
+    // (metadata-scale) and embedded as literals, so list assignment is
+    // a pure map-side expression — no shuffle touches the corpus until
+    // the final per-probe top-k. A production build would load trained
+    // k-means centroids here instead of the id-prefix seed.
+    val centroids: Array[Seq[Double]] = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+
+    /** top-`n` nearest centroid ids for a vector, as an array column:
+      * sort a tiny struct array of (-dot, id) — map-side only.
+      */
+    def nearestLists(df: DataFrame, vec: Column, n: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (c, p) =>
+        struct((-VectorFunctions.dot(spark, vec, typedlit(c))).as("negs"),
+          lit(p).as("id"))
+      }.toSeq: _*)
+      slice(transform(array_sort(scored), s => s.getField("id")), 1, n)
     }
+
     val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-    val lists = nearestLists(corpus, "cand_vec", 1, "list_id")
-    val probes = nearestLists(
-      emb.where(probeFilter).select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")),
-      "probe_vec", nProbe, "list_id")
-    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .withColumn("list_id", element_at(nearestLists(emb, col("cand_vec"), 1), 1))
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("list_id", explode(nearestLists(emb, col("probe_vec"), nProbe)))
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .where(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
