@@ -562,6 +562,60 @@ object Queries {
         probeFilter = col("vec_id") % 100 === 0, k = 5),
       None),
 
+    // scalar string-function surface
+    "q36_string_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_mktsegment")).as("l"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        length(trim(col("c_name"))).cast("long").as("len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        col("c_name").like("%1%").as("has_one")),
+      Some("""SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS l,
+             |substr(c_name, 1, 8) AS pre,
+             |regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |length(trim(c_name)) AS len,
+             |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             |concat_ws('|', c_mktsegment, c_name) AS joined,
+             |c_name LIKE '%1%' AS has_one FROM customer""".stripMargin)),
+
+    // scalar date/time-function surface
+    "q37_date_funcs" -> QueryDef(
+      (s, d) => tbl(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("days_since")),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS BIGINT) AS y,
+             |CAST(month(o_orderdate) AS BIGINT) AS m,
+             |CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+             |FROM orders""".stripMargin)),
+
+    // conditional / null-handling surface
+    "q38_conditional" -> QueryDef(
+      (s, d) => tbl(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05, "high")
+          .when(col("l_discount") > 0.02, "mid").otherwise("low").as("disc_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_quantity"), lit(10.0)).as("capped_qty")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CASE WHEN l_discount > 0.05 THEN 'high'
+             |     WHEN l_discount > 0.02 THEN 'mid' ELSE 'low' END AS disc_band,
+             |coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+             |greatest(l_tax, l_discount) AS max_rate,
+             |least(l_quantity, 10.0) AS capped_qty FROM lineitem""".stripMargin)),
+
     // composite document quality score (integer-exact filtering signal)
     "q33_quality_score" -> QueryDef(
       (s, d) => {
