@@ -180,6 +180,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.version == v)
   }
 
+  test("data skipping on strings and nulls") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "apple"), (2L, "banana")).toDF("id", "v").coalesce(1), "append")
+    t.write(Seq((3L, "mango"), (4L, "peach")).toDF("id", "v").coalesce(1), "append")
+    t.write(Seq((5L, null.asInstanceOf[String])).toDF("id", "v").coalesce(1), "append")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    // equality on a string lands in exactly one file's [min,max]
+    assert(filesScanned(t.read().where($"v" === "mango")) == 1)
+    // IS NULL: only the file with nullCount > 0 (plus unknown-stats files)
+    assert(filesScanned(t.read().where($"v".isNull)) == 1)
+    assert(t.read().where($"v".isNull).count() == 1)
+    // range over strings
+    assert(filesScanned(t.read().where($"v" < "c")) == 1)
+  }
+
+  test("merge on a partitioned table preserves partitioning and prunes files") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    val df = spark.range(40).select($"id", (col("id") % 4).cast("int").as("par"),
+      lit(1.0).as("x"))
+    t.write(df, "append", partitionBy = Seq("par"))
+    t.merge(Seq((2L, 2, 99.0), (100L, 1, 50.0)).toDF("id", "par", "x"), Seq("id"))
+    val snap = t.snapshotNow
+    assert(snap.metadata.partitionColumns == Seq("par"))
+    assert(snap.files.forall(_.partitionValues.contains("par")))
+    val rows = t.read().where($"x" =!= 1.0).orderBy("id")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(rows == Seq((2L, 2, 99.0), (100L, 1, 50.0)))
+    assert(t.read().count() == 41)
+  }
+
   test("concurrent appends: optimistic retry lands every commit exactly once") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
