@@ -153,6 +153,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits >= bf.length / 4, s"IVF recall too low: $hits/${bf.length}")
   }
 
+  test("theta-sketch distinct: within 2% of exact, merges across groups") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val got = orders.select(
+      graft.functions.SketchFunctions.thetaDistinct(spark, $"o_custkey").as("approx"))
+      .head().getLong(0)
+    val exact = orders.select(countDistinct($"o_custkey")).head().getLong(0)
+    assert(math.abs(got - exact).toDouble / exact < 0.02, s"approx=$got exact=$exact")
+    // grouped + partial-merge path
+    val grouped = orders.groupBy("o_orderstatus").agg(
+      graft.functions.SketchFunctions.thetaDistinct(spark, $"o_custkey").as("approx"),
+      countDistinct($"o_custkey").as("exact"))
+      .as[(String, Long, Long)].collect()
+    grouped.foreach { case (st, a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$st approx=$a exact=$e")
+    }
+    // SQL surface
+    graft.functions.SketchFunctions.register(spark)
+    orders.createOrReplaceTempView("orders_v")
+    val viaSql = spark.sql(
+      "SELECT graft_theta_distinct(o_custkey) FROM orders_v").head().getLong(0)
+    assert(viaSql == got)
+  }
+
   test("salted aggregation equals the unsalted aggregate") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val salted = SkewOps.saltedAgg(li, "l_returnflag", "l_quantity")
