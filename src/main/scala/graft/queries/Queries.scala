@@ -636,9 +636,34 @@ object Queries {
              |  (uniq * 3 - punct * 2 + least(words, 100)) >= 150 AS keep FROM m""".stripMargin)),
   )
 
+  private val more2: Seq[(String, QueryDef)] = Seq(
+
+    // multimodal frame sampling (integer chunk math — oracle-checked)
+    "q39_frame_sample" -> QueryDef(
+      (s, d) => Multimodal.frameSample(
+        Multimodal.packAsMedia(tbl(s, d, "documents"), "doc_id", "text"),
+        chunkBytes = 64, stride = 2),
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS chunk_no,
+             |  CAST(i * 64 AS BIGINT) AS byte_offset
+             |FROM m, UNNEST(generate_series(0, greatest((n - 1) // 64, 0))) AS t(i)
+             |WHERE i % 2 = 0""".stripMargin)),
+
+    // mergeable sketch distinct (approximate ⇒ rows-only check; the
+    // ±2% accuracy contract is spec-tested against exact counts)
+    "q40_theta_distinct" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        o.groupBy("o_orderpriority").agg(
+          graft.functions.SketchFunctions
+            .thetaDistinct(s, col("o_custkey")).as("approx_cust"))
+      },
+      None),
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (all ++ more).map { case (n, q) => n -> q.impl }.toMap
+    (all ++ more ++ more2).map { case (n, q) => n -> q.impl }.toMap
 
   def oracleSql: Map[String, String] =
-    (all ++ more).flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
+    (all ++ more ++ more2).flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
 }
