@@ -175,13 +175,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         .join(srcKeys, joinCond, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
-      val tableUri = path.toUri.toString.stripSuffix("/")
       def isTouched(f: AddFile): Boolean = {
         val abs = path.resolve(f.path).toUri.toString
         touchedFiles.contains(abs) || touchedFiles.exists(_.endsWith("/" + f.path))
       }
       val touched = snap.files.filter(isTouched)
-      val _ = tableUri
 
       // Rewrite = (touched-file rows not matching) ∪ source rows; plus
       // source rows matching *untouched* files cannot exist by
