@@ -246,14 +246,36 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * travel still sees the old files.
     * Returns the number of files removed.
     */
-  def compact(minFilesPerPartition: Int = 2): Int = {
+  def compact(minFilesPerPartition: Int = 2): Int =
+    compactImpl(minFilesPerPartition, Nil, 0)
+
+  /** Clustered compaction (the OPTIMIZE ZORDER analog, 1-D): rewrites
+    * the selected files RANGE-partitioned and sorted on `sortBy`, so
+    * each output file owns a disjoint value range — which is what
+    * makes min/max data skipping effective on data that arrived
+    * unclustered. `targetFiles` controls output granularity
+    * (0 = one per input partition group).
+    */
+  def compactSorted(sortBy: Seq[String], targetFiles: Int = 0,
+      minFilesPerPartition: Int = 1): Int =
+    compactImpl(minFilesPerPartition, sortBy, targetFiles)
+
+  private def compactImpl(
+      minFilesPerPartition: Int,
+      sortBy: Seq[String],
+      targetFiles: Int): Int = {
     val snap = snapshot(path)
     val groups = snap.files.groupBy(_.partitionValues)
       .filter(_._2.size >= minFilesPerPartition)
     if (groups.isEmpty) return 0
     val toCompact = groups.values.flatten.toSeq
-    val df = readFiles(snap, toCompact)
-      .coalesce(math.max(groups.size / 4, 1))
+    val raw = readFiles(snap, toCompact)
+    val n = if (targetFiles > 0) targetFiles else math.max(groups.size / 4, 1)
+    val df =
+      if (sortBy.nonEmpty)
+        raw.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else raw.coalesce(n)
     val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy")
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>

@@ -161,6 +161,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(f.minValues.contains("id") && f.maxValues.contains("id"))
   }
 
+  test("clustered compaction turns full scans into single-file point reads") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    // 5 appends, each covering the FULL id range → stats overlap, no skipping
+    (0 until 5).foreach { i =>
+      t.write(spark.range(1000).select((col("id") * 5 + i).as("id")).coalesce(1), "append")
+    }
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    assert(filesScanned(t.read().where($"id" === 2500)) == 5) // overlapping ranges
+    t.compactSorted(Seq("id"), targetFiles = 5)
+    assert(t.read().count() == 5000)
+    assert(filesScanned(t.read().where($"id" === 2500)) == 1) // disjoint ranges now
+    assert(t.historyInfo.head.operation == "OPTIMIZE")
+  }
+
   test("delete: copy-on-write, untouched files survive, null-safe condition") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
