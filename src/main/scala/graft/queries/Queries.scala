@@ -649,6 +649,46 @@ object Queries {
              |FROM m, UNNEST(generate_series(0, greatest((n - 1) // 64, 0))) AS t(i)
              |WHERE i % 2 = 0""".stripMargin)),
 
+    // token explosion with position (UDTF/generator shape)
+    "q41_token_explode" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(TextAnalysis.words(col("text")), 1, 5)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents)
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+             |FROM w, UNNEST(generate_series(1, least(len(ws), 5))) AS t(i)""".stripMargin)),
+
+    // entity-level minhash via typed Aggregator union (signature of a
+    // source = elementwise min over its documents' signatures)
+    "q42_source_minhash" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val k = 8
+        val docs = tbl(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k)
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .select(col("source"),
+            array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
+        val unioned = sigs.as[(String, Seq[Long])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new graft.functions.MinHashUnion(k).toColumn.name("usig"))
+        unioned.toDF("source", "usig")
+          .select(col("source") +:
+            (0 until k).map(j => element_at(col("usig"), j + 1).as(s"mh$j")): _*)
+      },
+      Some {
+        val mh = (0 until 8).map(j =>
+          s"min(CAST(('0x' || substr(md5($j || '|' || x.sh), 1, 15)) AS BIGINT)) AS mh$j")
+          .mkString(",\n")
+        s"""WITH w AS (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+           |sh AS (SELECT doc_id, source, CASE WHEN len(ws) < 3 THEN [text]
+           |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
+           |ex AS (SELECT source, unnest(shs) AS sh FROM sh)
+           |SELECT source, $mh FROM ex x GROUP BY source""".stripMargin
+      }),
+
     // mergeable sketch distinct (approximate ⇒ rows-only check; the
     // ±2% accuracy contract is spec-tested against exact counts)
     "q40_theta_distinct" -> QueryDef(
