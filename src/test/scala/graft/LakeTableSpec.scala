@@ -255,6 +255,19 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet == (0L to 6L).toSet)
   }
 
+  test("format(\"graft\") data source: load, time travel option, SQL USING") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "append")
+    t.write(Seq((3L, "c")).toDF("id", "v"), "append")
+    assert(spark.read.format("graft").load(p).count() == 3)
+    assert(spark.read.format("graft.lake").load(p).count() == 3)
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(p).count() == 2)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_t USING graft OPTIONS (path '$p')")
+    assert(spark.sql("SELECT count(*) FROM graft_sql_t").head().getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM graft_sql_t WHERE id = 2").head().getString(0) == "b")
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
