@@ -1,23 +1,86 @@
 package graft.lake
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-/** DataSource registration: `spark.read.format("graft.lake").load(path)`
-  * (or the short name `graft`) opens a lake table as a first-class
-  * source — same log-backed FileIndex, partition pruning, and stats
-  * skipping as `LakeTable.read`, but reachable from pure-SQL tooling:
+/** DataSource registration: the lake as a first-class Spark source.
   *
-  *   CREATE TEMPORARY VIEW t USING graft OPTIONS (path '/data/t');
+  *   spark.read.format("graft").load(path)                   // read
+  *   df.write.format("graft").mode("append").save(path)      // write
+  *   stream.writeStream.format("graft")...start(path)        // sink
+  *   CREATE TEMPORARY VIEW t USING graft OPTIONS (path '…')  // SQL
   *
-  * Options: `path` (required), `versionAsOf` (time travel).
+  * Reads go through the same log-backed FileIndex (partition pruning +
+  * stats skipping) as `LakeTable.read`. Writes map SaveMode onto the
+  * lake's mode dispatch; `partitionBy` arrives as an option
+  * (comma-separated) because V1 relation providers don't receive the
+  * writer's partitioning. The streaming sink reuses the idempotent
+  * batch-id protocol of graft.streaming.
+  *
+  * Options: `path` (required), `versionAsOf` (read), `partitionBy`,
+  * `mergeSchema`, `compression` (write).
   */
-class DefaultSource extends RelationProvider with DataSourceRegister {
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw graft.core.UserException("graft.lake source requires a 'path' option"))
+    val lakeMode = mode match {
+      case SaveMode.Append        => "append"
+      case SaveMode.Overwrite     => "overwrite"
+      case SaveMode.ErrorIfExists => "error"
+      case SaveMode.Ignore        => "ignore"
+    }
+    val table = new LakeTable(sqlContext.sparkSession, TransactionLog.pathOf(path))
+    if (!(lakeMode == "ignore" && table.exists)) {
+      table.write(data,
+        mode = if (lakeMode == "ignore") "error" else lakeMode,
+        partitionBy = parameters.get("partitionBy")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+        mergeSchema = parameters.get("mergeSchema").forall(_.toBoolean),
+        compression = parameters.getOrElse("compression", "snappy"))
+    }
+    createRelation(sqlContext, Map("path" -> path))
+  }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      throw graft.core.UserException("graft.lake sink requires a 'path' option"))
+    val table = TransactionLog.pathOf(path)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // `data` is streaming-flagged (df.write is rejected); rebuild a
+        // batch frame over the micro-batch's executed RDD — rows stay
+        // distributed, no driver materialization — then reuse the
+        // idempotent append (same commit protocol + batch-id dedup as
+        // graft.streaming's foreachBatch sink).
+        val schema = data.schema
+        val converter = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        val rowRdd = data.queryExecution.toRdd.map(ir =>
+          converter(ir.copy()).asInstanceOf[org.apache.spark.sql.Row])
+        val batchDf = data.sparkSession.createDataFrame(rowRdd, schema)
+        graft.streaming.EventStreams.appendBatchIdempotent(batchDf, table, batchId)
+      }
+      override def toString: String = s"GraftLakeSink[$path]"
+    }
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -268,6 +268,48 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM graft_sql_t WHERE id = 2").head().getString(0) == "b")
   }
 
+  test("format(\"graft\") write path: modes, partitionBy option, ignore") {
+    val p = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft").mode("errorifexists").save(p)
+    val t = LakeTable.forPath(spark, p)
+    assert(t.read().count() == 2)
+    Seq((3L, "c")).toDF("id", "v").write.format("graft").mode("append").save(p)
+    assert(t.read().count() == 3)
+    Seq((9L, "z")).toDF("id", "v").write.format("graft").mode("overwrite").save(p)
+    assert(t.read().count() == 1)
+    Seq((8L, "y")).toDF("id", "v").write.format("graft").mode("ignore").save(p)
+    assert(t.read().count() == 1) // ignored on existing table
+    intercept[graft.core.UserException] {
+      Seq((7L, "x")).toDF("id", "v").write.format("graft").mode("errorifexists").save(p)
+    }
+    // partitioned via option
+    val p2 = tmpTable()
+    spark.range(20).select($"id", (col("id") % 2).cast("int").as("par"))
+      .write.format("graft").option("partitionBy", "par").mode("append").save(p2)
+    assert(LakeTable.forPath(spark, p2).snapshotNow.metadata.partitionColumns == Seq("par"))
+  }
+
+  test("writeStream.format(\"graft\") sink ingests micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val lakeDir = root.resolve("lake")
+    spark.range(0, 7).select($"id", lit("s").as("v")).coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("stage").toString)
+    val it = java.nio.file.Files.list(root.resolve("stage")).iterator()
+    it.forEachRemaining { f =>
+      if (f.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(f, in.resolve("d1.parquet"))
+    }
+    val schema = spark.range(0).select($"id", lit("s").as("v")).schema
+    val q = spark.readStream.schema(schema).parquet(in.toString)
+      .writeStream.format("graft")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start(lakeDir.toString)
+    q.processAllAvailable(); q.stop()
+    assert(LakeTable.forPath(spark, lakeDir.toString).read().count() == 7)
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
