@@ -689,6 +689,32 @@ object Queries {
            |SELECT source, $mh FROM ex x GROUP BY source""".stripMargin
       }),
 
+    // CUBE grouping sets
+    "q43_cube" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // pivot (wide conditional aggregation)
+    "q44_pivot" -> QueryDef(
+      (s, d) => tbl(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))))
+        .select(col("o_orderpriority"),
+          col("F").cast("double").as("F"),
+          col("O").cast("double").as("O"),
+          col("P").cast("double").as("P")),
+      Some("""SELECT o_orderpriority,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // mergeable sketch distinct (approximate ⇒ rows-only check; the
     // ±2% accuracy contract is spec-tested against exact counts)
     "q40_theta_distinct" -> QueryDef(
