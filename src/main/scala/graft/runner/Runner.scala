@@ -88,7 +88,7 @@ object Runner {
       case LoadType.Upsert =>
         val t = tables.head
         t.requirePrimaryKey()
-        if (!lake.exists)
+        if (!lake.exists) // bootstrap schema+partitioning, then merge
           lake.write(df.limit(0), "append", d.partitionBy,
             mergeSchema = true, Config.sparkCompression(d.compression))
         lake.merge(df, t.primaryKey)
