@@ -129,8 +129,12 @@ final class GraftFileIndex(
     case _ => true
   }
 
-  /** stats(min) <= v <= stats(max), unknown ⇒ true */
+  /** stats(min) <= v <= stats(max), unknown or null bound ⇒ true
+    * (a null-literal comparison never prunes — the filter itself
+    * evaluates to null, which the scan's own Filter handles).
+    */
   private def rangeContains(f: AddFile, col: String, dt: DataType, lo: Any, hi: Any): Boolean = {
+    if (lo == null || hi == null) return true
     val ord = ordering(dt)
     val minOk = statValue(f.minValues.get(col), dt).forall(mn => ord.lteq(mn, hi))
     val maxOk = statValue(f.maxValues.get(col), dt).forall(mx => ord.gteq(mx, lo))
@@ -139,13 +143,13 @@ final class GraftFileIndex(
 
   /** ∃ row > v (or >= v): max above the bound, unknown ⇒ true */
   private def upperAbove(f: AddFile, col: String, dt: DataType, v: Any, strict: Boolean): Boolean =
-    statValue(f.maxValues.get(col), dt).forall { mx =>
+    v == null || statValue(f.maxValues.get(col), dt).forall { mx =>
       if (strict) ordering(dt).gt(mx, v) else ordering(dt).gteq(mx, v)
     }
 
   /** ∃ row < v (or <= v): min below the bound, unknown ⇒ true */
   private def lowerBelow(f: AddFile, col: String, dt: DataType, v: Any, strict: Boolean): Boolean =
-    statValue(f.minValues.get(col), dt).forall { mn =>
+    v == null || statValue(f.minValues.get(col), dt).forall { mn =>
       if (strict) ordering(dt).lt(mn, v) else ordering(dt).lteq(mn, v)
     }
 

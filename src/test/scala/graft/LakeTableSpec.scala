@@ -310,6 +310,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.forPath(spark, lakeDir.toString).read().count() == 7)
   }
 
+  test("robustness: null-literal filters, empty writes, corrupt log") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append")
+    // null-literal comparison must not crash the skipping evaluator
+    assert(t.read().where($"id" === lit(null).cast("long")).count() == 0)
+    // appending an empty frame is a legal no-row commit
+    t.write(Seq.empty[(Long, String)].toDF("id", "v"), "append")
+    assert(t.read().count() == 1)
+    // a non-table path fails with a clear error
+    val bogus = LakeTable.forPath(spark, tmpTable().toString)
+    val e = intercept[IllegalStateException](bogus.read())
+    assert(e.getMessage.contains("no _delta_log"))
+    // corrupt trailing commit surfaces as an error, not silent data loss
+    val logDir = java.nio.file.Paths.get(p, "_delta_log")
+    java.nio.file.Files.writeString(
+      logDir.resolve("00000000000000000002.json"), "{not json")
+    intercept[Exception](t.read().count())
+  }
+
   test("time travel + history + vacuum") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
