@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.core.UserException
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.URLDecoder
@@ -237,6 +237,47 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     deleted
   }
 
+  /** Copy-on-write UPDATE: rows matching `condition` get each column
+    * in `assignments` replaced by its expression (evaluated against
+    * the OLD row, SQL UPDATE semantics); only files containing matches
+    * are rewritten. Returns the number of updated rows.
+    */
+  def update(condition: Column, assignments: Map[String, Column]): Long = {
+    if (!exists) return 0L
+    val snap = snapshot(path)
+    val badCols = assignments.keySet.diff(snap.schema.fieldNames.toSet)
+    if (badCols.nonEmpty)
+      throw UserException(s"UPDATE of unknown columns: ${badCols.mkString(",")}")
+    val target = read()
+    val touchedFiles: Set[String] = target
+      .where(condition)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedFiles.isEmpty) return 0L
+    val touched = snap.files.filter(f =>
+      touchedFiles.exists(u => u.endsWith("/" + f.path)))
+    val touchedDf = readFiles(snap, touched)
+    val updated = touchedDf.where(condition).count()
+    val isMatch = coalesce(condition, lit(false))
+    val rewritten = touchedDf.select(snap.schema.fieldNames.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(expr) => when(isMatch, expr).otherwise(col(c))
+          .cast(snap.schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val adds = writeDataFiles(rewritten, snap.metadata.partitionColumns, "snappy")
+    val ts = System.currentTimeMillis()
+    commitWithRetry(retryable = false) { _ =>
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction("UPDATE", Map("numUpdated" -> updated.toString), ts)
+      touched.foreach(f => actions += removeAction(f.path, ts))
+      adds.foreach(a => actions += addAction(a))
+      actions.result()
+    }
+    updated
+  }
+
   /** Small-file compaction (OPTIMIZE): partitions whose live-file
     * count exceeds `minFilesPerPartition` are rewritten into one file
     * per partition. Streaming ingest commits per micro-batch and at
@@ -260,10 +301,22 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       minFilesPerPartition: Int = 1): Int =
     compactImpl(minFilesPerPartition, sortBy, targetFiles)
 
+  /** Multi-dimensional clustering (OPTIMIZE ZORDER): rewrites files
+    * ordered by the Morton interleave of `cols`, giving useful min/max
+    * skipping on every clustered dimension simultaneously.
+    */
+  def compactZOrder(cols: Seq[String], targetFiles: Int = 0): Int = {
+    val ranges = ZOrder.ranges(read(), cols)
+    compactImpl(1, Nil, targetFiles,
+      zorder = Some(df =>
+        ZOrder.zvalue(cols.map(c => (df(c), df.schema(c).dataType)), ranges)))
+  }
+
   private def compactImpl(
       minFilesPerPartition: Int,
       sortBy: Seq[String],
-      targetFiles: Int): Int = {
+      targetFiles: Int,
+      zorder: Option[DataFrame => Column] = None): Int = {
     val snap = snapshot(path)
     val groups = snap.files.groupBy(_.partitionValues)
       .filter(_._2.size >= minFilesPerPartition)
@@ -271,11 +324,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val toCompact = groups.values.flatten.toSeq
     val raw = readFiles(snap, toCompact)
     val n = if (targetFiles > 0) targetFiles else math.max(groups.size / 4, 1)
-    val df =
-      if (sortBy.nonEmpty)
+    val df = zorder match {
+      case Some(z) =>
+        raw.withColumn("__z", z(raw))
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case None if sortBy.nonEmpty =>
         raw.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      else raw.coalesce(n)
+      case None => raw.coalesce(n)
+    }
     val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy")
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>

@@ -182,6 +182,55 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.historyInfo.head.operation == "OPTIMIZE")
   }
 
+  test("update: copy-on-write column assignment against old row values") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x"), "append")
+    t.write(Seq((3L, "c", 30.0)).toDF("id", "v", "x"), "append")
+    val before = t.snapshotNow.files.map(_.path).toSet
+    val n = t.update($"id" === 2L, Map("x" -> ($"x" * 10), "v" -> lit("B")))
+    assert(n == 1L)
+    val rows = t.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0)))
+    // file holding id=3 untouched
+    assert(t.snapshotNow.files.map(_.path).toSet.intersect(before).nonEmpty)
+    assert(t.historyInfo.head.operation == "UPDATE")
+    assert(intercept[graft.core.UserException](
+      t.update($"id" === 1L, Map("nope" -> lit(1)))).getMessage.contains("unknown columns"))
+    assert(t.update($"id" === 999L, Map("x" -> lit(0.0))) == 0L)
+  }
+
+  test("z-order clustering: box queries skip on both dimensions") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    // 40k points on a 200x200 grid, ingested row-major (y-banded files)
+    t.write(spark.range(40000).select(
+      ($"id" % 200).as("x"), expr("id DIV 200").as("y")).repartitionByRange(8, $"id"),
+      "append")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val total = t.snapshotNow.files.size
+    val xQ = () => t.read().where($"x".between(10, 30))
+    val boxQ = () => t.read().where($"x".between(10, 30) && $"y".between(10, 30))
+    // y-banded layout: x-filters can't prune anything
+    assert(filesScanned(xQ()) == total)
+    t.compactZOrder(Seq("x", "y"), targetFiles = 16)
+    assert(t.read().count() == 40000)
+    assert(xQ().count() == 21 * 200 && boxQ().count() == 441)
+    // after z-ordering, BOTH dimensions prune
+    val xAfter = filesScanned(xQ())
+    assert(xAfter <= 8, s"x-slice should skip most z-ordered files, scanned $xAfter/16")
+    val boxAfter = filesScanned(boxQ())
+    assert(boxAfter <= 4, s"10% box should confine to few files, scanned $boxAfter/16")
+    val yAfter = filesScanned(t.read().where($"y".between(10, 30)))
+    assert(yAfter <= 8, s"y-slice still prunes, scanned $yAfter/16")
+  }
+
   test("delete: copy-on-write, untouched files survive, null-safe condition") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
