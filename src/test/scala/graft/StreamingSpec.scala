@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(r => r.session_id == 0L && r.n_events == 2L && r.sum_value == 3.0))
   }
 
+  test("streaming sessionization agrees with the batch q17 query on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch: sessions per user from the oracle-checked q17 query
+    val batchSessions = graft.queries.Queries.queries("q17_sessionize")(spark, dir)
+      .groupBy("user_id").agg(max($"session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // streaming: same events through mapGroupsWithState (single batch)
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", expr("ts DIV 1000000").as("ms"), $"value")
+      .as[SessionEvent].collect()
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 1800000L)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("sess_batch_cmp").start()
+    mem.addData(evs.toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamSessions = spark.table("sess_batch_cmp").as[SessionUpdate]
+      .collect().map(u => u.user_id -> (u.session_id + 1)).toMap
+    assert(streamSessions.keySet == batchSessions.keySet)
+    streamSessions.foreach { case (u, n) =>
+      assert(n == batchSessions(u), s"user $u: stream=$n batch=${batchSessions(u)}")
+    }
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0
