@@ -173,6 +173,16 @@ object Dedup {
         size(array_union(col("set_a"), col("set_b"))).as("n_union"))
   }
 
+  /** Character n-gram set of a text column (the char-level complement
+    * to word shingles — robust to tokenization differences, the usual
+    * choice for short/noisy text).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) < n, array(text)).otherwise(
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+
   /** Embedding cosine near-duplicate pairs above `threshold` between
     * a probe subset and the corpus. The probe predicate is the
     * blocking strategy (callers at scale pass an LSH bucket join

@@ -689,6 +689,49 @@ object Queries {
            |SELECT source, $mh FROM ex x GROUP BY source""".stripMargin
       }),
 
+    // character n-gram Jaccard between sampled pairs (char-level
+    // complement to the word-shingle overlap of q23)
+    "q45_char_ngram" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .withColumn("cg", Dedup.charNgrams(col("text"), 4))
+        val a = docs.where(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("id_a"), col("cg").as("cg_a"))
+        val b = docs.where(col("doc_id") % 59 === 0)
+          .select(col("doc_id").as("id_b"), col("cg").as("cg_b"))
+        a.crossJoin(b).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("cg_a"), col("cg_b"))).cast("long").as("n_inter"),
+            (size(col("cg_a")) + size(col("cg_b")) -
+              size(array_intersect(col("cg_a"), col("cg_b")))).cast("long").as("n_union"))
+      },
+      Some("""WITH g AS (SELECT doc_id, list_distinct(CASE WHEN length(text) < 4 THEN [text]
+             |  ELSE list_transform(generate_series(1, length(text) - 3), i -> substr(text, i, 4)) END) AS cg
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  len(list_filter(a.cg, x -> list_contains(b.cg, x))) AS n_inter,
+             |  len(a.cg) + len(b.cg) - len(list_filter(a.cg, x -> list_contains(b.cg, x))) AS n_union
+             |FROM g a, g b WHERE a.doc_id % 53 = 0 AND b.doc_id % 59 = 0 AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // exact quantiles via deterministic rank selection (portable across
+    // engines, unlike interpolating quantile functions)
+    "q46_quantiles" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val n = o.count()
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = o.withColumn("rk", row_number().over(w))
+        val picks = Seq(0.25, 0.5, 0.75, 0.95).map(q => math.ceil(q * n).toLong)
+        ranked.where(col("rk").isin(picks: _*))
+          .select(col("rk").cast("long").as("rk"), col("o_totalprice"))
+      },
+      Some("""WITH r AS (SELECT o_totalprice,
+             |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+             |  COUNT(*) OVER () AS n FROM orders)
+             |SELECT CAST(rk AS BIGINT) AS rk, o_totalprice FROM r
+             |WHERE rk IN (CAST(ceil(0.25 * n) AS BIGINT), CAST(ceil(0.5 * n) AS BIGINT),
+             |             CAST(ceil(0.75 * n) AS BIGINT), CAST(ceil(0.95 * n) AS BIGINT))""".stripMargin)),
+
     // CUBE grouping sets
     "q43_cube" -> QueryDef(
       (s, d) => tbl(s, d, "orders")
