@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components — the clustering step a dedup
+  * pipeline runs AFTER candidate-pair generation (MinHash/SimHash give
+  * near-duplicate PAIRS; keeping one document per duplicate CLUSTER
+  * needs the transitive closure of those pairs).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is two relational passes (explode edges by endpoint, groupBy
+  * node, re-emit edges toward the neighborhood minimum), and the edge
+  * set provably converges to per-component stars in O(log²  n) rounds —
+  * unlike naive label propagation, whose round count is the graph
+  * DIAMETER (a 1M-node chain needs 1M rounds; star-contraction needs
+  * ~20). Every pass is a hash shuffle on node id: no driver-side graph,
+  * no adjacency lists collected anywhere, so a round scales to
+  * billions of edges exactly like any other groupBy.
+  *
+  * Between rounds the edge set is re-persisted and its lineage cut
+  * (reliable `checkpoint` when the session has a checkpoint dir — the
+  * cluster-deployment setting — else `localCheckpoint`): iterative
+  * DataFrame algorithms otherwise build an exponentially deepening
+  * plan that stalls the optimizer long before the data is the problem.
+  */
+object ConnectedComponents {
+
+  /** Large-star: for every node u, connect every STRICTLY LARGER
+    * neighbor v to m = min(Γ(u) ∪ u). Keeps all inter-component
+    * connectivity while shrinking large-id fan-out.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge max→min, then for every node u
+    * connect every (smaller) neighbor — and u itself — to the
+    * neighborhood minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = oriented.groupBy("u").agg(min("v").as("m"))
+    val relink = oriented.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+    relink.where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Component label for every vertex: (id, component) where component
+    * is the minimum vertex id in the connected component. `edges` is an
+    * undirected pair list (id_a, id_b) in its first two columns;
+    * `vertices` supplies the full id universe so isolated vertices
+    * label themselves.
+    */
+  def labels(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    val hasCkptDir = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (hasCkptDir) df.checkpoint() else df.localCheckpoint()
+
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    var e = cut(edges.select(col(ea).cast("long").as("u"), col(eb).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var converged = e.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = cut(smallStar(largeStar(e)))
+      // Convergence = identical edge set. Both sides are distinct
+      // (u, v) sets, so set equality is |e| == |next| == |e ∩ next|;
+      // the intersection count is one broadcast-friendly join on ids.
+      val (nOld, nNew) = (e.count(), next.count())
+      converged = nOld == nNew &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      rounds += 1
+    }
+    // After convergence small-star output is a star per component:
+    // u → component min. Isolated vertices keep their own id.
+    val verts = vertices.select(col(idCol).cast("long").as("id")).distinct()
+    verts.join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Duplicate-cluster summary: one row per component with its size and
+    * the kept (minimum-id) representative — the shape an ingest
+    * pipeline joins back against to drop all-but-one copy.
+    */
+  def clusterSummary(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame =
+    labels(vertices, idCol, edges)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+}
