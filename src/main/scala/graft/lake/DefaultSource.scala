@@ -50,7 +50,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         partitionBy = parameters.get("partitionBy")
           .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
         mergeSchema = parameters.get("mergeSchema").forall(_.toBoolean),
-        compression = parameters.getOrElse("compression", "snappy"))
+        compression = parameters.getOrElse("compression", "snappy"),
+        bucketBy = parameters.get("bucketBy").map { cols =>
+          Bucketing(
+            parameters.getOrElse("numBuckets",
+              throw graft.core.UserException(
+                "bucketBy requires a 'numBuckets' option")).toInt,
+            cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+            parameters.get("sortBy")
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(Nil))
+        })
     }
     createRelation(sqlContext, Map("path" -> path))
   }
@@ -94,7 +104,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val index = new GraftFileIndex(spark, table, snap)
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
-    HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
+    val bucketSpec = Bucketing.fromConfig(snap.metadata.configuration)
+      .filter(_ => snap.files.forall(f => Bucketing.hasBucketSuffix(
+        f.path.substring(f.path.lastIndexOf('/') + 1))))
+      .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        b.numBuckets, b.columns, b.sortColumns))
+    HadoopFsRelation(index, index.partitionSchema, dataSchema, bucketSpec,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
   }
 }

@@ -52,14 +52,33 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val index = new GraftFileIndex(spark, path, snap)
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
+      // A bucketed snapshot (every live file carries the bucket-id
+      // suffix) surfaces its layout as a V1 BucketSpec, so the scan
+      // groups files by bucket and reports HashPartitioning — joins
+      // and aggregations on the bucket keys then skip their Exchange.
+      val bucketSpec = bucketingOf(snap)
+        .filter(_ => snap.files.forall(f =>
+          Bucketing.hasBucketSuffix(fileNameOf(f.path))))
+        .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          b.numBuckets, b.columns, b.sortColumns))
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, index.partitionSchema, dataSchema, None,
+        index, index.partitionSchema, dataSchema, bucketSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty[String, String])(spark)
       spark.baseRelationToDataFrame(relation)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     }
   }
+
+  /** Bucketing layout recorded in the table metadata, if any. */
+  def bucketing: Option[Bucketing] =
+    if (exists) bucketingOf(snapshot(path)) else None
+
+  private def bucketingOf(snap: Snapshot): Option[Bucketing] =
+    Bucketing.fromConfig(snap.metadata.configuration)
+
+  private def fileNameOf(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
 
   /** Reads a file subset under the COMMITTED snapshot schema. The
     * schema must be passed explicitly: without it the parquet reader
@@ -93,7 +112,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       partitionBy: Seq[String] = Nil,
       mergeSchema: Boolean = true,
       compression: String = "snappy",
-      operationParams: Map[String, String] = Map.empty): Unit = {
+      operationParams: Map[String, String] = Map.empty,
+      bucketBy: Option[Bucketing] = None): Unit = {
     val normalized = mode.toLowerCase match {
       case "error" | "errorifexists" => "error"
       case m @ ("append" | "overwrite") => m
@@ -114,6 +134,32 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       if (normalized == "append") existing.map(_.metadata.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
       else partitionBy
 
+    // Bucketing: appends must keep the table's recorded layout (a
+    // single unbucketed file would silently break every co-located
+    // join the layout promises); overwrite may change or drop it.
+    val existingBucketing = existing.flatMap(s => bucketingOf(s))
+    val bucketing: Option[Bucketing] = normalized match {
+      case "append" =>
+        (existingBucketing, bucketBy) match {
+          case (Some(e), Some(b)) if e != b =>
+            throw UserException(
+              s"Bucketing $b does not match table layout $e")
+          case (e, b) => e.orElse(b)
+        }
+      case _ => bucketBy
+    }
+    bucketing.foreach { b =>
+      val missing = (b.columns ++ b.sortColumns).filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw UserException(s"Bucketing columns not in data: ${missing.mkString(",")}")
+      if (b.columns.exists(partCols.contains))
+        throw UserException("Bucketing columns cannot overlap partition columns")
+      if (b.sortColumns.nonEmpty && partCols.nonEmpty)
+        throw UserException(
+          "Sorted buckets are not supported together with hive partitioning " +
+            "(the dynamic-partition writer does not preserve row order)")
+    }
+
     // Schema reconciliation (schema_mode="merge" on every reference
     // write, component.py:97,109): append may add columns; overwrite
     // replaces data but merges the schema too.
@@ -126,10 +172,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     }
     val aligned = alignToSchema(df, targetSchema)
 
-    val adds = writeDataFiles(aligned, partCols, compression)
+    val adds = writeDataFiles(bucketize(aligned, bucketing), partCols, compression, bucketing)
     val ts = System.currentTimeMillis()
     val metaId = existing.map(_.metadata.id).getOrElse(UUID.randomUUID().toString)
-    val meta = Metadata(metaId, targetSchema, partCols)
+    val config = bucketing.map(Bucketing.toConfig).getOrElse(Map.empty)
+    val meta = Metadata(metaId, targetSchema, partCols, config)
     val removes: Seq[String] =
       if (normalized == "overwrite") existing.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
@@ -140,13 +187,26 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")) ++ operationParams, ts)
       if (version == 0L) actions += protocolAction()
       if (version == 0L || existing.forall(_.schema != targetSchema) ||
-          existing.forall(_.metadata.partitionColumns != partCols))
+          existing.forall(_.metadata.partitionColumns != partCols) ||
+          existing.forall(_.metadata.configuration != config))
         actions += metadataAction(meta)
       removes.foreach(p => actions += removeAction(p, ts))
       adds.foreach(a => actions += addAction(a))
       actions.result()
     }
   }
+
+  /** Routes rows so the write-task index IS the bucket id (see
+    * Bucketing's scaladoc), optionally sorting within each bucket.
+    */
+  private def bucketize(df: DataFrame, bucketing: Option[Bucketing]): DataFrame =
+    bucketing match {
+      case None => df
+      case Some(b) =>
+        val routed = df.repartition(b.numBuckets, b.columns.map(col): _*)
+        if (b.sortColumns.isEmpty) routed
+        else routed.sortWithinPartitions(b.sortColumns.map(col): _*)
+    }
 
   /** MERGE upsert (U3): update-all-when-matched / insert-all-when-not,
     * keys from the table manifest PKs
@@ -188,7 +248,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else readFiles(snap, touched)
       val rewritten = graft.operators.MergeOps.upsert(touchedDf, src, keys)
-      val adds = writeDataFiles(rewritten, snap.metadata.partitionColumns, "snappy")
+      val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
+        snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
       val ts = System.currentTimeMillis()
 
       commitWithRetry(retryable = false) { version =>
@@ -225,7 +286,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val touchedDf = readFiles(snap, touched)
     val deleted = touchedDf.where(condition).count()
     val kept = touchedDf.where(!coalesce(condition, lit(false)))
-    val adds = writeDataFiles(kept, snap.metadata.partitionColumns, "snappy")
+    val adds = writeDataFiles(bucketize(kept, bucketingOf(snap)),
+      snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -266,7 +328,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         case None => col(c)
       }
     }: _*)
-    val adds = writeDataFiles(rewritten, snap.metadata.partitionColumns, "snappy")
+    val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
+      snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -306,6 +369,10 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * skipping on every clustered dimension simultaneously.
     */
   def compactZOrder(cols: Seq[String], targetFiles: Int = 0): Int = {
+    if (bucketing.isDefined)
+      throw UserException(
+        "Sorted/Z-order compaction would destroy the table's hash-bucket " +
+          "layout; rewrite with an unbucketed overwrite first.")
     val ranges = ZOrder.ranges(read(), cols)
     compactImpl(1, Nil, targetFiles,
       zorder = Some(df =>
@@ -318,6 +385,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       targetFiles: Int,
       zorder: Option[DataFrame => Column] = None): Int = {
     val snap = snapshot(path)
+    val bucketed = bucketingOf(snap)
+    if (bucketed.isDefined && (sortBy.nonEmpty || zorder.isDefined))
+      throw UserException(
+        "Sorted/Z-order compaction would destroy the table's hash-bucket " +
+          "layout; rewrite with an unbucketed overwrite first.")
     val groups = snap.files.groupBy(_.partitionValues)
       .filter(_._2.size >= minFilesPerPartition)
     if (groups.isEmpty) return 0
@@ -333,9 +405,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       case None if sortBy.nonEmpty =>
         raw.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
+      case None if bucketed.isDefined =>
+        // Bucketed compaction folds each bucket's small files into one
+        // file per bucket — the layout is re-derived, never inferred
+        // from the inputs, so mixed small files re-cluster correctly.
+        bucketize(raw, bucketed)
       case None => raw.coalesce(n)
     }
-    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy")
+    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy", bucketed)
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -388,7 +465,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def writeDataFiles(
       df: DataFrame,
       partitionBy: Seq[String],
-      compression: String): Seq[AddFile] = {
+      compression: String,
+      bucketing: Option[Bucketing] = None): Seq[AddFile] = {
     Files.createDirectories(path)
     val stage = path.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
     val writer = df.write.option("compression", compression)
@@ -399,7 +477,20 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
     val adds = files.map { f =>
-      val rel = stage.relativize(f).toString
+      // Under a bucketed write (input repartitioned on the bucket
+      // keys), the task index in the part-file name is the bucket id;
+      // re-encode it as Spark's `_NNNNN` suffix so the scan side
+      // recognizes the file's bucket.
+      val rel = bucketing match {
+        case Some(_) =>
+          val name = f.getFileName.toString
+          val id = Bucketing.partIndexOf(name).getOrElse(
+            throw new IllegalStateException(s"Unrecognized part-file name: $name"))
+          val dot = name.indexOf('.')
+          val renamed = name.substring(0, dot) + Bucketing.suffix(id) + name.substring(dot)
+          stage.relativize(f.resolveSibling(renamed)).toString
+        case None => stage.relativize(f).toString
+      }
       val dest = path.resolve(rel)
       Files.createDirectories(dest.getParent)
       Files.move(f, dest)

@@ -53,7 +53,8 @@ object TransactionLog {
   final case class Metadata(
       id: String,
       schema: StructType,
-      partitionColumns: Seq[String])
+      partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty)
 
   final case class Snapshot(
       version: Long,
@@ -135,7 +136,8 @@ object TransactionLog {
     m.put("schemaString", meta.schema.json)
     val pc = m.putArray("partitionColumns")
     meta.partitionColumns.foreach(pc.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    meta.configuration.foreach { case (k, v) => cfg.put(k, v) }
     n
   }
 
@@ -286,7 +288,10 @@ object TransactionLog {
     Metadata(
       m.get("id").asText,
       DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType],
-      m.get("partitionColumns").elements().asScala.map(_.asText).toSeq)
+      m.get("partitionColumns").elements().asScala.map(_.asText).toSeq,
+      Option(m.get("configuration")).map { c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty))
   }
 
   private def parseAdd(node: com.fasterxml.jackson.databind.JsonNode): AddFile = {

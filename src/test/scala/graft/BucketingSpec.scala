@@ -1,0 +1,128 @@
+package graft
+
+import graft.lake.{Bucketing, LakeTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bucket").toString
+
+  // String-walk the plan: under AQE the root is AdaptiveSparkPlanExec,
+  // whose collect() doesn't descend, but toString prints the whole tree.
+  private def countExchanges(df: DataFrame): Int =
+    "(?m)^\\s*[+:]?-? ?(Exchange|BroadcastExchange)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  private def sorted(df: DataFrame): Seq[(Long, String)] =
+    df.select("k", "v").as[(Long, String)].collect().sorted.toSeq
+
+  test("bucketed write round-trips and every file's rows hash to its bucket") {
+    val dir = tmp()
+    val data = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = LakeTable.forPath(spark, dir)
+    t.write(data, "overwrite", bucketBy = Some(Bucketing(4, Seq("k"))))
+    assert(t.bucketing.contains(Bucketing(4, Seq("k"))))
+    assert(sorted(t.read()) == sorted(data))
+    // physical check: each file name carries its bucket id, and the
+    // rows inside hash (murmur3, Spark semantics) to exactly that id
+    val files = t.snapshotNow.files
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      assert(Bucketing.hasBucketSuffix(name), s"unbucketed file name: $name")
+      val id = "_(\\d+)\\.".r.findFirstMatchIn(name).get.group(1).toInt
+      val rows = spark.read.parquet(s"$dir/${f.path}")
+        .select(pmod(hash(col("k")), lit(4)).as("b")).distinct().as[Int].collect()
+      assert(rows.toSeq == Seq(id), s"file $name contains foreign buckets")
+    }
+  }
+
+  test("co-located join of two bucketed tables: zero shuffle exchanges") {
+    val dirA = tmp(); val dirB = tmp()
+    val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "v")
+    val b = (1L to 2000L by 2).map(i => (i, s"b$i")).toDF("k", "v")
+    LakeTable.forPath(spark, dirA).write(a, "overwrite", bucketBy = Some(Bucketing(4, Seq("k"))))
+    LakeTable.forPath(spark, dirB).write(b, "overwrite", bucketBy = Some(Bucketing(4, Seq("k"))))
+    val ta = LakeTable.forPath(spark, dirA).read()
+    val tb = LakeTable.forPath(spark, dirB).read()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ta.join(tb.withColumnRenamed("v", "v2"), "k")
+      assert(countExchanges(joined) == 0,
+        s"expected shuffle-free co-located join:\n${joined.queryExecution.executedPlan}")
+      // either shuffle-based join operator is fine — the point is the
+      // partitioning came from the files, not an Exchange
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        planStr)
+      assert(joined.count() == 1000L)
+      // aggregation on the bucket key also needs no exchange
+      val agg = ta.groupBy("k").agg(count(lit(1)))
+      assert(countExchanges(agg) == 0)
+      // ...but a join on a NON-bucket column still shuffles (sanity
+      // that the partitioning claim is key-specific, not blanket)
+      val off = ta.join(
+        tb.withColumnRenamed("k", "k2").withColumnRenamed("v", "v2"),
+        $"v" === $"v2")
+      assert(countExchanges(off) > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("append inherits the layout; conflicting layout is rejected") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 100L).map(i => (i, "x")).toDF("k", "v"), "overwrite",
+      bucketBy = Some(Bucketing(4, Seq("k"))))
+    t.write((101L to 200L).map(i => (i, "y")).toDF("k", "v"), "append")
+    assert(t.read().count() == 200)
+    assert(t.snapshotNow.files.forall(f =>
+      Bucketing.hasBucketSuffix(f.path.substring(f.path.lastIndexOf('/') + 1))))
+    val err = intercept[graft.core.UserException] {
+      t.write(Seq((1L, "z")).toDF("k", "v"), "append",
+        bucketBy = Some(Bucketing(8, Seq("k"))))
+    }
+    assert(err.getMessage.contains("does not match table layout"))
+  }
+
+  test("merge and compaction preserve the bucketed layout") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "overwrite",
+      bucketBy = Some(Bucketing(4, Seq("k"))))
+    t.write((101L to 150L).map(i => (i, s"v$i")).toDF("k", "v"), "append")
+    t.merge(Seq((1L, "UPD"), (999L, "NEW")).toDF("k", "v"), Seq("k"))
+    assert(t.read().where($"k" === 1L).select("v").as[String].collect().toSeq == Seq("UPD"))
+    assert(t.read().count() == 151)
+    t.compact(minFilesPerPartition = 2)
+    assert(t.read().count() == 151)
+    assert(t.snapshotNow.files.forall(f =>
+      Bucketing.hasBucketSuffix(f.path.substring(f.path.lastIndexOf('/') + 1))))
+    // after compaction the table still joins shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val self = t.read().join(t.read().withColumnRenamed("v", "v2"), "k")
+      assert(countExchanges(self) == 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // clustering compactions refuse to break the layout
+    intercept[graft.core.UserException](t.compactSorted(Seq("v")))
+    intercept[graft.core.UserException](t.compactZOrder(Seq("k", "v")))
+  }
+
+  test("format(\"graft\") writer honors bucketing options") {
+    val dir = tmp()
+    (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft")
+      .option("numBuckets", "2").option("bucketBy", "k")
+      .mode("overwrite").save(dir)
+    val t = LakeTable.forPath(spark, dir)
+    assert(t.bucketing.contains(Bucketing(2, Seq("k"))))
+    assert(spark.read.format("graft").load(dir).count() == 100)
+  }
+}
