@@ -101,15 +101,30 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
     val table = TransactionLog.pathOf(path)
     val snap = TransactionLog.snapshot(table, version)
-    val index = new GraftFileIndex(spark, table, snap)
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
-    val bucketSpec = Bucketing.fromConfig(snap.metadata.configuration)
-      .filter(_ => snap.files.forall(f => Bucketing.hasBucketSuffix(
-        f.path.substring(f.path.lastIndexOf('/') + 1))))
-      .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        b.numBuckets, b.columns, b.sortColumns))
-    HadoopFsRelation(index, index.partitionSchema, dataSchema, bucketSpec,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val renamed = snap.metadata.configuration.keys
+      .exists(_.startsWith("graft.mapping."))
+    if (renamed) {
+      // Column-mapped tables need the logical→physical projection that
+      // a bare BaseRelation cannot express; serve the LakeTable read
+      // (still log-pruned and stats-skipped inside) through a TableScan.
+      val ctx = sqlContext
+      val df = new LakeTable(spark, table).read(version)
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+      }
+    } else {
+      val index = new GraftFileIndex(spark, table, snap)
+      val dataSchema = StructType(snap.schema.fields
+        .filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
+      val bucketSpec = Bucketing.fromConfig(snap.metadata.configuration)
+        .filter(_ => snap.files.forall(f => Bucketing.hasBucketSuffix(
+          f.path.substring(f.path.lastIndexOf('/') + 1))))
+        .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          b.numBuckets, b.columns, b.sortColumns))
+      HadoopFsRelation(index, index.partitionSchema, dataSchema, bucketSpec,
+        new ParquetFileFormat(), Map.empty[String, String])(spark)
+    }
   }
 }

@@ -50,8 +50,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val index = new GraftFileIndex(spark, path, snap)
+      val mapping = mappingOf(snap)
+      // Everything below the projection edge is PHYSICAL names: the
+      // relation's data schema, pushed filters, per-file stats keys,
+      // and the bucket spec all agree with what the parquet files
+      // actually contain; the final select aliases back to logical.
       val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
+        schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name))
+          .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
       // A bucketed snapshot (every live file carries the bucket-id
       // suffix) surfaces its layout as a V1 BucketSpec, so the scan
       // groups files by bucket and reports HashPartitioning — joins
@@ -60,13 +66,15 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         .filter(_ => snap.files.forall(f =>
           Bucketing.hasBucketSuffix(fileNameOf(f.path))))
         .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
-          b.numBuckets, b.columns, b.sortColumns))
+          b.numBuckets, b.columns.map(physicalOf(mapping, _)),
+          b.sortColumns.map(physicalOf(mapping, _))))
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, index.partitionSchema, dataSchema, bucketSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty[String, String])(spark)
       spark.baseRelationToDataFrame(relation)
-        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .select(schema.fields.map(f =>
+          col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
     }
   }
 
@@ -80,6 +88,94 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
+  // ---- schema DDL ---------------------------------------------------------
+  //
+  // The reference drives DDL as generated SQL against a warehouse
+  // (SURVEY.md §2.3); in-engine the log IS the catalog, so ALTER TABLE
+  // is a metadata-only commit. Renames use column MAPPING (logical name
+  // in the schema, physical name in the files, Delta's column-mapping
+  // idea): at 100 TB a rename that rewrites data is not an option, and
+  // readers resolve logical → physical at planning time for free.
+
+  private[lake] val MappingPrefix = "graft.mapping."
+
+  /** logical column name → physical (in-file) name, for renamed columns */
+  private def mappingOf(snap: Snapshot): Map[String, String] =
+    snap.metadata.configuration.collect {
+      case (k, v) if k.startsWith(MappingPrefix) => k.stripPrefix(MappingPrefix) -> v
+    }
+
+  private def physicalOf(mapping: Map[String, String], logical: String): String =
+    mapping.getOrElse(logical, logical)
+
+  /** ALTER TABLE ADD COLUMN (nullable; existing files null-fill). */
+  def alterAddColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val snap = snapshot(path)
+    if (snap.schema.fieldNames.contains(name))
+      throw UserException(s"Column $name already exists")
+    val meta = snap.metadata.copy(
+      schema = StructType(snap.schema.fields :+ StructField(name, dataType, nullable = true)))
+    commitAlter(meta, "ALTER.AddColumn", Map("column" -> name, "type" -> dataType.simpleString))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only via column mapping:
+    * existing files keep the physical name, the schema carries the new
+    * logical one, reads and writes translate at the projection edge.
+    */
+  def alterRenameColumn(from: String, to: String): Unit = {
+    val snap = snapshot(path)
+    if (!snap.schema.fieldNames.contains(from))
+      throw UserException(s"Column $from does not exist")
+    if (snap.schema.fieldNames.contains(to))
+      throw UserException(s"Column $to already exists")
+    if (snap.metadata.partitionColumns.contains(from))
+      throw UserException(
+        s"Cannot rename partition column $from (partition values live in directory names)")
+    val mapping = mappingOf(snap)
+    val phys = physicalOf(mapping, from)
+    val newConfig = (snap.metadata.configuration - (MappingPrefix + from)) +
+      (MappingPrefix + to -> phys)
+    // bucketing config names columns logically — follow the rename
+    val rebucketed = bucketingOf(snap) match {
+      case Some(b) =>
+        val b2 = b.copy(
+          columns = b.columns.map(c => if (c == from) to else c),
+          sortColumns = b.sortColumns.map(c => if (c == from) to else c))
+        newConfig ++ Bucketing.toConfig(b2)
+      case None => newConfig
+    }
+    val meta = snap.metadata.copy(
+      schema = StructType(snap.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      configuration = rebucketed)
+    commitAlter(meta, "ALTER.RenameColumn", Map("from" -> from, "to" -> to))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: files keep the payload,
+    * the projection stops selecting it.
+    */
+  def alterDropColumn(name: String): Unit = {
+    val snap = snapshot(path)
+    if (!snap.schema.fieldNames.contains(name))
+      throw UserException(s"Column $name does not exist")
+    if (snap.metadata.partitionColumns.contains(name))
+      throw UserException(s"Cannot drop partition column $name")
+    if (bucketingOf(snap).exists(b => (b.columns ++ b.sortColumns).contains(name)))
+      throw UserException(
+        s"Cannot drop bucketing column $name (rewrite with a new layout first)")
+    val meta = snap.metadata.copy(
+      schema = StructType(snap.schema.fields.filterNot(_.name == name)),
+      configuration = snap.metadata.configuration - (MappingPrefix + name))
+    commitAlter(meta, "ALTER.DropColumn", Map("column" -> name))
+  }
+
+  private def commitAlter(meta: Metadata, op: String, params: Map[String, String]): Unit = {
+    val ts = System.currentTimeMillis()
+    commitWithRetry(retryable = false) { _ =>
+      Seq(commitInfoAction(op, params, ts), metadataAction(meta))
+    }
+  }
+
   /** Reads a file subset under the COMMITTED snapshot schema. The
     * schema must be passed explicitly: without it the parquet reader
     * infers from one arbitrary footer, and files written before a
@@ -89,13 +185,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     */
   private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val schema = snap.schema
+    val mapping = mappingOf(snap)
+    val physSchema = StructType(schema.fields.map(f =>
+      StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
     val paths = files.map(f => path.resolve(f.path).toString)
-    val reader = spark.read.schema(schema)
+    val reader = spark.read.schema(physSchema)
     val raw =
       if (snap.metadata.partitionColumns.nonEmpty)
         reader.option("basePath", path.toString).parquet(paths: _*)
       else reader.parquet(paths: _*)
-    raw.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    raw.select(schema.fields.map(f =>
+      col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   // ---- writes -------------------------------------------------------------
@@ -172,10 +272,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     }
     val aligned = alignToSchema(df, targetSchema)
 
-    val adds = writeDataFiles(bucketize(aligned, bucketing), partCols, compression, bucketing)
+    val mapping = existing.map(mappingOf).getOrElse(Map.empty)
+    val adds = writeDataFiles(bucketize(aligned, bucketing), partCols, compression,
+      bucketing, mapping)
     val ts = System.currentTimeMillis()
     val metaId = existing.map(_.metadata.id).getOrElse(UUID.randomUUID().toString)
-    val config = bucketing.map(Bucketing.toConfig).getOrElse(Map.empty)
+    // carry non-bucketing configuration (e.g. column mapping) forward;
+    // the bucketing keys reflect THIS write's layout
+    val config = existing.map(_.metadata.configuration).getOrElse(Map.empty)
+      .filterNot(_._1.startsWith("graft.bucketing.")) ++
+      bucketing.map(Bucketing.toConfig).getOrElse(Map.empty)
     val meta = Metadata(metaId, targetSchema, partCols, config)
     val removes: Seq[String] =
       if (normalized == "overwrite") existing.map(_.files.map(_.path)).getOrElse(Nil) else Nil
@@ -249,7 +355,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         else readFiles(snap, touched)
       val rewritten = graft.operators.MergeOps.upsert(touchedDf, src, keys)
       val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
-        snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
+        snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
       val ts = System.currentTimeMillis()
 
       commitWithRetry(retryable = false) { version =>
@@ -287,7 +393,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val deleted = touchedDf.where(condition).count()
     val kept = touchedDf.where(!coalesce(condition, lit(false)))
     val adds = writeDataFiles(bucketize(kept, bucketingOf(snap)),
-      snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
+      snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -329,7 +435,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       }
     }: _*)
     val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
-      snap.metadata.partitionColumns, "snappy", bucketingOf(snap))
+      snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -412,7 +518,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         bucketize(raw, bucketed)
       case None => raw.coalesce(n)
     }
-    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy", bucketed)
+    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy", bucketed,
+      mappingOf(snap))
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -466,10 +573,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       df: DataFrame,
       partitionBy: Seq[String],
       compression: String,
-      bucketing: Option[Bucketing] = None): Seq[AddFile] = {
+      bucketing: Option[Bucketing] = None,
+      mapping: Map[String, String] = Map.empty): Seq[AddFile] = {
     Files.createDirectories(path)
     val stage = path.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
-    val writer = df.write.option("compression", compression)
+    // files store PHYSICAL column names (column mapping)
+    val physical =
+      if (mapping.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(physicalOf(mapping, n))): _*)
+    val writer = physical.write.option("compression", compression)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(stage.toString)
 
