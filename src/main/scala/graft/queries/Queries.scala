@@ -805,6 +805,36 @@ object Queries {
            |  UNION SELECT cc.id, e.v FROM cc JOIN edges e ON cc.x = e.u)
            |SELECT id AS doc_id, min(x) AS component FROM cc GROUP BY id""".stripMargin
       }),
+
+    // deterministic stratified sampling: per-language keep rates from a
+    // key-hash coin — reproducible on any cluster layout / engine, and
+    // a map-only scan predicate (no shuffle, no RNG state)
+    "q48_stratified_sample" -> QueryDef(
+      (s, d) => Sampling.stratifiedSample(
+        tbl(s, d, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.05), default = 0.25)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      / 4294967296.0
+             |  < CASE WHEN lang = 'en' THEN 0.05 ELSE 0.25 END""".stripMargin)),
+
+    // per-document distinctive terms (TF-IDF shape); rank decided by
+    // the integer triple (tf desc, df asc, word asc) so the oracle
+    // hash-compare never rides on float log ordering
+    "q49_top_terms" -> QueryDef(
+      (s, d) => TextAnalysis.topTermsByTfidf(tbl(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("dfreq")),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+             |df AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word),
+             |ranked AS (SELECT tf.doc_id, tf.word, tf.tf, df.dfreq,
+             |  row_number() OVER (PARTITION BY tf.doc_id
+             |    ORDER BY tf.tf DESC, df.dfreq ASC, tf.word ASC) AS rk
+             |  FROM tf JOIN df USING (word))
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, tf, dfreq
+             |FROM ranked WHERE rk <= 3""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -246,4 +246,25 @@ class OperatorSpec extends AnyFunSuite {
       .where($"rk" =!= $"wrk").count()
     assert(mismatches == 0)
   }
+
+  // ---- deterministic sampling --------------------------------------------
+
+  test("deterministic sampling: layout-independent, rate-accurate, stratified") {
+    val df = (1L to 20000L).map(i => (i, if (i % 4 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val s1 = Sampling.deterministicSample(df, $"id", 0.1)
+      .select("id").as[Long].collect().toSet
+    // identical decision under a different physical layout
+    val s2 = Sampling.deterministicSample(df.repartition(13), $"id", 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // rate within 2 percentage points at n=20k
+    assert(math.abs(s1.size / 20000.0 - 0.1) < 0.02)
+    // stratified: en kept at ~2%, fr at ~30%
+    val st = Sampling.stratifiedSample(df, $"id", $"lang", Map("en" -> 0.02), 0.3)
+    val byLang = st.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 5000.0 - 0.02) < 0.01)
+    assert(math.abs(byLang("fr") / 15000.0 - 0.3) < 0.02)
+  }
 }
