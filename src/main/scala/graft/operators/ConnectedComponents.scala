@@ -72,16 +72,24 @@ object ConnectedComponents {
     val Seq(ea, eb) = edges.columns.take(2).toSeq
     var e = cut(edges.select(col(ea).cast("long").as("u"), col(eb).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct())
-    var converged = e.isEmpty
+    // Convergence = identical edge set across a round. Both sides are
+    // distinct (u,v) sets, so compare a one-pass fingerprint
+    // (cardinality, sum of per-edge hashes): one tiny aggregation job
+    // per round instead of a set-difference join. A colliding unequal
+    // set (~2^-64) would only stop the provably-convergent contraction
+    // one round early.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = fingerprint(e)
+    var converged = sig._1 == 0L
     var rounds = 0
     while (!converged && rounds < 50) {
       val next = cut(smallStar(largeStar(e)))
-      // Convergence = identical edge set. Both sides are distinct
-      // (u, v) sets, so set equality is |e| == |next| == |e ∩ next|;
-      // the intersection count is one broadcast-friendly join on ids.
-      val (nOld, nNew) = (e.count(), next.count())
-      converged = nOld == nNew &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      val nextSig = fingerprint(next)
+      converged = nextSig == sig
+      sig = nextSig
       e = next
       rounds += 1
     }
