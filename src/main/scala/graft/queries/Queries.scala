@@ -835,6 +835,42 @@ object Queries {
              |  FROM tf JOIN df USING (word))
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, tf, dfreq
              |FROM ranked WHERE rk <= 3""".stripMargin)),
+
+    // the dedup pipeline APPLIED end to end: LSH pairs → components →
+    // keep the minimum-id representative of every near-dup cluster
+    // (the keep-set an ingest job anti-joins the corpus against)
+    "q50_dedup_apply" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
+        val labels = ConnectedComponents.labels(docs, "doc_id", pairs)
+        docs.join(
+          labels.where(col("id") === col("component")).select(col("id").as("doc_id")),
+          "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some {
+        val mh = (0 until 8).map(j =>
+          s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
+          .mkString(",\n")
+        val buckets = (0 until 4).map(b =>
+          s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+        s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+           |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
+           |mh AS (SELECT doc_id, $mh FROM sh),
+           |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |cc(id, x) AS (SELECT doc_id, doc_id FROM documents
+           |  UNION SELECT cc.id, e.v FROM cc JOIN edges e ON cc.x = e.u),
+           |keep AS (SELECT id AS doc_id FROM cc GROUP BY id HAVING id = min(x))
+           |SELECT d.lang, COUNT(*) AS n_kept
+           |FROM documents d JOIN keep USING (doc_id) GROUP BY d.lang""".stripMargin
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

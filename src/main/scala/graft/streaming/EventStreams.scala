@@ -40,6 +40,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exactly-once-per-key dedup with BOUNDED state: keys are
+    * remembered only within the watermark horizon, so state size is
+    * (keys per horizon), not (keys ever seen) — the difference between
+    * a pipeline that runs for a year and one that OOMs in a week. The
+    * batch analog of this operator is Dedup.exact; at-least-once
+    * upstream delivery (file redelivery, producer retries) becomes
+    * exactly-once downstream.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class SessionEvent(user_id: Long, ms: Long, value: Double)

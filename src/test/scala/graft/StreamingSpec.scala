@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: duplicate keys across micro-batches emit once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (event_id, ms, payload)
+    val events = mem.toDS()
+      .toDF("event_id", "ms", "payload")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val deduped = EventStreams.dedupStream(events, Seq("event_id"), "ts", "10 minutes")
+    val q = deduped.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    val t0 = 1700000000000L
+    mem.addData((1L, t0, "a"), (2L, t0 + 1000, "b"), (1L, t0 + 2000, "a-dup"))
+    q.processAllAvailable()
+    mem.addData((2L, t0 + 3000, "b-dup"), (3L, t0 + 4000, "c"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0
