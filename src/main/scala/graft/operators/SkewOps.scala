@@ -34,4 +34,26 @@ object SkewOps {
       .agg(sum(col("pn")).cast("long").as("n"),
         sum(col("ps")).cast("double").as("total"))
   }
+
+  /** Skew-resistant equi-join: the SALT-AND-REPLICATE shape for when
+    * AQE can't help — e.g. the skew is known up front, AQE is off, or
+    * the join sits below operators that prevent the runtime split.
+    *
+    * The fact (left, skewed) side gets a random salt in [0, n); the
+    * dimension (right) side is replicated n× with every salt value, so
+    * each (key, salt) cell joins exactly once. The hot key's rows land
+    * on n reducers instead of one; the price is an n× blowup of the
+    * SMALLER side only. Exact same rows as the unsalted join.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(col(keys.head), monotonically_increasing_id()), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

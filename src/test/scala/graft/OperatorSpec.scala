@@ -247,6 +247,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- skew-resistant join ------------------------------------------------
+
+  test("salted join equals the plain join on heavily skewed keys") {
+    // one hot key with 10k rows, a long tail of singletons
+    val left = ((1L to 10000L).map(i => (42L, i)) ++ (1L to 500L).map(i => (i + 1000L, i)))
+      .toDF("k", "payload")
+    val right = Seq((42L, "HOT"), (1001L, "t1"), (1002L, "t2")).toDF("k", "dim")
+    val plain = left.join(right, Seq("k"))
+    val salted = SkewOps.saltedJoin(left, right, Seq("k"), saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // every salt bucket actually received rows of the hot key (the
+    // spreading that makes the skewed reducer finish)
+    val spread = left.where($"k" === 42L)
+      .withColumn("__salt", pmod(hash($"k", monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread == 8)
+  }
+
   // ---- deterministic sampling --------------------------------------------
 
   test("deterministic sampling: layout-independent, rate-accurate, stratified") {
