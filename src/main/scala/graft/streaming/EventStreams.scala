@@ -57,6 +57,32 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: right-side events join
+    * left-side events with the same key that happened within
+    * `[leftTs, leftTs + maxDelay]` — the impressions×clicks /
+    * request×response shape. Both watermarks plus the interval bound
+    * make the join state PROVABLY bounded: each side can discard
+    * buffered rows once the other side's watermark passes the interval,
+    * which is what lets the join run forever at ingest scale.
+    */
+  def joinWithinInterval(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      watermark: String = "10 minutes",
+      maxDelay: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) &&
+        r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $maxDelay"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class SessionEvent(user_id: Long, ms: Long, value: Double)

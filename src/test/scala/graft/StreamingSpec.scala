@@ -138,6 +138,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("stream-stream interval join: clicks attach to impressions within the bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]   // (ad_id, ms)
+    val clicks = MemoryStream[(Long, Long)] // (ad_id, ms)
+    val impDf = imps.toDS().toDF("ad_id", "ms")
+      .select($"ad_id", timestamp_millis($"ms").as("imp_ts"))
+    val clickDf = clicks.toDS().toDF("ad_id", "ms")
+      .select($"ad_id", timestamp_millis($"ms").as("click_ts"))
+    val joined = EventStreams.joinWithinInterval(
+      impDf, clickDf, "ad_id", "imp_ts", "click_ts", "10 minutes", "5 minutes")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    val t0 = 1700000000000L
+    imps.addData((1L, t0), (2L, t0))
+    clicks.addData(
+      (1L, t0 + 60000),   // 1 min later: joins
+      (2L, t0 + 600000),  // 10 min later: outside the 5-min bound
+      (3L, t0 + 1000))    // no matching impression
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").select("ad_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"got $got")
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0
