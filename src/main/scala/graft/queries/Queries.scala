@@ -871,6 +871,31 @@ object Queries {
            |SELECT d.lang, COUNT(*) AS n_kept
            |FROM documents d JOIN keep USING (doc_id) GROUP BY d.lang""".stripMargin
       }),
+
+    // exact PER-GROUP quantiles via partitioned rank selection — the
+    // group-wise complement of q46 (whose rank is global): windows
+    // partition by the group key, so every group sorts independently
+    // and no single task ever sees more than one group's rows
+    "q51_group_quantiles" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = o
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        ranked.where(
+          col("rk") === ceil(lit(0.5) * col("n")).cast("long") ||
+            col("rk") === ceil(lit(0.95) * col("n")).cast("long"))
+          .select(col("o_orderpriority"), col("rk"), col("o_totalprice"))
+      },
+      Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS rk,
+             |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders)
+             |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_totalprice
+             |FROM r WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+             |   OR rk = CAST(ceil(0.95 * n) AS BIGINT)""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
