@@ -115,6 +115,41 @@ class BucketingSpec extends AnyFunSuite {
     intercept[graft.core.UserException](t.compactZOrder(Seq("k", "v")))
   }
 
+  test("add-column evolution on a bucketed table keeps the layout live") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), "overwrite",
+      bucketBy = Some(Bucketing(4, Seq("k"))))
+    t.alterAddColumn("score", org.apache.spark.sql.types.DoubleType)
+    t.write(Seq((201L, "x", 1.5)).toDF("k", "v", "score"), "append")
+    assert(t.read().count() == 201)
+    assert(t.read().where($"score".isNotNull).count() == 1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t.read().join(
+        t.read().select($"k", $"v".as("v2")), "k")
+      assert(countExchanges(j) == 0, j.queryExecution.executedPlan.toString)
+      assert(j.count() == 201)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("null bucket keys route consistently and round-trip") {
+    val dir = tmp()
+    val data = Seq((Some(1L), "a"), (None, "n1"), (Some(2L), "b"), (None, "n2"))
+      .toDF("k", "v")
+    val t = LakeTable.forPath(spark, dir)
+    t.write(data, "overwrite", bucketBy = Some(Bucketing(4, Seq("k"))))
+    val back = t.read()
+    assert(back.count() == 4)
+    assert(back.where($"k".isNull).count() == 2)
+    // all null-key rows hash to one bucket → live in files of a single bucket id
+    val nullFiles = back.where($"k".isNull)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0))
+    val ids = nullFiles.map(p => "_(\\d+)\\.".r.findFirstMatchIn(
+      p.substring(p.lastIndexOf('/') + 1)).get.group(1).toInt).toSet
+    assert(ids.size == 1)
+  }
+
   test("format(\"graft\") writer honors bucketing options") {
     val dir = tmp()
     (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -81,4 +81,27 @@ class PropertySpec extends AnyFunSuite {
       assert(multiset(StageCast.stageRoundTrip(d)) == multiset(d), s"seed=$seed")
     }
   }
+
+  test("connected components equal union-find on random graphs") {
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, for {
+        a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L)
+      } yield (a, b))
+    (1L to 5L).foreach { seed =>
+      val edges = edgesGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0L until 30L).map(i => i -> find(i)).toMap
+      val got = graft.operators.ConnectedComponents
+        .labels((0L until 30L).toDF("id"), "id", edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed edges=$edges")
+    }
+  }
 }
