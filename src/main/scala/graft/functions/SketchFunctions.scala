@@ -79,18 +79,157 @@ case class ThetaSketchDistinct(
     copy(child = newChildren.head)
 }
 
+/** Shared raw-value → sketch update dispatch. */
+private[functions] object ThetaUpdates {
+  def update(buffer: Union, dt: DataType, v: Any): Unit = dt match {
+    case StringType  => buffer.update(v.asInstanceOf[UTF8String].toString)
+    case LongType    => buffer.update(v.asInstanceOf[Long])
+    case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
+    case ShortType   => buffer.update(v.asInstanceOf[Short].toLong)
+    case DoubleType  => buffer.update(v.asInstanceOf[Double])
+    case FloatType   => buffer.update(v.asInstanceOf[Float].toDouble)
+    case BinaryType  => buffer.update(v.asInstanceOf[Array[Byte]])
+    case DateType    => buffer.update(v.asInstanceOf[Int].toLong)
+    case TimestampType | TimestampNTZType => buffer.update(v.asInstanceOf[Long])
+    case other => throw new UnsupportedOperationException(
+      s"theta sketch: unsupported input type $other")
+  }
+}
+
+/** Aggregates raw values into a SERIALIZED theta sketch (binary
+  * column) — the buildable half of incremental distinct maintenance:
+  * a summary table stores one sketch per (entity, period) row, and new
+  * periods append without touching history.
+  */
+case class ThetaSketchBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+  override def prettyName: String = "graft_theta_sketch"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) ThetaUpdates.update(buffer, child.dataType, v)
+    buffer
+  }
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult); buffer
+  }
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(CompactSketch.wrap(Memory.wrap(bytes)))
+    u
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Merges STORED sketches (binary column): the queryable half —
+  * distinct count over any period/entity slice is a union of
+  * kilobyte-sized summaries, never a rescan of the raw data.
+  * `emitBinary=true` re-emits the merged sketch (multi-level rollups:
+  * day → month → year); false emits the estimate.
+  */
+case class ThetaSketchMerge(
+    child: Expression,
+    emitBinary: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+  override def prettyName: String =
+    if (emitBinary) "graft_theta_union_sketch" else "graft_theta_union"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = if (emitBinary) BinaryType else LongType
+  override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.union(CompactSketch.wrap(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult); buffer
+  }
+  override def eval(buffer: Union): Any =
+    if (emitBinary) buffer.getResult.toByteArray
+    else math.round(buffer.getResult.getEstimate)
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(CompactSketch.wrap(Memory.wrap(bytes)))
+    u
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object SketchFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_theta_distinct",
       exprs => {
         graft.GraftExtensions.requireArity("graft_theta_distinct", exprs, 1)
         ThetaSketchDistinct(exprs.head).toAggregateExpression()
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_theta_sketch",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_theta_sketch", exprs, 1)
+        ThetaSketchBuild(exprs.head).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_theta_union",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_theta_union", exprs, 1)
+        ThetaSketchMerge(exprs.head, emitBinary = false).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_theta_union_sketch",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_theta_union_sketch", exprs, 1)
+        ThetaSketchMerge(exprs.head, emitBinary = true).toAggregateExpression()
+      },
+      "built-in")
+  }
 
   def thetaDistinct(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function("graft_theta_distinct", c)
+  }
+
+  def thetaSketch(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_theta_sketch", c)
+  }
+
+  def thetaUnion(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_theta_union", c)
+  }
+
+  def thetaUnionSketch(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_theta_union_sketch", c)
   }
 }

@@ -247,6 +247,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- incremental sketch maintenance ------------------------------------
+
+  test("theta sketch columns: per-day sketches union to range distincts incrementally") {
+    import graft.functions.SketchFunctions
+    val events = (1L to 20000L).map { i =>
+      (f"2024-01-${1 + (i % 10)}%02d", i % 3000)
+    }.toDF("day", "user_id")
+    // build: one binary sketch per day (the summary table an ingest job
+    // appends — new days never touch old rows)
+    val daily = events.groupBy("day")
+      .agg(SketchFunctions.thetaSketch(spark, $"user_id").as("sk"))
+      .cache()
+    assert(daily.count() == 10)
+    // query: distinct over any day range = union of stored sketches
+    val est = daily.where($"day" <= "2024-01-05")
+      .agg(SketchFunctions.thetaUnion(spark, $"sk")).as[Long].head()
+    val exact = events.where($"day" <= "2024-01-05")
+      .select(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(est - exact) <= math.max(2, exact / 50),
+      s"estimate $est vs exact $exact")
+    // multi-level rollup: day sketches → one month sketch → same estimate
+    val monthly = daily
+      .agg(SketchFunctions.thetaUnionSketch(spark, $"sk").as("sk"))
+      .agg(SketchFunctions.thetaUnion(spark, $"sk")).as[Long].head()
+    val exactAll = events.select(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(monthly - exactAll) <= math.max(2, exactAll / 50))
+    daily.unpersist()
+  }
+
   // ---- skew-resistant join ------------------------------------------------
 
   test("salted join equals the plain join on heavily skewed keys") {
