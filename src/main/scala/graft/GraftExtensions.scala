@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.requireArity("graft_dot", exprs, 2)
         DotProduct(exprs.head, exprs(1))
       }))
+    // opt-in approximate COUNT(DISTINCT) via theta sketches
+    // (spark.graft.approxDistinct=true)
+    e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)
   }
 }
 
