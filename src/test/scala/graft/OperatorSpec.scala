@@ -247,6 +247,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- media payloads through the lake -----------------------------------
+
+  test("binary media columns round-trip the lake with format partition pruning") {
+    import graft.lake.LakeTable
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val media = Multimodal.packAsMedia(docs, "doc_id", "text")
+      // synthesize a couple of real magic numbers so several format
+      // partitions exist
+      .withColumn("payload",
+        when($"media_id" % 10 === 0,
+          concat(lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)), $"payload"))
+          .otherwise($"payload"))
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val t = LakeTable.forPath(spark, dir)
+    t.write(media, "overwrite", partitionBy = Seq("format"))
+    val back = t.read()
+    // payload bytes survive byte-for-byte
+    val origSum = media.select(sum(crc32($"payload"))).as[Long].head()
+    val backSum = back.select(sum(crc32($"payload"))).as[Long].head()
+    assert(origSum == backSum)
+    // partition pruning: a format filter scans only that partition's files
+    val pngOnly = back.where($"format" === "png")
+    pngOnly.collect()
+    val scanned = pngOnly.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val pngFiles = t.snapshotNow.files.count(_.partitionValues.get("format").contains("png"))
+    val allFiles = t.snapshotNow.files.size
+    assert(scanned == pngFiles && pngFiles < allFiles)
+    // the decode stub runs over lake-read partitions unchanged
+    val feats = Multimodal.decodeStub(back)
+    assert(feats.count() == 50 && feats.schema == Multimodal.FeatureSchema)
+  }
+
   // ---- incremental sketch maintenance ------------------------------------
 
   test("theta sketch columns: per-day sketches union to range distincts incrementally") {
