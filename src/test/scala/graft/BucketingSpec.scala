@@ -150,6 +150,38 @@ class BucketingSpec extends AnyFunSuite {
     assert(ids.size == 1)
   }
 
+  test("sorted buckets: merge join runs without per-side Sort") {
+    val dirA = tmp(); val dirB = tmp()
+    val a = (1L to 3000L).map(i => (i, s"a$i")).toDF("k", "v")
+    val b = (1L to 3000L by 3).map(i => (i, s"b$i")).toDF("k", "v2")
+    LakeTable.forPath(spark, dirA).write(a, "overwrite",
+      bucketBy = Some(Bucketing(4, Seq("k"), sortColumns = Seq("k"))))
+    LakeTable.forPath(spark, dirB).write(b, "overwrite",
+      bucketBy = Some(Bucketing(4, Seq("k"), sortColumns = Seq("k"))))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    // ordering claims from bucket sort columns sit behind this flag
+    // (SPARK-28595); the scan itself still only claims order when each
+    // bucket is a single file, which our write produced — so the claim
+    // is sound here
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = LakeTable.forPath(spark, dirA).read()
+        .join(LakeTable.forPath(spark, dirB).read(), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(countExchanges(j) == 0, plan)
+      // one file per bucket + recorded sort columns → the scan reports
+      // outputOrdering, so SortMergeJoin needs no Sort on either side
+      if (plan.contains("SortMergeJoin"))
+        assert(!"(?m)^\\s*[+:]?-? ?Sort ".r.findFirstIn(plan).isDefined, plan)
+      assert(j.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("format(\"graft\") writer honors bucketing options") {
     val dir = tmp()
     (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
