@@ -44,6 +44,13 @@ final case class Destination(
       * reference's own sample fixture ships duplicate rows.
       */
     dedupColumns: Seq[String] = Nil,
+    /** Extension: hash-bucket the destination table on these columns
+      * (empty = off). Pays the key shuffle once at write time; every
+      * later join/aggregation on the keys plans with zero exchanges.
+      */
+    bucketBy: Seq[String] = Nil,
+    numBuckets: Int = 0,
+    bucketSortBy: Seq[String] = Nil,
 )
 
 final case class Config(
@@ -97,6 +104,11 @@ object Config {
     if (c.maxMemoryMb <= 0) errors += "max_memory: must be positive"
     if (!Compressions(c.destination.compression.toUpperCase))
       errors += s"compression: unsupported codec ${c.destination.compression}"
+    if (c.destination.bucketBy.nonEmpty && c.destination.numBuckets <= 0)
+      errors += "num_buckets: must be positive when bucket_by is set"
+    if (c.destination.bucketBy.isEmpty &&
+        (c.destination.numBuckets > 0 || c.destination.bucketSortBy.nonEmpty))
+      errors += "bucket_by: required when num_buckets or bucket_sort_by is set"
     val es = errors.result()
     if (es.nonEmpty)
       throw UserException("Validation Error: " + es.mkString(", "))

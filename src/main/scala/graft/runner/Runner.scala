@@ -69,8 +69,13 @@ object Runner {
       mode = d.mode.toString,
       partitionBy = d.partitionBy,
       mergeSchema = true, // schema_mode="merge" on every reference write
-      compression = Config.sparkCompression(d.compression))
+      compression = Config.sparkCompression(d.compression),
+      bucketBy = destBucketing(d))
   }
+
+  private def destBucketing(d: graft.core.Destination): Option[graft.lake.Bucketing] =
+    if (d.bucketBy.isEmpty) None
+    else Some(graft.lake.Bucketing(d.numBuckets, d.bucketBy, d.bucketSortBy))
 
   /** Native-table path (entry point B): stage → cast → write/MERGE.
     * The stage is implicit (the cast projection); upsert requires
@@ -90,11 +95,13 @@ object Runner {
         t.requirePrimaryKey()
         if (!lake.exists) // bootstrap schema+partitioning, then merge
           lake.write(df.limit(0), "append", d.partitionBy,
-            mergeSchema = true, Config.sparkCompression(d.compression))
+            mergeSchema = true, Config.sparkCompression(d.compression),
+            bucketBy = destBucketing(d))
         lake.merge(df, t.primaryKey)
       case m =>
         lake.write(df, m.toString, d.partitionBy,
-          mergeSchema = true, Config.sparkCompression(d.compression))
+          mergeSchema = true, Config.sparkCompression(d.compression),
+          bucketBy = destBucketing(d))
     }
   }
 

@@ -40,6 +40,28 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based session aggregation via the BUILT-IN session window
+    * (the declarative counterpart of the `mapGroupsWithState`
+    * sessionize below — prefer this one when per-session output is an
+    * aggregate, reach for the custom state machine only when session
+    * logic can't be expressed as an aggregation). Watermark bounds the
+    * state exactly like windowed aggs.
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exactly-once-per-key dedup with BOUNDED state: keys are
     * remembered only within the watermark horizon, so state size is
     * (keys per horizon), not (keys ever seen) — the difference between

@@ -118,6 +118,25 @@ class RunnerSpec extends AnyFunSuite {
     assert(got.select("Eventbrite_link").distinct().count() == got.count())
   }
 
+  test("bucketing flows from the component config to the table layout") {
+    assume(Files.exists(sampleDir))
+    val dest = tmp().resolve("t")
+    val cfg = Config(destination = Destination(
+      mode = LoadType.Append,
+      bucketBy = Seq("Eventbrite_link"), numBuckets = 2))
+    Runner.run(spark, cfg, sampleDir, dest)
+    val t = new LakeTable(spark, dest)
+    assert(t.bucketing.contains(graft.lake.Bucketing(2, Seq("Eventbrite_link"))))
+    assert(t.read().count() == 21)
+    // config validation catches the inconsistent combinations
+    val bad1 = intercept[UserException](Config.validated(
+      Config(destination = Destination(bucketBy = Seq("x")))))
+    assert(bad1.getMessage.contains("num_buckets"))
+    val bad2 = intercept[UserException](Config.validated(
+      Config(destination = Destination(numBuckets = 4))))
+    assert(bad2.getMessage.contains("bucket_by"))
+  }
+
   test("SQL extensions entry point registers graft functions session-wide") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -163,6 +163,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"got $got")
   }
 
+  test("native session windows agree with the stateful sessionizer's gap logic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, ms, value)
+    val events = mem.toDS().toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val sessions = EventStreams.sessionWindowCounts(
+      events, "ts", "user_id", gap = "30 minutes", watermark = "2 hours")
+    val q = sessions.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("sw_out").start()
+    val t0 = 1700000000000L
+    val halfHour = 1800000L
+    mem.addData(
+      (1L, t0, 1.0), (1L, t0 + 60000, 2.0),            // session 1 (user 1)
+      (1L, t0 + halfHour + 120000, 4.0),               // gap > 30m → session 2
+      (2L, t0, 8.0))                                   // user 2, one session
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sw_out")
+      .select($"user_id", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), s"got $got")
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0
