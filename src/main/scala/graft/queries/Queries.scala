@@ -896,6 +896,25 @@ object Queries {
              |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_totalprice
              |FROM r WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
              |   OR rk = CAST(ceil(0.95 * n) AS BIGINT)""".stripMargin)),
+
+    // incremental-distinct maintenance shape: per-day theta sketches
+    // (the storable summary an ingest job appends) unioned per event
+    // type — distinct users over any slice without rescanning raw data
+    // (approximate ⇒ rows-only; accuracy and mergeability are
+    // spec-tested against exact counts)
+    "q52_sketch_rollup" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+        val daily = ev.groupBy("event_type", "day").agg(
+          graft.functions.SketchFunctions
+            .thetaSketch(s, col("user_id")).as("sk"))
+        daily.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n_days"),
+          graft.functions.SketchFunctions
+            .thetaUnion(s, col("sk")).as("distinct_users_est"))
+      },
+      None),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
