@@ -45,6 +45,31 @@ class CdcSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("changes() on a hive-partitioned table resolves partition columns") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p"),
+      "overwrite", partitionBy = Seq("p"))
+    val cursor = t.version
+    t.write(Seq((3L, "z", "p1"), (4L, "w", "p3")).toDF("id", "v", "p"), "append")
+    val got = t.changes(cursor).orderBy("id")
+      .select("id", "p", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((3L, "p1", cursor + 1), (4L, "p3", cursor + 1)))
+  }
+
+  test("changes() respects column mapping after a rename") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "overwrite")
+    t.alterRenameColumn("v", "body")
+    val cursor = t.version
+    t.write(Seq((2L, "b")).toDF("id", "body"), "append")
+    val got = t.changes(cursor).select("id", "body", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "b", cursor + 1)))
+  }
+
   test("merge rewrites surface as re-adds (documented copy-on-write semantics)") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
