@@ -115,16 +115,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
       }
     } else {
-      val index = new GraftFileIndex(spark, table, snap)
-      val dataSchema = StructType(snap.schema.fields
-        .filterNot(f => snap.metadata.partitionColumns.contains(f.name)))
-      val bucketSpec = Bucketing.fromConfig(snap.metadata.configuration)
-        .filter(_ => snap.files.forall(f => Bucketing.hasBucketSuffix(
-          f.path.substring(f.path.lastIndexOf('/') + 1))))
-        .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
-          b.numBuckets, b.columns, b.sortColumns))
-      HadoopFsRelation(index, index.partitionSchema, dataSchema, bucketSpec,
-        new ParquetFileFormat(), Map.empty[String, String])(spark)
+      // no column mapping ⇒ physical == logical; serve the shared
+      // relation (same index, bucket spec, stats skipping as
+      // LakeTable.read)
+      new LakeTable(spark, table).fsRelation(snap)
     }
   }
 }

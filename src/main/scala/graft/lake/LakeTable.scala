@@ -49,33 +49,43 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val index = new GraftFileIndex(spark, path, snap)
       val mapping = mappingOf(snap)
-      // Everything below the projection edge is PHYSICAL names: the
-      // relation's data schema, pushed filters, per-file stats keys,
-      // and the bucket spec all agree with what the parquet files
-      // actually contain; the final select aliases back to logical.
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name))
-          .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
-      // A bucketed snapshot (every live file carries the bucket-id
-      // suffix) surfaces its layout as a V1 BucketSpec, so the scan
-      // groups files by bucket and reports HashPartitioning — joins
-      // and aggregations on the bucket keys then skip their Exchange.
-      val bucketSpec = bucketingOf(snap)
-        .filter(_ => snap.files.forall(f =>
-          Bucketing.hasBucketSuffix(fileNameOf(f.path))))
-        .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
-          b.numBuckets, b.columns.map(physicalOf(mapping, _)),
-          b.sortColumns.map(physicalOf(mapping, _))))
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, index.partitionSchema, dataSchema, bucketSpec,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        Map.empty[String, String])(spark)
-      spark.baseRelationToDataFrame(relation)
+      spark.baseRelationToDataFrame(fsRelation(snap))
         .select(schema.fields.map(f =>
           col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
     }
+  }
+
+  /** The V1 file relation over a snapshot — the ONE place the physical
+    * data schema, bucket spec, and log-backed index are assembled
+    * (LakeTable.read projects logical names on top; DefaultSource
+    * serves it directly when no column mapping exists).
+    *
+    * Everything below the projection edge is PHYSICAL names: the
+    * relation's data schema, pushed filters, per-file stats keys, and
+    * the bucket spec all agree with what the parquet files actually
+    * contain. A bucketed snapshot (every live file carries the
+    * bucket-id suffix) surfaces its layout as a BucketSpec, so the
+    * scan groups files by bucket and reports HashPartitioning — joins
+    * and aggregations on the bucket keys then skip their Exchange.
+    */
+  private[lake] def fsRelation(
+      snap: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, path, snap)
+    val mapping = mappingOf(snap)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name))
+        .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
+    val bucketSpec = bucketingOf(snap)
+      .filter(_ => snap.files.forall(f =>
+        Bucketing.hasBucketSuffix(fileNameOf(f.path))))
+      .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        b.numBuckets, b.columns.map(physicalOf(mapping, _)),
+        b.sortColumns.map(physicalOf(mapping, _))))
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, bucketSpec,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
   }
 
   /** Incremental (CDC-style) read: rows APPENDED in versions
@@ -110,11 +120,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       if (snap.metadata.partitionColumns.nonEmpty)
         reader.option("basePath", path.toString).parquet(paths: _*)
       else reader.parquet(paths: _*)
-    // per-row commit version via a broadcast lookup on the (unique)
-    // file name — metadata-sized, never a wide shuffle
+    // per-row commit version via a broadcast lookup on the file name —
+    // metadata-sized, never a wide shuffle. The dynamic-partition
+    // writer reuses one base name across partition DIRS of a single
+    // job (the job UUID inside the name makes it unique per commit,
+    // not per file), so the lookup dedupes on name: same name ⇒ same
+    // commit ⇒ same version, and without the distinct the join would
+    // duplicate every row of such files.
     import spark.implicits._
     val lookup = versioned
       .map { case (v, f) => (fileNameOf(f.path), v) }
+      .distinct
       .toDF("__name", "_commit_version")
     raw
       .withColumn("__name", element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -154,13 +170,30 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def physicalOf(mapping: Map[String, String], logical: String): String =
     mapping.getOrElse(logical, logical)
 
+  /** Every schema field must resolve to a DISTINCT physical name:
+    * after rename a→b (files keep physical a), introducing a NEW
+    * logical column "a" would collide with b's physical name — the
+    * physical read schema would carry two fields named a and every
+    * read (and write) of the table would fail from then on.
+    */
+  private def assertNoPhysicalCollision(
+      schema: StructType, mapping: Map[String, String]): Unit = {
+    val phys = schema.fields.map(f => physicalOf(mapping, f.name))
+    val dups = phys.groupBy(identity).collect { case (p, hits) if hits.length > 1 => p }
+    if (dups.nonEmpty)
+      throw UserException(
+        s"Column(s) ${dups.mkString(",")} collide with the physical name of a " +
+          "renamed column; pick a different name")
+  }
+
   /** ALTER TABLE ADD COLUMN (nullable; existing files null-fill). */
   def alterAddColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
     val snap = snapshot(path)
     if (snap.schema.fieldNames.contains(name))
       throw UserException(s"Column $name already exists")
-    val meta = snap.metadata.copy(
-      schema = StructType(snap.schema.fields :+ StructField(name, dataType, nullable = true)))
+    val newSchema = StructType(snap.schema.fields :+ StructField(name, dataType, nullable = true))
+    assertNoPhysicalCollision(newSchema, mappingOf(snap))
+    val meta = snap.metadata.copy(schema = newSchema)
     commitAlter(meta, "ALTER.AddColumn", Map("column" -> name, "type" -> dataType.simpleString))
   }
 
@@ -179,8 +212,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         s"Cannot rename partition column $from (partition values live in directory names)")
     val mapping = mappingOf(snap)
     val phys = physicalOf(mapping, from)
-    val newConfig = (snap.metadata.configuration - (MappingPrefix + from)) +
-      (MappingPrefix + to -> phys)
+    // renaming BACK to the physical name un-maps (identity mapping is
+    // just noise); otherwise record the new logical → physical entry
+    val base = snap.metadata.configuration - (MappingPrefix + from)
+    val newConfig =
+      if (to == phys) base else base + (MappingPrefix + to -> phys)
     // bucketing config names columns logically — follow the rename
     val rebucketed = bucketingOf(snap) match {
       case Some(b) =>
@@ -190,9 +226,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         newConfig ++ Bucketing.toConfig(b2)
       case None => newConfig
     }
+    val renamedSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    assertNoPhysicalCollision(renamedSchema,
+      rebucketed.collect {
+        case (k, v) if k.startsWith(MappingPrefix) => k.stripPrefix(MappingPrefix) -> v
+      })
     val meta = snap.metadata.copy(
-      schema = StructType(snap.schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f)),
+      schema = renamedSchema,
       configuration = rebucketed)
     commitAlter(meta, "ALTER.RenameColumn", Map("from" -> from, "to" -> to))
   }
@@ -290,6 +331,13 @@ final class LakeTable(spark: SparkSession, val path: Path) {
           case (Some(e), Some(b)) if e != b =>
             throw UserException(
               s"Bucketing $b does not match table layout $e")
+          case (None, Some(_)) if existing.exists(_.files.nonEmpty) =>
+            // accepting this would record a layout the table's existing
+            // (suffix-less) files can never satisfy — the read side
+            // would silently drop the BucketSpec forever
+            throw UserException(
+              "Cannot introduce bucketing by appending to an existing " +
+                "unbucketed table; use overwrite")
           case (e, b) => e.orElse(b)
         }
       case _ => bucketBy
@@ -319,6 +367,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val aligned = alignToSchema(df, targetSchema)
 
     val mapping = existing.map(mappingOf).getOrElse(Map.empty)
+    // schema merge may have introduced new columns — reject any whose
+    // name collides with a renamed column's physical name
+    assertNoPhysicalCollision(targetSchema, mapping)
     val adds = writeDataFiles(bucketize(aligned, bucketing), partCols, compression,
       bucketing, mapping)
     val ts = System.currentTimeMillis()

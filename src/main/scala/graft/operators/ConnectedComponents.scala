@@ -70,6 +70,19 @@ object ConnectedComponents {
       if (hasCkptDir) df.checkpoint() else df.localCheckpoint()
 
     val Seq(ea, eb) = edges.columns.take(2).toSeq
+    // ids are contracted as longs; a silent cast would null out
+    // string/UUID ids and "succeed" with one (null,null) row — fail
+    // loudly instead (hash non-numeric ids to longs upstream)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    (Seq(vertices.schema(idCol)) ++ Seq(edges.schema(ea), edges.schema(eb)))
+      .foreach { f =>
+        if (!integral(f.dataType))
+          throw new IllegalArgumentException(
+            s"ConnectedComponents requires integral ids; column ${f.name} is " +
+              s"${f.dataType.simpleString} (hash it to a long first)")
+      }
     var e = cut(edges.select(col(ea).cast("long").as("u"), col(eb).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct())
     // Convergence = identical edge set across a round. Both sides are

@@ -86,12 +86,14 @@ object TextAnalysis {
     *   3. tf joins df on word (both sides already word-keyed), score =
     *      tf · ln(N/df), top-k per doc via a PARTITIONED window.
     *
-    * Returned rank is decided by the integer triple
-    * (tf desc, df asc, word asc) — the same order tf·ln(N/df) induces
-    * for fixed tf, but exactly reproducible across engines, where
-    * float log ordering is not (libm last-ulp differences could flip
-    * near-ties under an oracle hash-compare). The float `tfidf` column
-    * is informational.
+    * The rank orders by the score QUANTIZED to micro-units (floor of
+    * score·1e6 as BIGINT), ties broken by (tf desc, word asc). Raw
+    * double ordering is not oracle-safe: two mathematically equal
+    * scores from different (tf, df) pairs — e.g. 2·ln(N/50) vs
+    * ln(N²/2500) — can differ in the last ulp between engines and flip
+    * the rank; after quantization such near-ties collapse to the same
+    * integer and the deterministic tiebreak decides identically
+    * everywhere.
     */
   def topTermsByTfidf(
       docs: org.apache.spark.sql.DataFrame,
@@ -104,9 +106,12 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val qscore = floor(col("tf") * log(lit(n.toDouble) / col("dfreq")) * lit(1e6))
+      .cast("long")
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("dfreq").asc, col("word").asc)
+      .orderBy(col("qscore").desc, col("tf").desc, col("word").asc)
     tf.join(dfreq, "word")
+      .withColumn("qscore", qscore)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"),

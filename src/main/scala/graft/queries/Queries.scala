@@ -819,9 +819,10 @@ object Queries {
              |      / 4294967296.0
              |  < CASE WHEN lang = 'en' THEN 0.05 ELSE 0.25 END""".stripMargin)),
 
-    // per-document distinctive terms (TF-IDF shape); rank decided by
-    // the integer triple (tf desc, df asc, word asc) so the oracle
-    // hash-compare never rides on float log ordering
+    // per-document distinctive terms by TF-IDF; rank rides on the
+    // MICRO-QUANTIZED score (floor(score*1e6) as BIGINT) so the oracle
+    // hash-compare never depends on last-ulp float log differences
+    // between engines (see TextAnalysis.topTermsByTfidf)
     "q49_top_terms" -> QueryDef(
       (s, d) => TextAnalysis.topTermsByTfidf(tbl(s, d, "documents"), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("dfreq")),
@@ -829,10 +830,12 @@ object Queries {
              |  FROM documents),
              |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
              |df AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
              |ranked AS (SELECT tf.doc_id, tf.word, tf.tf, df.dfreq,
              |  row_number() OVER (PARTITION BY tf.doc_id
-             |    ORDER BY tf.tf DESC, df.dfreq ASC, tf.word ASC) AS rk
-             |  FROM tf JOIN df USING (word))
+             |    ORDER BY CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.dfreq) * 1e6) AS BIGINT) DESC,
+             |             tf.tf DESC, tf.word ASC) AS rk
+             |  FROM tf JOIN df USING (word), n)
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, tf, dfreq
              |FROM ranked WHERE rk <= 3""".stripMargin)),
 

@@ -89,6 +89,16 @@ class BucketingSpec extends AnyFunSuite {
         bucketBy = Some(Bucketing(8, Seq("k"))))
     }
     assert(err.getMessage.contains("does not match table layout"))
+    // introducing bucketing by APPENDING to an unbucketed table is
+    // rejected (the old suffix-less files could never satisfy it)
+    val dir2 = tmp()
+    val t2 = LakeTable.forPath(spark, dir2)
+    t2.write(Seq((1L, "a")).toDF("k", "v"), "overwrite")
+    val err2 = intercept[graft.core.UserException] {
+      t2.write(Seq((2L, "b")).toDF("k", "v"), "append",
+        bucketBy = Some(Bucketing(4, Seq("k"))))
+    }
+    assert(err2.getMessage.contains("unbucketed"))
   }
 
   test("merge and compaction preserve the bucketed layout") {

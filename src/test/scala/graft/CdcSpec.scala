@@ -58,6 +58,21 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Seq((3L, "p1", cursor + 1), (4L, "p3", cursor + 1)))
   }
 
+  test("one task writing several partition dirs does not duplicate CDC rows") {
+    // the dynamic-partition writer reuses one base file name across the
+    // partition dirs a single task writes — the name-keyed version
+    // lookup must dedupe or the join doubles every row of those files
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((0L, "seed", "p0")).toDF("id", "v", "p"), "overwrite",
+      partitionBy = Seq("p"))
+    val cursor = t.version
+    t.write((1L to 6L).map(i => (i, s"v$i", s"p${i % 3}")).toDF("id", "v", "p")
+      .coalesce(1), "append")
+    val got = t.changes(cursor).select("id").as[Long].collect().toSeq.sorted
+    assert(got == (1L to 6L), s"got $got")
+  }
+
   test("changes() respects column mapping after a rename") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)

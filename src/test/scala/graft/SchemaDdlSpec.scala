@@ -85,6 +85,24 @@ class SchemaDdlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("re-using a renamed column's physical name is rejected, not bricked") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, "x")).toDF("id", "a"), "overwrite")
+    t.alterRenameColumn("a", "b") // files keep physical name a
+    // adding a NEW logical "a" would give two fields with physical
+    // name a — every subsequent read/write would fail
+    intercept[graft.core.UserException](t.alterAddColumn("a", DoubleType))
+    // same collision via schema-merge append
+    intercept[graft.core.UserException](
+      t.write(Seq((2L, "y", 1.0)).toDF("id", "b", "a"), "append"))
+    // renaming BACK to the physical name un-maps cleanly
+    t.alterRenameColumn("b", "a")
+    assert(t.read().columns.toSeq == Seq("id", "a"))
+    t.alterAddColumn("c", DoubleType) // now fine
+    assert(t.read().columns.toSeq == Seq("id", "a", "c"))
+  }
+
   test("DDL guards: partition/bucket columns and collisions") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
