@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.StructType
   * writer's partitioning. The streaming sink reuses the idempotent
   * batch-id protocol of graft.streaming.
   *
-  * Options: `path` (required), `versionAsOf` (read), `partitionBy`,
+  * Options: `path` (required), `versionAsOf`/`timestampAsOf` (read), `partitionBy`,
   * `mergeSchema`, `compression` (write).
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
@@ -98,8 +98,15 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw graft.core.UserException("graft.lake source requires a 'path' option"))
-    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
     val table = TransactionLog.pathOf(path)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { t =>
+        TransactionLog.history(table)
+          .find(_.timestamp <= t.toLong).map(_.version)
+          .getOrElse(throw graft.core.UserException(
+            s"No commit at or before timestamp $t"))
+      })
+      .getOrElse(-1L)
     val snap = TransactionLog.snapshot(table, version)
     val renamed = snap.metadata.configuration.keys
       .exists(_.startsWith("graft.mapping."))

@@ -88,6 +88,57 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       Map.empty[String, String])(spark)
   }
 
+  /** Time travel by wall clock: the table as of the newest commit with
+    * timestamp ≤ `ts` (epoch millis) — "what did the corpus look like
+    * when that training run started". Metadata-only resolution over
+    * commit history.
+    */
+  def readAsOfTimestamp(ts: Long): DataFrame = {
+    val v = versionAsOfTimestamp(ts)
+    read(versionAsOf = v)
+  }
+
+  private def versionAsOfTimestamp(ts: Long): Long = {
+    val h = history(path) // newest first
+    h.find(_.timestamp <= ts).map(_.version).getOrElse(
+      throw UserException(
+        s"No commit at or before timestamp $ts (earliest is " +
+          s"${h.lastOption.map(_.timestamp).getOrElse(-1L)})"))
+  }
+
+  /** RESTORE to an earlier version as a NEW commit (history is kept;
+    * this is an undo that is itself undoable): files of the target
+    * snapshot re-add, current-only files remove, target metadata
+    * (schema, partitioning, bucketing, mapping) is reinstated.
+    */
+  def restore(targetVersion: Long): Unit = {
+    val current = snapshot(path)
+    val target = snapshot(path, targetVersion)
+    val currentPaths = current.files.map(_.path).toSet
+    val targetPaths = target.files.map(_.path).toSet
+    // VACUUM may have deleted files only the target version references
+    val missing = target.files
+      .filterNot(f => currentPaths.contains(f.path))
+      .filterNot(f => Files.exists(path.resolve(f.path)))
+    if (missing.nonEmpty)
+      throw UserException(
+        s"Cannot restore to version $targetVersion: ${missing.size} data file(s) " +
+          s"were vacuumed (first: ${missing.head.path})")
+    val ts = System.currentTimeMillis()
+    commitWithRetry(retryable = false) { _ =>
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction("RESTORE",
+        Map("version" -> targetVersion.toString), ts)
+      if (current.metadata != target.metadata)
+        actions += metadataAction(target.metadata)
+      current.files.filterNot(f => targetPaths.contains(f.path))
+        .foreach(f => actions += removeAction(f.path, ts))
+      target.files.filterNot(f => currentPaths.contains(f.path))
+        .foreach(f => actions += addAction(f))
+      actions.result()
+    }
+  }
+
   /** Incremental (CDC-style) read: rows APPENDED in versions
     * `(sinceVersion, toVersion]`, each tagged with `_commit_version` —
     * what a downstream pipeline consumes to process only new data

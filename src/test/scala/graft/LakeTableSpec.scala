@@ -396,4 +396,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](t.read(versionAsOf = 99))
       .getMessage.contains("does not exist"))
   }
+
+  test("timestamp time travel resolves the newest commit at-or-before") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append")
+    val t0 = t.historyInfo.head.timestamp
+    Thread.sleep(20)
+    t.write(Seq((2L, "b")).toDF("id", "v"), "append")
+    val t1 = t.historyInfo.head.timestamp
+    assert(t.readAsOfTimestamp(t0).count() == 1)
+    assert(t.readAsOfTimestamp(t1).count() == 2)
+    assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() == 2)
+    assert(intercept[graft.core.UserException](t.readAsOfTimestamp(t0 - 100000))
+      .getMessage.contains("No commit"))
+    // the format() option too
+    val viaOption = spark.read.format("graft")
+      .option("timestampAsOf", t0.toString).load(p.toString)
+    assert(viaOption.count() == 1)
+  }
+
+  test("restore rewinds state as a new, undoable commit") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append")          // v0
+    t.write(Seq((2L, "b")).toDF("id", "v"), "append")          // v1
+    t.write(Seq((9L, "z")).toDF("id", "v"), "overwrite")       // v2
+    t.restore(1)                                               // v3 = state of v1
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(t.historyInfo.head.operation == "RESTORE")
+    t.restore(2)                                               // v4 = state of v2 (undo the undo)
+    assert(t.read().select("id").as[Long].collect().toSet == Set(9L))
+    // restore across a schema change reinstates the old metadata
+    t.alterAddColumn("extra", org.apache.spark.sql.types.DoubleType) // v5
+    t.restore(2)                                               // v6
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    // vacuumed target files are detected, not silently resurrected
+    t.vacuum()
+    val err = intercept[graft.core.UserException](t.restore(1))
+    assert(err.getMessage.contains("vacuumed"))
+  }
 }
