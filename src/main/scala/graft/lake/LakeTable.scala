@@ -307,6 +307,65 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     commitAlter(meta, "ALTER.DropColumn", Map("column" -> name))
   }
 
+  // ---- constraints --------------------------------------------------------
+
+  private[lake] val ConstraintPrefix = "graft.constraint."
+
+  /** CHECK constraints recorded in table config: name → SQL predicate. */
+  def constraints: Map[String, String] =
+    if (!exists) Map.empty
+    else constraintsOf(snapshot(path))
+
+  private def constraintsOf(snap: Snapshot): Map[String, String] =
+    snap.metadata.configuration.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) => k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (exprSql) — rejected if any
+    * EXISTING row violates it (one scan), then enforced on every
+    * write/merge/update from this commit on (Delta's invariant
+    * semantics: NULL predicate results pass).
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    val snap = snapshot(path)
+    if (constraintsOf(snap).contains(name))
+      throw UserException(s"Constraint $name already exists")
+    val pred = org.apache.spark.sql.functions.expr(exprSql)
+    val violating = read().where(!coalesce(pred, lit(true))).count()
+    if (violating > 0)
+      throw UserException(
+        s"Cannot add constraint $name: $violating existing row(s) violate ($exprSql)")
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration + (ConstraintPrefix + name -> exprSql))
+    commitAlter(meta, "ALTER.AddConstraint", Map("name" -> name, "expr" -> exprSql))
+  }
+
+  def dropConstraint(name: String): Unit = {
+    val snap = snapshot(path)
+    if (!constraintsOf(snap).contains(name))
+      throw UserException(s"Constraint $name does not exist")
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration - (ConstraintPrefix + name))
+    commitAlter(meta, "ALTER.DropConstraint", Map("name" -> name))
+  }
+
+  /** Fails the write when incoming rows violate a recorded CHECK
+    * constraint. One job over the incoming batch only — never the
+    * table; NULL predicate results pass (SQL CHECK semantics).
+    */
+  private def enforceConstraints(df: DataFrame, snap: Snapshot): Unit = {
+    val cs = constraintsOf(snap)
+    if (cs.isEmpty) return
+    val violated = cs.map { case (name, sql) =>
+      (name, sql,
+        df.where(!coalesce(org.apache.spark.sql.functions.expr(sql), lit(true))).count())
+    }.filter(_._3 > 0)
+    if (violated.nonEmpty) {
+      val (name, sql, n) = violated.head
+      throw UserException(s"CHECK constraint $name ($sql) violated by $n row(s)")
+    }
+  }
+
   private def commitAlter(meta: Metadata, op: String, params: Map[String, String]): Unit = {
     val ts = System.currentTimeMillis()
     commitWithRetry(retryable = false) { _ =>
@@ -421,6 +480,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     // schema merge may have introduced new columns — reject any whose
     // name collides with a renamed column's physical name
     assertNoPhysicalCollision(targetSchema, mapping)
+    existing.foreach(s => enforceConstraints(aligned, s))
     val adds = writeDataFiles(bucketize(aligned, bucketing), partCols, compression,
       bucketing, mapping)
     val ts = System.currentTimeMillis()
@@ -476,6 +536,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val schema = snap.schema
     val src = alignToSchema(source, schema).cache()
     try {
+      enforceConstraints(src, snap)
       val srcKeys = src.select(keys.map(col): _*).dropDuplicates(keys)
 
       // File pruning: which live files contain rows whose key matches a
@@ -582,6 +643,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         case None => col(c)
       }
     }: _*)
+    enforceConstraints(rewritten, snap)
     val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
       snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
     val ts = System.currentTimeMillis()

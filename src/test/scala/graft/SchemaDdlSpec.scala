@@ -119,6 +119,34 @@ class SchemaDdlSpec extends AnyFunSuite {
     intercept[graft.core.UserException](t2.alterDropColumn("k"))
   }
 
+  test("CHECK constraints gate writes, merges, and updates") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"), "overwrite")
+    t.addConstraint("score_pos", "score > 0")
+    assert(t.constraints == Map("score_pos" -> "score > 0"))
+    // compliant writes pass; violating writes fail atomically (no commit)
+    t.write(Seq((3L, 30.0)).toDF("id", "score"), "append")
+    val v = t.version
+    val err = intercept[graft.core.UserException](
+      t.write(Seq((4L, -1.0)).toDF("id", "score"), "append"))
+    assert(err.getMessage.contains("score_pos") && t.version == v)
+    assert(t.read().count() == 3)
+    // merge and update enforce too
+    intercept[graft.core.UserException](
+      t.merge(Seq((1L, -5.0)).toDF("id", "score"), Seq("id")))
+    intercept[graft.core.UserException](
+      t.update($"id" === 1L, Map("score" -> lit(-9.0))))
+    // NULL predicate result passes (SQL CHECK semantics)
+    t.write(Seq((5L, Option.empty[Double])).toDF("id", "score"), "append")
+    assert(t.read().count() == 4)
+    // adding a constraint existing rows violate is rejected
+    intercept[graft.core.UserException](t.addConstraint("id_small", "id < 3"))
+    t.dropConstraint("score_pos")
+    t.write(Seq((6L, -1.0)).toDF("id", "score"), "append")
+    assert(t.read().count() == 5)
+  }
+
   test("format(\"graft\") read of a column-mapped table shows logical names") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
