@@ -99,13 +99,19 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path",
       throw graft.core.UserException("graft.lake source requires a 'path' option"))
     val table = TransactionLog.pathOf(path)
-    val version = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map { t =>
-        TransactionLog.history(table)
-          .find(_.timestamp <= t.toLong).map(_.version)
-          .getOrElse(throw graft.core.UserException(
-            s"No commit at or before timestamp $t"))
-      })
+    if (parameters.contains("versionAsOf") && parameters.contains("timestampAsOf"))
+      throw graft.core.UserException(
+        "Specify either versionAsOf or timestampAsOf, not both")
+    def asLong(key: String): Long = {
+      val v = parameters(key)
+      try v.toLong catch {
+        case _: NumberFormatException => throw graft.core.UserException(
+          s"$key must be a number ($key=$v; timestampAsOf takes epoch millis)")
+      }
+    }
+    val version = parameters.get("versionAsOf").map(_ => asLong("versionAsOf"))
+      .orElse(parameters.get("timestampAsOf").map(_ =>
+        new LakeTable(spark, table).versionAsOfTimestamp(asLong("timestampAsOf"))))
       .getOrElse(-1L)
     val snap = TransactionLog.snapshot(table, version)
     val renamed = snap.metadata.configuration.keys

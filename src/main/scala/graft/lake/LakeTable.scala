@@ -98,9 +98,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     read(versionAsOf = v)
   }
 
-  private def versionAsOfTimestamp(ts: Long): Long = {
-    val h = history(path) // newest first
-    h.find(_.timestamp <= ts).map(_.version).getOrElse(
+  /** Newest version whose commit timestamp is ≤ `ts`. Taking the MAX
+    * qualifying version (not the first newest-first match) keeps the
+    * answer sane even if a lost-and-retried commit recorded a slightly
+    * older timestamp at a higher version.
+    */
+  private[lake] def versionAsOfTimestamp(ts: Long): Long = {
+    val h = history(path)
+    h.filter(_.timestamp <= ts).map(_.version).maxOption.getOrElse(
       throw UserException(
         s"No commit at or before timestamp $ts (earliest is " +
           s"${h.lastOption.map(_.timestamp).getOrElse(-1L)})"))
@@ -125,18 +130,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         s"Cannot restore to version $targetVersion: ${missing.size} data file(s) " +
           s"were vacuumed (first: ${missing.head.path})")
     val ts = System.currentTimeMillis()
-    commitWithRetry(retryable = false) { _ =>
-      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-      actions += commitInfoAction("RESTORE",
-        Map("version" -> targetVersion.toString), ts)
-      if (current.metadata != target.metadata)
-        actions += metadataAction(target.metadata)
-      current.files.filterNot(f => targetPaths.contains(f.path))
-        .foreach(f => actions += removeAction(f.path, ts))
-      target.files.filterNot(f => currentPaths.contains(f.path))
-        .foreach(f => actions += addAction(f))
-      actions.result()
-    }
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("RESTORE",
+      Map("version" -> targetVersion.toString), ts)
+    if (current.metadata != target.metadata)
+      actions += metadataAction(target.metadata)
+    current.files.filterNot(f => targetPaths.contains(f.path))
+      .foreach(f => actions += removeAction(f.path, ts))
+    target.files.filterNot(f => currentPaths.contains(f.path))
+      .foreach(f => actions += addAction(f))
+    commitPinned(current.version, actions.result())
   }
 
   /** Incremental (CDC-style) read: rows APPENDED in versions
@@ -245,7 +248,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val newSchema = StructType(snap.schema.fields :+ StructField(name, dataType, nullable = true))
     assertNoPhysicalCollision(newSchema, mappingOf(snap))
     val meta = snap.metadata.copy(schema = newSchema)
-    commitAlter(meta, "ALTER.AddColumn", Map("column" -> name, "type" -> dataType.simpleString))
+    commitAlter(snap.version, meta, "ALTER.AddColumn",
+      Map("column" -> name, "type" -> dataType.simpleString))
   }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only via column mapping:
@@ -261,6 +265,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     if (snap.metadata.partitionColumns.contains(from))
       throw UserException(
         s"Cannot rename partition column $from (partition values live in directory names)")
+    assertNoConstraintReference(snap, from, "rename")
     val mapping = mappingOf(snap)
     val phys = physicalOf(mapping, from)
     // renaming BACK to the physical name un-maps (identity mapping is
@@ -286,7 +291,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val meta = snap.metadata.copy(
       schema = renamedSchema,
       configuration = rebucketed)
-    commitAlter(meta, "ALTER.RenameColumn", Map("from" -> from, "to" -> to))
+    commitAlter(snap.version, meta, "ALTER.RenameColumn", Map("from" -> from, "to" -> to))
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: files keep the payload,
@@ -298,13 +303,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       throw UserException(s"Column $name does not exist")
     if (snap.metadata.partitionColumns.contains(name))
       throw UserException(s"Cannot drop partition column $name")
+    assertNoConstraintReference(snap, name, "drop")
     if (bucketingOf(snap).exists(b => (b.columns ++ b.sortColumns).contains(name)))
       throw UserException(
         s"Cannot drop bucketing column $name (rewrite with a new layout first)")
     val meta = snap.metadata.copy(
       schema = StructType(snap.schema.fields.filterNot(_.name == name)),
       configuration = snap.metadata.configuration - (MappingPrefix + name))
-    commitAlter(meta, "ALTER.DropColumn", Map("column" -> name))
+    commitAlter(snap.version, meta, "ALTER.DropColumn", Map("column" -> name))
   }
 
   // ---- constraints --------------------------------------------------------
@@ -320,6 +326,25 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     snap.metadata.configuration.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) => k.stripPrefix(ConstraintPrefix) -> v
     }
+
+  /** Rejects a rename/drop of a column some CHECK constraint still
+    * references — otherwise the orphaned predicate would fail every
+    * later write with an unresolved-column error that never mentions
+    * the constraint. Resolution is by parsed attribute name
+    * (case-insensitive, like the analyzer's default).
+    */
+  private def assertNoConstraintReference(snap: Snapshot, column: String, op: String): Unit = {
+    val parser = spark.sessionState.sqlParser
+    constraintsOf(snap).foreach { case (name, sql) =>
+      val refs = parser.parseExpression(sql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      }
+      if (refs.exists(_.equalsIgnoreCase(column)))
+        throw UserException(
+          s"Cannot $op column $column: CHECK constraint $name ($sql) references " +
+            "it; drop the constraint first")
+    }
+  }
 
   /** ALTER TABLE ADD CONSTRAINT name CHECK (exprSql) — rejected if any
     * EXISTING row violates it (one scan), then enforced on every
@@ -337,7 +362,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         s"Cannot add constraint $name: $violating existing row(s) violate ($exprSql)")
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration + (ConstraintPrefix + name -> exprSql))
-    commitAlter(meta, "ALTER.AddConstraint", Map("name" -> name, "expr" -> exprSql))
+    commitAlter(snap.version, meta, "ALTER.AddConstraint",
+      Map("name" -> name, "expr" -> exprSql))
   }
 
   def dropConstraint(name: String): Unit = {
@@ -346,7 +372,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       throw UserException(s"Constraint $name does not exist")
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration - (ConstraintPrefix + name))
-    commitAlter(meta, "ALTER.DropConstraint", Map("name" -> name))
+    commitAlter(snap.version, meta, "ALTER.DropConstraint", Map("name" -> name))
   }
 
   /** Fails the write when incoming rows violate a recorded CHECK
@@ -354,23 +380,32 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * table; NULL predicate results pass (SQL CHECK semantics).
     */
   private def enforceConstraints(df: DataFrame, snap: Snapshot): Unit = {
-    val cs = constraintsOf(snap)
+    val cs = constraintsOf(snap).toSeq
     if (cs.isEmpty) return
-    val violated = cs.map { case (name, sql) =>
-      (name, sql,
-        df.where(!coalesce(org.apache.spark.sql.functions.expr(sql), lit(true))).count())
-    }.filter(_._3 > 0)
-    if (violated.nonEmpty) {
-      val (name, sql, n) = violated.head
-      throw UserException(s"CHECK constraint $name ($sql) violated by $n row(s)")
+    // ONE aggregation job over the incoming batch computes every
+    // constraint's violation count (K separate count() jobs would
+    // re-execute the upstream plan K times)
+    val counts = df.agg(
+      org.apache.spark.sql.functions.sum(
+        when(!coalesce(org.apache.spark.sql.functions.expr(cs.head._2), lit(true)), 1L)
+          .otherwise(0L)).as("c0"),
+      cs.tail.zipWithIndex.map { case ((_, sql), i) =>
+        org.apache.spark.sql.functions.sum(
+          when(!coalesce(org.apache.spark.sql.functions.expr(sql), lit(true)), 1L)
+            .otherwise(0L)).as(s"c${i + 1}")
+      }: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((name, sql), i) =>
+      val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (n > 0)
+        throw UserException(s"CHECK constraint $name ($sql) violated by $n row(s)")
     }
   }
 
-  private def commitAlter(meta: Metadata, op: String, params: Map[String, String]): Unit = {
+  private def commitAlter(
+      baseVersion: Long, meta: Metadata, op: String, params: Map[String, String]): Unit = {
     val ts = System.currentTimeMillis()
-    commitWithRetry(retryable = false) { _ =>
-      Seq(commitInfoAction(op, params, ts), metadataAction(meta))
-    }
+    commitPinned(baseVersion,
+      Seq(commitInfoAction(op, params, ts), metadataAction(meta)))
   }
 
   /** Reads a file subset under the COMMITTED snapshot schema. The
@@ -494,11 +529,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val removes: Seq[String] =
       if (normalized == "overwrite") existing.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
-    commitWithRetry(retryable = normalized == "append") { version =>
+    // re-validate constraints against whatever a winning concurrent
+    // commit recorded before retrying our append on top of it
+    val recheck = () => enforceConstraints(aligned, snapshot(path))
+    commitWithRetry(retryable = normalized == "append", onRetry = recheck) { version =>
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction(
         if (normalized == "overwrite") "WRITE.Overwrite" else "WRITE.Append",
-        Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")) ++ operationParams, ts)
+        Map("mode" -> normalized, "partitionBy" -> partCols.mkString(",")) ++ operationParams,
+        // stamped per attempt: a retried commit must not record a
+        // timestamp older than the commit it lost the race to
+        System.currentTimeMillis())
       if (version == 0L) actions += protocolAction()
       if (version == 0L || existing.forall(_.schema != targetSchema) ||
           existing.forall(_.metadata.partitionColumns != partCols) ||
@@ -567,14 +608,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
       val ts = System.currentTimeMillis()
 
-      commitWithRetry(retryable = false) { version =>
-        val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-        actions += commitInfoAction("MERGE", Map("keys" -> keys.mkString(",")), ts)
-        val _ = version
-        touched.foreach(f => actions += removeAction(f.path, ts))
-        adds.foreach(a => actions += addAction(a))
-        actions.result()
-      }
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction("MERGE", Map("keys" -> keys.mkString(",")), ts)
+      touched.foreach(f => actions += removeAction(f.path, ts))
+      adds.foreach(a => actions += addAction(a))
+      commitPinned(snap.version, actions.result())
     } finally src.unpersist()
   }
 
@@ -604,13 +642,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val adds = writeDataFiles(bucketize(kept, bucketingOf(snap)),
       snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
     val ts = System.currentTimeMillis()
-    commitWithRetry(retryable = false) { _ =>
-      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-      actions += commitInfoAction("DELETE", Map("numDeleted" -> deleted.toString), ts)
-      touched.foreach(f => actions += removeAction(f.path, ts))
-      adds.foreach(a => actions += addAction(a))
-      actions.result()
-    }
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("DELETE", Map("numDeleted" -> deleted.toString), ts)
+    touched.foreach(f => actions += removeAction(f.path, ts))
+    adds.foreach(a => actions += addAction(a))
+    commitPinned(snap.version, actions.result())
     deleted
   }
 
@@ -647,13 +683,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val adds = writeDataFiles(bucketize(rewritten, bucketingOf(snap)),
       snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
     val ts = System.currentTimeMillis()
-    commitWithRetry(retryable = false) { _ =>
-      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-      actions += commitInfoAction("UPDATE", Map("numUpdated" -> updated.toString), ts)
-      touched.foreach(f => actions += removeAction(f.path, ts))
-      adds.foreach(a => actions += addAction(a))
-      actions.result()
-    }
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("UPDATE", Map("numUpdated" -> updated.toString), ts)
+    touched.foreach(f => actions += removeAction(f.path, ts))
+    adds.foreach(a => actions += addAction(a))
+    commitPinned(snap.version, actions.result())
     updated
   }
 
@@ -731,16 +765,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy", bucketed,
       mappingOf(snap))
     val ts = System.currentTimeMillis()
-    commitWithRetry(retryable = false) { _ =>
-      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-      actions += commitInfoAction("OPTIMIZE",
-        Map("numRemoved" -> toCompact.size.toString, "numAdded" -> adds.size.toString), ts)
-      // dataChange=false: compaction moves bytes, not facts — CDC /
-      // incremental readers must not re-emit the rewritten rows
-      toCompact.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
-      adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
-      actions.result()
-    }
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("OPTIMIZE",
+      Map("numRemoved" -> toCompact.size.toString, "numAdded" -> adds.size.toString), ts)
+    // dataChange=false: compaction moves bytes, not facts — CDC /
+    // incremental readers must not re-emit the rewritten rows
+    toCompact.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
+    adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
+    commitPinned(snap.version, actions.result())
     toCompact.size
   }
 
@@ -760,7 +792,15 @@ final class LakeTable(spark: SparkSession, val path: Path) {
 
   // ---- internals ----------------------------------------------------------
 
-  private def commitWithRetry(retryable: Boolean)(
+  /** Optimistic commit for APPENDS (commute with concurrent appends):
+    * losers of a version race re-read the log and try the next slot.
+    * `onRetry` runs before each re-attempt so the caller can re-check
+    * state the winning commit may have changed (e.g. a constraint
+    * added between our validation and our commit).
+    */
+  private def commitWithRetry(
+      retryable: Boolean,
+      onRetry: () => Unit = () => ())(
       mkActions: Long => Seq[com.fasterxml.jackson.databind.node.ObjectNode]): Unit = {
     var attempts = 0
     var done = false
@@ -773,8 +813,28 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         if (!retryable || attempts > 20)
           throw new java.util.ConcurrentModificationException(
             s"Commit conflict on $path at version $next")
+        onRetry()
       }
     }
+  }
+
+  /** Pinned commit for SNAPSHOT-DERIVED operations (merge, delete,
+    * update, compaction, restore): the action list was computed
+    * against `baseVersion`, so it may only land as `baseVersion + 1` —
+    * any interleaved commit invalidates the read set and the caller
+    * must re-run against the new snapshot. Without the pin, a restore
+    * or merge racing an append would silently commit a state mixing
+    * both histories.
+    */
+  private def commitPinned(
+      baseVersion: Long,
+      actions: Seq[com.fasterxml.jackson.databind.node.ObjectNode]): Unit = {
+    val next = baseVersion + 1
+    if (!tryCommit(path, next, actions))
+      throw new java.util.ConcurrentModificationException(
+        s"Concurrent commit on $path invalidated the snapshot at version " +
+          s"$baseVersion; re-run against the latest version")
+    maybeCheckpoint(path, next)
   }
 
   /** Writes `df` as parquet files inside the table directory (staged in

@@ -147,6 +147,22 @@ class SchemaDdlSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
   }
 
+  test("renaming or dropping a constraint's column is rejected, not orphaned") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, 10.0)).toDF("id", "score"), "overwrite")
+    t.addConstraint("score_pos", "score > 0")
+    val e1 = intercept[graft.core.UserException](t.alterRenameColumn("score", "points"))
+    assert(e1.getMessage.contains("score_pos"))
+    val e2 = intercept[graft.core.UserException](t.alterDropColumn("score"))
+    assert(e2.getMessage.contains("score_pos"))
+    // unreferenced columns still alter freely
+    t.alterRenameColumn("id", "doc_id")
+    t.dropConstraint("score_pos")
+    t.alterRenameColumn("score", "points")
+    assert(t.read().columns.toSeq == Seq("doc_id", "points"))
+  }
+
   test("format(\"graft\") read of a column-mapped table shows logical names") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
