@@ -900,6 +900,21 @@ object Queries {
              |FROM r WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
              |   OR rk = CAST(ceil(0.95 * n) AS BIGINT)""".stripMargin)),
 
+    // sequence-length bucketing for training-batch assembly: batching
+    // similar-length docs minimizes padding waste; integer bucket math
+    // is portable and the aggregation partial-aggregates
+    "q53_length_buckets" -> QueryDef(
+      (s, d) => tbl(s, d, "documents")
+        .groupBy(Packing.lengthBuckets(col("n_chars"), 64).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")),
+      Some("""SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+             |COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+             |MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // incremental-distinct maintenance shape: per-day theta sketches
     // (the storable summary an ingest job appends) unioned per event
     // type — distinct users over any slice without rescanning raw data

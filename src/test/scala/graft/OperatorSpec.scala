@@ -247,6 +247,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  test("greedy packing: budget respected, every doc packed exactly once") {
+    val docs = (1L to 2000L).map(i => (i, 50L + i % 400)).toDF("doc_id", "n_tokens")
+      .repartition(4, $"n_tokens") // pack similar lengths together
+    val budget = 2048L
+    val packs = Packing.packGreedy(docs, "doc_id", "n_tokens", budget).cache()
+    // every doc assigned exactly once
+    assert(packs.count() == 2000)
+    assert(packs.select("doc_id").distinct().count() == 2000)
+    // no pack exceeds the budget (every doc here is < budget)
+    val over = packs.groupBy("pack_id").agg(sum($"n_tokens").as("t"))
+      .where($"t" > budget).count()
+    assert(over == 0)
+    // packing is tight: average fill ≥ 70% of budget
+    val stats = packs.groupBy("pack_id").agg(sum($"n_tokens").as("t"))
+      .agg(avg($"t")).as[Double].head()
+    assert(stats >= budget * 0.7, s"avg fill $stats")
+    // an oversized doc still gets (its own) pack
+    val big = Seq((1L, 5000L), (2L, 10L)).toDF("doc_id", "n_tokens")
+    val bp = Packing.packGreedy(big.coalesce(1), "doc_id", "n_tokens", 2048L)
+    assert(bp.count() == 2)
+    assert(bp.select("pack_id").distinct().count() == 2)
+    packs.unpersist()
+  }
+
   // ---- media payloads through the lake -----------------------------------
 
   test("binary media columns round-trip the lake with format partition pruning") {
