@@ -45,7 +45,7 @@ final class GraftFileIndex(
   override def rootPaths: Seq[HPath] = Seq(new HPath(tablePath.toUri))
   override def sizeInBytes: Long = snap.files.map(_.size).sum
   override def inputFiles: Array[String] =
-    snap.files.map(f => tablePath.resolve(f.path).toUri.toString).toArray
+    snap.files.map(f => TransactionLog.resolvePath(tablePath, f.path).toUri.toString).toArray
   override def refresh(): Unit = ()
 
   override def listFiles(
@@ -67,7 +67,7 @@ final class GraftFileIndex(
 
   private def fileStatus(f: AddFile): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
-      new HPath(tablePath.resolve(f.path).toUri))
+      new HPath(TransactionLog.resolvePath(tablePath, f.path).toUri))
 
   /** Rebinds partition-column attribute references (matched by name)
     * to ordinals in the partitionValues row.

@@ -124,7 +124,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     // VACUUM may have deleted files only the target version references
     val missing = target.files
       .filterNot(f => currentPaths.contains(f.path))
-      .filterNot(f => Files.exists(path.resolve(f.path)))
+      .filterNot(f => Files.exists(resolvePath(path, f.path)))
     if (missing.nonEmpty)
       throw UserException(
         s"Cannot restore to version $targetVersion: ${missing.size} data file(s) " +
@@ -140,6 +140,35 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     target.files.filterNot(f => currentPaths.contains(f.path))
       .foreach(f => actions += addAction(f))
     commitPinned(current.version, actions.result())
+  }
+
+  /** SHALLOW CLONE: a new independent table whose log references this
+    * table's data files by absolute path — zero bytes copied, so a
+    * 100 TB table clones in one metadata commit. The clone diverges
+    * freely (its own appends/merges/DDL write under its own root);
+    * like Delta's shallow clones, VACUUMing the SOURCE can invalidate
+    * clones (the clone's vacuum only walks its own directory and never
+    * touches borrowed files).
+    */
+  def cloneShallowTo(dest: Path): LakeTable = {
+    val snap = snapshot(path)
+    if (tableExists(dest))
+      throw UserException(s"Clone destination already exists: $dest")
+    val ts = System.currentTimeMillis()
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("CLONE",
+      Map("source" -> path.toString, "sourceVersion" -> snap.version.toString), ts)
+    actions += protocolAction()
+    actions += metadataAction(snap.metadata.copy(id = UUID.randomUUID().toString))
+    snap.files.foreach { f =>
+      actions += addAction(f.copy(
+        path = resolvePath(path, f.path).toUri.toString, dataChange = false))
+    }
+    Files.createDirectories(dest)
+    if (!tryCommit(dest, 0L, actions.result()))
+      throw new java.util.ConcurrentModificationException(
+        s"Concurrent creation of clone destination $dest")
+    new LakeTable(spark, dest)
   }
 
   /** Incremental (CDC-style) read: rows APPENDED in versions
@@ -168,7 +197,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     val physSchema = StructType(schema.fields.map(f =>
       StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
-    val paths = versioned.map { case (_, f) => path.resolve(f.path).toString }
+    val paths = versioned.map { case (_, f) => resolvePath(path, f.path).toString }
     val reader = spark.read.schema(physSchema)
     val raw =
       if (snap.metadata.partitionColumns.nonEmpty)
@@ -203,6 +232,15 @@ final class LakeTable(spark: SparkSession, val path: Path) {
 
   private def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** Plain filesystem path of a scan-reported file URI. Needed because
+    * `_metadata.file_path` renders Hadoop-style (`file:/x`) while our
+    * stored absolute paths are `file:///x` — comparing either string
+    * to the other silently matches nothing (shallow-clone MERGE would
+    * "touch" zero files and duplicate the upserted keys).
+    */
+  private def fsPathOf(uri: String): String =
+    new org.apache.hadoop.fs.Path(uri).toUri.getPath
 
   // ---- schema DDL ---------------------------------------------------------
   //
@@ -420,7 +458,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val mapping = mappingOf(snap)
     val physSchema = StructType(schema.fields.map(f =>
       StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
-    val paths = files.map(f => path.resolve(f.path).toString)
+    val paths = files.map(f => resolvePath(path, f.path).toString)
     val reader = spark.read.schema(physSchema)
     val raw =
       if (snap.metadata.partitionColumns.nonEmpty)
@@ -591,10 +629,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         .join(srcKeys, joinCond, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
-      def isTouched(f: AddFile): Boolean = {
-        val abs = path.resolve(f.path).toUri.toString
-        touchedFiles.contains(abs) || touchedFiles.exists(_.endsWith("/" + f.path))
-      }
+      def isTouched(f: AddFile): Boolean =
+        touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString)
       val touched = snap.files.filter(isTouched)
 
       // Rewrite = (touched-file rows not matching) ∪ source rows; plus
@@ -631,10 +667,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
-    def isTouched(f: AddFile): Boolean = {
-      val abs = path.resolve(f.path).toUri.toString
-      touchedFiles.contains(abs) || touchedFiles.exists(_.endsWith("/" + f.path))
-    }
+    def isTouched(f: AddFile): Boolean =
+      touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString)
     val touched = snap.files.filter(isTouched)
     val touchedDf = readFiles(snap, touched)
     val deleted = touchedDf.where(condition).count()
@@ -668,7 +702,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
     val touched = snap.files.filter(f =>
-      touchedFiles.exists(u => u.endsWith("/" + f.path)))
+      touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString))
     val touchedDf = readFiles(snap, touched)
     val updated = touchedDf.where(condition).count()
     val isMatch = coalesce(condition, lit(false))
@@ -780,7 +814,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * local dev semantics).
     */
   def vacuum(): Int = {
-    val live = snapshot(path).files.map(f => path.resolve(f.path).normalize).toSet
+    val live = snapshot(path).files.map(f => resolvePath(path, f.path).normalize).toSet
     var removed = 0
     Files.walk(path).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))

@@ -342,4 +342,12 @@ object TransactionLog {
   }
 
   def pathOf(s: String): Path = Paths.get(s)
+
+  /** Resolves an add-action path: table-relative normally, absolute
+    * URI for borrowed files (shallow clones) — mirroring the Delta
+    * protocol, where add.path may be either.
+    */
+  def resolvePath(table: Path, p: String): Path =
+    if (p.contains("://")) Paths.get(java.net.URI.create(p))
+    else table.resolve(p)
 }

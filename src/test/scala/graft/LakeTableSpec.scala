@@ -416,6 +416,40 @@ class LakeTableSpec extends AnyFunSuite {
     assert(viaOption.count() == 1)
   }
 
+  test("shallow clone: zero-copy, diverges independently, source untouched") {
+    val src = tmpTable()
+    val dst = java.nio.file.Paths.get(tmpTable()).resolve("clone")
+    val t = LakeTable.forPath(spark, src)
+    t.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    val srcFiles = t.snapshotNow.files.map(_.path).toSet
+    val c = t.cloneShallowTo(dst)
+    // no data copied: clone dir contains only the log
+    val copied = java.nio.file.Files.walk(dst).iterator()
+    var dataFiles = 0
+    copied.forEachRemaining(p => if (p.toString.endsWith(".parquet")) dataFiles += 1)
+    assert(dataFiles == 0)
+    assert(c.read().count() == 100)
+    // clone diverges: merge + append + DDL stay local to the clone
+    c.merge(Seq((1L, "UPD")).toDF("id", "v"), Seq("id"))
+    c.write(Seq((200L, "new")).toDF("id", "v"), "append")
+    c.alterAddColumn("extra", org.apache.spark.sql.types.DoubleType)
+    assert(c.read().count() == 101)
+    assert(c.read().where($"id" === 1L).select("v").as[String].head() == "UPD")
+    assert(t.read().count() == 100) // source unchanged
+    assert(t.read().where($"id" === 1L).select("v").as[String].head() == "v1")
+    assert(t.snapshotNow.files.map(_.path).toSet == srcFiles)
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    // the clone's vacuum never deletes borrowed source files
+    c.vacuum()
+    assert(t.read().count() == 100)
+    // updates/deletes on borrowed files rewrite locally
+    assert(c.update($"id" === 2L, Map("v" -> lit("U2"))) == 1L)
+    assert(c.delete($"id" === 3L) == 1L)
+    assert(c.read().count() == 100)
+    assert(t.read().count() == 100)
+    intercept[graft.core.UserException](t.cloneShallowTo(dst)) // exists
+  }
+
   test("restore rewinds state as a new, undoable commit") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
