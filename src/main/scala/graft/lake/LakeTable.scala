@@ -154,6 +154,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val snap = snapshot(path)
     if (tableExists(dest))
       throw UserException(s"Clone destination already exists: $dest")
+    // a clone nested inside the source would have its OWN data files
+    // deleted by the source's vacuum (which walks the source dir);
+    // the reverse nesting would make the clone vacuum source data
+    val srcAbs = path.toAbsolutePath.normalize
+    val dstAbs = dest.toAbsolutePath.normalize
+    if (dstAbs.startsWith(srcAbs) || srcAbs.startsWith(dstAbs))
+      throw UserException(
+        s"Clone destination $dest must not nest with the source table $path")
     val ts = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
     actions += commitInfoAction("CLONE",
@@ -203,21 +211,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       if (snap.metadata.partitionColumns.nonEmpty)
         reader.option("basePath", path.toString).parquet(paths: _*)
       else reader.parquet(paths: _*)
-    // per-row commit version via a broadcast lookup on the file name —
-    // metadata-sized, never a wide shuffle. The dynamic-partition
-    // writer reuses one base name across partition DIRS of a single
-    // job (the job UUID inside the name makes it unique per commit,
-    // not per file), so the lookup dedupes on name: same name ⇒ same
-    // commit ⇒ same version, and without the distinct the join would
-    // duplicate every row of such files.
+    // per-row commit version via a broadcast lookup on the FULL scan
+    // path (base names repeat across the partition dirs one task
+    // writes) — metadata-sized, never a wide shuffle
     import spark.implicits._
     val lookup = versioned
-      .map { case (v, f) => (fileNameOf(f.path), v) }
-      .distinct
-      .toDF("__name", "_commit_version")
+      .map { case (v, f) => (scanPathOf(f), v) }
+      .toDF("__file", "_commit_version")
     raw
-      .withColumn("__name", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .join(broadcast(lookup), "__name")
+      .withColumn("__file", col("_metadata.file_path"))
+      .join(broadcast(lookup), "__file")
       .select(schema.fields.map(f =>
         col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq :+
         col("_commit_version"): _*)
@@ -233,14 +236,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
-  /** Plain filesystem path of a scan-reported file URI. Needed because
-    * `_metadata.file_path` renders Hadoop-style (`file:/x`) while our
-    * stored absolute paths are `file:///x` — comparing either string
-    * to the other silently matches nothing (shallow-clone MERGE would
-    * "touch" zero files and duplicate the upserted keys).
+  /** Matcher from scan-reported provenance (`_metadata.file_path`
+    * strings) to add-files: one set lookup per file against the
+    * scanPathOf rendering. Matching through any other string form has
+    * burned twice already — `file:///x` vs Hadoop's `file:/x`, and
+    * relative table roots vs the scan's absolute paths — either way
+    * copy-on-write "touches" zero files and MERGE duplicates keys.
     */
-  private def fsPathOf(uri: String): String =
-    new org.apache.hadoop.fs.Path(uri).toUri.getPath
+  private def touchedMatcher(touchedFiles: Set[String]): AddFile => Boolean = {
+    f => touchedFiles.contains(scanPathOf(f))
+  }
 
   // ---- schema DDL ---------------------------------------------------------
   //
@@ -456,17 +461,45 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val schema = snap.schema
     val mapping = mappingOf(snap)
-    val physSchema = StructType(schema.fields.map(f =>
-      StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
+    val partCols = snap.metadata.partitionColumns
+    val dataPhys = StructType(schema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
     val paths = files.map(f => resolvePath(path, f.path).toString)
-    val reader = spark.read.schema(physSchema)
-    val raw =
-      if (snap.metadata.partitionColumns.nonEmpty)
-        reader.option("basePath", path.toString).parquet(paths: _*)
-      else reader.parquet(paths: _*)
-    raw.select(schema.fields.map(f =>
-      col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
+    val raw = spark.read.schema(dataPhys).parquet(paths: _*)
+    val withPart =
+      if (partCols.isEmpty) raw
+      else {
+        // Partition values come from the LOG, attached via a broadcast
+        // join on the scan's file provenance — not from directory-name
+        // inference, which requires one common basePath and breaks the
+        // moment a shallow clone mixes borrowed (source-rooted) and
+        // local files in one rewrite set.
+        import spark.implicits._
+        val lookup = files.map { f =>
+          (scanPathOf(f), partCols.map(c => f.partitionValues.getOrElse(c, null)))
+        }.toDF("__file", "__pv")
+        raw
+          .withColumn("__file", col("_metadata.file_path"))
+          .join(broadcast(lookup), "__file")
+          .select(col("*") +: partCols.zipWithIndex.map { case (c, i) =>
+            element_at(col("__pv"), i + 1).cast(schema(c).dataType).as(c)
+          }: _*)
+          .drop("__file", "__pv")
+      }
+    withPart.select(schema.fields.map(f =>
+      if (partCols.contains(f.name)) col(f.name)
+      else col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
   }
+
+  /** The exact string `_metadata.file_path` reports for an add-file —
+    * Hadoop's Path rendering (`file:/x`, not `file:///x`) — the ONE
+    * join/compare key used wherever driver-side file lists meet
+    * scan-side provenance.
+    */
+  private def scanPathOf(f: AddFile): String =
+    new org.apache.hadoop.fs.Path(
+      resolvePath(path, f.path).toAbsolutePath.normalize.toUri).toString
 
   // ---- writes -------------------------------------------------------------
 
@@ -629,9 +662,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         .join(srcKeys, joinCond, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
-      def isTouched(f: AddFile): Boolean =
-        touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString)
-      val touched = snap.files.filter(isTouched)
+      val touched = snap.files.filter(touchedMatcher(touchedFiles))
 
       // Rewrite = (touched-file rows not matching) ∪ source rows; plus
       // source rows matching *untouched* files cannot exist by
@@ -667,9 +698,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
-    def isTouched(f: AddFile): Boolean =
-      touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString)
-    val touched = snap.files.filter(isTouched)
+    val touched = snap.files.filter(touchedMatcher(touchedFiles))
     val touchedDf = readFiles(snap, touched)
     val deleted = touchedDf.where(condition).count()
     val kept = touchedDf.where(!coalesce(condition, lit(false)))
@@ -701,8 +730,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
-    val touched = snap.files.filter(f =>
-      touchedFiles.exists(u => fsPathOf(u) == resolvePath(path, f.path).toString))
+    val touched = snap.files.filter(touchedMatcher(touchedFiles))
     val touchedDf = readFiles(snap, touched)
     val updated = touchedDf.where(condition).count()
     val isMatch = coalesce(condition, lit(false))

@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   *   cheap declarative knob that lets a loader batch similar-length
   *   sequences together; no shuffle beyond the aggregation that
   *   reports it.
-  * - `packGreedy`: first-fit greedy packing WITHIN each partition via
+  * - `packGreedy`: NEXT-FIT greedy packing WITHIN each partition via
   *   `mapPartitions` — the legitimate per-partition imperative escape
   *   hatch: packing is inherently sequential/stateful, but it needs no
   *   global state, so each task packs only its own slice and emits
-  *   (pack_id, doc_id, tokens) assignments. Pre-partition by a
-  *   length bucket (or anything) to control what may be packed
-  *   together; pack ids are globally unique (partition id in the high
-  *   bits).
+  *   (pack_id, doc_id, tokens) assignments in one streaming pass with
+  *   O(1) state (next-fit never revisits a closed pack — the
+  *   streaming-friendly trade against first-fit's slightly tighter
+  *   packs). Pre-partition by a length bucket (or anything) to control
+  *   what may be packed together; pack ids are globally unique
+  *   (partition id in the high bits).
   */
 object Packing {
 
@@ -33,10 +35,12 @@ object Packing {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false)))
 
-  /** First-fit greedy packing: iterate a partition's (doc_id, n_tokens)
+  /** Next-fit greedy packing: iterate a partition's (doc_id, n_tokens)
     * rows, open a new pack whenever the current one would exceed
     * `budget`. Documents longer than the budget get a pack of their
-    * own (truncation is the caller's policy decision).
+    * own (truncation is the caller's policy decision). NULL ids or
+    * token counts fail loudly — getLong would silently coerce them to
+    * 0, colliding every null id on doc 0.
     */
   def packGreedy(docs: DataFrame, idCol: String, tokensCol: String, budget: Long): DataFrame = {
     val enc = RowEncoder.encoderFor(PackSchema)
@@ -51,6 +55,9 @@ object Packing {
           override def hasNext: Boolean = rows.hasNext
           override def next(): Row = {
             val r = rows.next()
+            if (r.isNullAt(0) || r.isNullAt(1))
+              throw new IllegalArgumentException(
+                "packGreedy: NULL doc id or token count (filter or impute first)")
             val tokens = r.getLong(1)
             if (!started || used + tokens > budget) {
               packSeq += 1; used = 0L; started = true

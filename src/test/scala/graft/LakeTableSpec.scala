@@ -450,6 +450,35 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[graft.core.UserException](t.cloneShallowTo(dst)) // exists
   }
 
+  test("partitioned shallow clone: DML over mixed borrowed/local files") {
+    val src = tmpTable()
+    val dst = java.nio.file.Paths.get(tmpTable()).resolve("pclone")
+    val t = LakeTable.forPath(spark, src)
+    t.write((1L to 40L).map(i => (i, s"v$i", s"p${i % 2}")).toDF("id", "v", "p"),
+      "append", partitionBy = Seq("p"))
+    val c = t.cloneShallowTo(dst)
+    assert(c.read().where($"p" === "p1").count() == 20)
+    // first merge rewrites borrowed files into local ones
+    c.merge(Seq((1L, "UPD", "p1"), (99L, "NEW", "p1")).toDF("id", "v", "p"), Seq("id"))
+    assert(c.read().count() == 41)
+    // second merge now spans BOTH a borrowed file (p0, still source-
+    // rooted) and a local file (p1 rewrite) — one rewrite set, two
+    // roots; partition values must come from the log, not basePath
+    c.merge(Seq((2L, "U2", "p0"), (1L, "U1", "p1")).toDF("id", "v", "p"), Seq("id"))
+    assert(c.read().where($"id" === 2L).select("v").as[String].head() == "U2")
+    assert(c.read().where($"id" === 1L).select("v").as[String].head() == "U1")
+    assert(c.read().count() == 41)
+    // partition column values survived the mixed-root rewrite
+    assert(c.read().where($"p" === "p0").count() == 20)
+    assert(c.read().where($"id" === 99L).select("p").as[String].head() == "p1")
+    // source never changed
+    assert(t.read().count() == 40)
+    // nested clone destinations are rejected (source vacuum would eat
+    // the clone's own files)
+    intercept[graft.core.UserException](
+      t.cloneShallowTo(java.nio.file.Paths.get(src).resolve("nested")))
+  }
+
   test("restore rewinds state as a new, undoable commit") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)
