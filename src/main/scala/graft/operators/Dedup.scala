@@ -85,9 +85,14 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // Signatures are small (n_docs × k × 32 B); cache so the self-join
-    // doesn't recompute the shingle scan for both sides. A petabyte
-    // pipeline would persist this table (it's the reusable artifact).
+    // The cache is load-bearing: the banding self-join's two sides
+    // stop being plan-identical once the analyzer deduplicates their
+    // attribute ids, so ReuseExchange does NOT unify them — without
+    // the cache both sides recompute the full shingle+md5 scan
+    // (measured 10-15x slower). The cached signatures are
+    // n_docs × k × 8 B; Spark's ContextCleaner reclaims the cache once
+    // the plan becomes unreachable. A pipeline reusing signatures
+    // across queries persists the signature TABLE explicitly instead.
     val signed = minhashSignatures(docs, idCol, textCol, k).cache()
     val buckets = signed.select(col("id"),
       explode(array((0 until bands).map(b =>
