@@ -179,6 +179,23 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     new LakeTable(spark, dest)
   }
 
+  /** DEEP CLONE: independent copy with its own data files, preserving
+    * partitioning, bucketing, and CHECK constraints. Column mapping
+    * does NOT carry — the fresh files are written under logical names,
+    * so the clone starts mapping-free (same observable schema).
+    */
+  def cloneDeepTo(dest: Path): LakeTable = {
+    val snap = snapshot(path)
+    if (tableExists(dest))
+      throw UserException(s"Clone destination already exists: $dest")
+    val t = new LakeTable(spark, dest)
+    t.write(read(), "error",
+      partitionBy = snap.metadata.partitionColumns,
+      bucketBy = bucketingOf(snap))
+    constraintsOf(snap).foreach { case (n, sql) => t.addConstraint(n, sql) }
+    t
+  }
+
   /** Incremental (CDC-style) read: rows APPENDED in versions
     * `(sinceVersion, toVersion]`, each tagged with `_commit_version` —
     * what a downstream pipeline consumes to process only new data

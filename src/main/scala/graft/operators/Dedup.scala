@@ -159,6 +159,24 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
   }
 
+  /** The whole near-dup pipeline applied: MinHash-LSH candidate pairs
+    * → connected components → keep the minimum-id representative of
+    * every cluster. Returns the deduplicated corpus (all columns of
+    * the surviving rows) — the one-call form of the q47/q50 chain.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
+    val keep = ConnectedComponents.labels(docs, idCol, pairs)
+      .where(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
     * returns integer intersection/union sizes (engine-portable; the
     * ratio is a trivial client-side division).

@@ -479,6 +479,49 @@ class LakeTableSpec extends AnyFunSuite {
       t.cloneShallowTo(java.nio.file.Paths.get(src).resolve("nested")))
   }
 
+  test("prefix filters skip files via string min/max stats") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    // three appends with disjoint key prefixes → disjoint string ranges
+    Seq("alpha", "golf", "tango").foreach { pref =>
+      t.write((1 to 50).map(i => (f"$pref-$i%03d", i)).toDF("k", "n").coalesce(1), "append")
+    }
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    assert(t.read().where($"k".startsWith("golf")).count() == 50)
+    assert(filesScanned(t.read().where($"k".startsWith("golf"))) == 1)
+    assert(filesScanned(t.read().where($"k".startsWith("zulu"))) == 0)
+    // correctness guard: prefix straddling a range boundary keeps files
+    assert(t.read().where($"k".startsWith("t")).count() == 50)
+  }
+
+  test("deep clone copies data and carries layout + constraints, not mapping") {
+    val src = tmpTable()
+    val dst = java.nio.file.Paths.get(tmpTable()).resolve("deep")
+    val t = LakeTable.forPath(spark, src)
+    t.write((1L to 100L).map(i => (i, i * 1.5)).toDF("k", "score"), "overwrite",
+      bucketBy = Some(graft.lake.Bucketing(4, Seq("k"))))
+    t.alterRenameColumn("score", "quality") // source is column-mapped
+    t.addConstraint("pos", "quality > 0")
+    val c = t.cloneDeepTo(dst)
+    assert(c.read().count() == 100)
+    assert(c.read().columns.toSeq == Seq("k", "quality"))
+    assert(c.bucketing.contains(graft.lake.Bucketing(4, Seq("k"))))
+    assert(c.constraints.keySet == Set("pos"))
+    // own files: source vacuum cannot hurt the deep clone
+    t.write(Seq((999L, 9.9)).toDF("k", "quality"), "overwrite")
+    t.vacuum()
+    assert(c.read().count() == 100)
+    // constraint carried over and enforces (against the renamed name)
+    intercept[graft.core.UserException](
+      c.write(Seq((5L, -1.0)).toDF("k", "quality"), "append"))
+  }
+
   test("restore rewinds state as a new, undoable commit") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)

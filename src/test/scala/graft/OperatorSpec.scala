@@ -247,6 +247,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- one-call corpus dedup ----------------------------------------------
+
+  test("dedupCorpus keeps exactly the minimum-id representative per cluster") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val deduped = Dedup.dedupCorpus(docs, "doc_id", "text")
+    // survivors = components whose label equals their own id
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
+    val labels = ConnectedComponents.labels(docs, "doc_id", pairs)
+    val expected = labels.where($"id" === $"component").count()
+    assert(deduped.count() == expected)
+    assert(deduped.count() < docs.count()) // the corpus has near-dups
+    assert(deduped.columns.toSeq == docs.columns.toSeq)
+    // no two survivors share a cluster
+    val survivorLabels = deduped.select($"doc_id".as("id")).join(labels, "id")
+    assert(survivorLabels.groupBy("component").count().where($"count" > 1).count() == 0)
+  }
+
   // ---- sequence packing ---------------------------------------------------
 
   test("greedy packing: budget respected, every doc packed exactly once") {
