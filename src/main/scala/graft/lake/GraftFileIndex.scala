@@ -120,21 +120,28 @@ final class GraftFileIndex(
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.exists { case Literal(v, dt) => rangeContains(f, a.name, dt, v, v) }
     case StartsWith(a: AttributeReference, Literal(prefix, StringType)) if prefix != null =>
-      // v.startsWith(p) ⟹ p <= v < nextPrefix(p), where nextPrefix
-      // increments p's last char — so a file misses entirely when
-      // max < p or min >= nextPrefix. (No safe upper bound exists
-      // when the last char is MAX_VALUE; keep the file then.)
-      val p = prefix.asInstanceOf[UTF8String].toString
-      val maxOk = statValue(f.maxValues.get(a.name), StringType)
-        .forall(mx => mx.asInstanceOf[UTF8String].toString >= p)
-      val minOk =
-        if (p.isEmpty || p.last == Character.MAX_VALUE) true
-        else {
-          val nextPrefix = p.init + (p.last + 1).toChar
-          statValue(f.minValues.get(a.name), StringType)
-            .forall(mn => mn.asInstanceOf[UTF8String].toString < nextPrefix)
-        }
-      minOk && maxOk
+      // v.startsWith(p) ⟹ p <= v < nextPrefix(p) under BINARY (UTF-8)
+      // order — which is what parquet/UTF8String min/max use; Java
+      // String order (UTF-16) disagrees beyond ASCII, so pruning only
+      // claims anything for pure-ASCII prefixes (everything else keeps
+      // the file, conservatively).
+      val pStr = prefix.asInstanceOf[UTF8String].toString
+      if (!pStr.forall(c => c < 128)) true
+      else {
+        val ord = ordering(StringType)
+        val pU: Any = UTF8String.fromString(pStr)
+        val maxOk = statValue(f.maxValues.get(a.name), StringType)
+          .forall(mx => ord.gteq(mx, pU))
+        val minOk =
+          if (pStr.isEmpty || pStr.last == 127.toChar) true
+          else {
+            val nextPrefix: Any =
+              UTF8String.fromString(pStr.init + (pStr.last + 1).toChar)
+            statValue(f.minValues.get(a.name), StringType)
+              .forall(mn => ord.lt(mn, nextPrefix))
+          }
+        minOk && maxOk
+      }
     case IsNull(a: AttributeReference) =>
       f.nullCount.get(a.name).forall(_ > 0)
     case IsNotNull(a: AttributeReference) =>
