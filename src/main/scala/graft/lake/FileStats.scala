@@ -104,9 +104,28 @@ object FileStats {
         target.put(col, if (isMin) bs.forall(identity) && bs.nonEmpty && !bs.contains(false)
                         else bs.contains(true))
       case (BINARY, _: StringLogicalTypeAnnotation) =>
-        val ss = values.map(_.asInstanceOf[Binary].toStringUsingUTF8)
-        target.put(col, if (isMin) ss.min else ss.max)
+        // merge chunks in UNSIGNED-byte (UTF-8 binary) order — the
+        // order parquet computed each chunk's min/max in and the order
+        // the skipping evaluator (UTF8String) compares with. Java
+        // String order (UTF-16 code units) diverges beyond the BMP and
+        // can understate a file's max, making an equality probe prune
+        // a file that contains the row.
+        val bs = values.map(_.asInstanceOf[Binary].getBytes)
+        val extreme = bs.reduce((a, b) =>
+          if (isMin == (unsignedCompare(a, b) <= 0)) a else b)
+        target.put(col, new String(extreme, java.nio.charset.StandardCharsets.UTF_8))
       case _ => () // decimals/nested/etc: no min-max stats
     }
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 }

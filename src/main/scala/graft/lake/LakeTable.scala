@@ -154,14 +154,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val snap = snapshot(path)
     if (tableExists(dest))
       throw UserException(s"Clone destination already exists: $dest")
-    // a clone nested inside the source would have its OWN data files
-    // deleted by the source's vacuum (which walks the source dir);
-    // the reverse nesting would make the clone vacuum source data
-    val srcAbs = path.toAbsolutePath.normalize
-    val dstAbs = dest.toAbsolutePath.normalize
-    if (dstAbs.startsWith(srcAbs) || srcAbs.startsWith(dstAbs))
-      throw UserException(
-        s"Clone destination $dest must not nest with the source table $path")
+    assertNotNested(dest)
     val ts = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
     actions += commitInfoAction("CLONE",
@@ -188,12 +181,38 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val snap = snapshot(path)
     if (tableExists(dest))
       throw UserException(s"Clone destination already exists: $dest")
+    assertNotNested(dest)
     val t = new LakeTable(spark, dest)
-    t.write(read(), "error",
+    // data pinned to the SAME snapshot the layout/constraints come
+    // from — read() would take a fresh one and a concurrent commit
+    // could tear the clone (new data under old layout)
+    t.write(read(versionAsOf = snap.version), "error",
       partitionBy = snap.metadata.partitionColumns,
       bucketBy = bucketingOf(snap))
-    constraintsOf(snap).foreach { case (n, sql) => t.addConstraint(n, sql) }
+    // carry CHECK constraints in ONE metadata commit: the copied rows
+    // satisfied them on the source at this snapshot, so re-validating
+    // with addConstraint's full scan (once per constraint) buys nothing
+    val constraints = snap.metadata.configuration
+      .filter(_._1.startsWith(ConstraintPrefix))
+    if (constraints.nonEmpty) {
+      val cs = t.snapshotNow
+      t.commitAlter(cs.version,
+        cs.metadata.copy(configuration = cs.metadata.configuration ++ constraints),
+        "ALTER.AddConstraint", Map("carried" -> constraints.size.toString))
+    }
     t
+  }
+
+  /** Rejects source/destination nesting for clones: vacuum walks a
+    * table's whole directory, so a table nested inside another would
+    * have its data files deleted by the outer table's vacuum.
+    */
+  private def assertNotNested(dest: Path): Unit = {
+    val srcAbs = path.toAbsolutePath.normalize
+    val dstAbs = dest.toAbsolutePath.normalize
+    if (dstAbs.startsWith(srcAbs) || srcAbs.startsWith(dstAbs))
+      throw UserException(
+        s"Clone destination $dest must not nest with the source table $path")
   }
 
   /** Incremental (CDC-style) read: rows APPENDED in versions

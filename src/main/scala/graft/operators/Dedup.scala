@@ -84,16 +84,25 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // The cache is load-bearing: the banding self-join's two sides
     // stop being plan-identical once the analyzer deduplicates their
     // attribute ids, so ReuseExchange does NOT unify them — without
     // the cache both sides recompute the full shingle+md5 scan
-    // (measured 10-15x slower). The cached signatures are
-    // n_docs × k × 8 B; Spark's ContextCleaner reclaims the cache once
-    // the plan becomes unreachable. A pipeline reusing signatures
-    // across queries persists the signature TABLE explicitly instead.
+    // (measured 10-15x slower). The cache is pinned by the session's
+    // CacheManager until unpersist — callers that control the
+    // signatures' lifetime (dedupCorpus below, or a pipeline reusing
+    // them across queries) should build signatures themselves and
+    // unpersist when the candidate pairs are materialized.
     val signed = minhashSignatures(docs, idCol, textCol, k).cache()
+    bandingPairs(signed, k, bands)
+  }
+
+  /** Candidate pairs from already-computed signatures (see
+    * lshCandidatePairs for the banding scheme).
+    */
+  def bandingPairs(signed: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
     val buckets = signed.select(col("id"),
       explode(array((0 until bands).map(b =>
         concat(lit(s"$b:"),
@@ -161,8 +170,13 @@ object Dedup {
 
   /** The whole near-dup pipeline applied: MinHash-LSH candidate pairs
     * → connected components → keep the minimum-id representative of
-    * every cluster. Returns the deduplicated corpus (all columns of
-    * the surviving rows) — the one-call form of the q47/q50 chain.
+    * every cluster. Returns the deduplicated corpus — the surviving
+    * rows with docs' exact schema and column order (left-semi join).
+    *
+    * Owns the signature cache's lifetime: ConnectedComponents.labels
+    * materializes (and lineage-cuts) the pair graph during its
+    * convergence loop, so the signatures unpersist before returning —
+    * repeated calls don't accumulate pinned cache entries.
     */
   def dedupCorpus(
       docs: DataFrame,
@@ -170,11 +184,14 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
-    val keep = ConnectedComponents.labels(docs, idCol, pairs)
-      .where(col("id") === col("component"))
-      .select(col("id").as(idCol))
-    docs.join(keep, idCol)
+    val signed = minhashSignatures(docs, idCol, textCol, k).cache()
+    try {
+      val pairs = bandingPairs(signed, k, bands)
+      val keep = ConnectedComponents.labels(docs, idCol, pairs)
+        .where(col("id") === col("component"))
+        .select(col("id").as(idCol))
+      docs.join(keep, Seq(idCol), "left_semi")
+    } finally signed.unpersist()
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:

@@ -843,16 +843,9 @@ object Queries {
     // keep the minimum-id representative of every near-dup cluster
     // (the keep-set an ingest job anti-joins the corpus against)
     "q50_dedup_apply" -> QueryDef(
-      (s, d) => {
-        val docs = tbl(s, d, "documents")
-        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
-        val labels = ConnectedComponents.labels(docs, "doc_id", pairs)
-        docs.join(
-          labels.where(col("id") === col("component")).select(col("id").as("doc_id")),
-          "doc_id")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_kept"))
-      },
+      (s, d) => Dedup.dedupCorpus(tbl(s, d, "documents"), "doc_id", "text", k = 8, bands = 4)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept")),
       Some {
         val mh = (0 until 8).map(j =>
           s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
