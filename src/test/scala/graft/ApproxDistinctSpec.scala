@@ -59,4 +59,28 @@ class ApproxDistinctSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.graft.approxDistinct")
     }
   }
+
+  test("flag on: grouping-set aggregates (ROLLUP) rewrite and stay correct") {
+    withRule {
+      spark.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        val rows = (1L to 3000L).map(i => (i % 3, i % 5, i % 211))
+        val df = rows.toDF("a", "b", "u")
+        val got = df.rollup("a", "b").agg(countDistinct($"u").as("d"))
+        assert(got.queryExecution.optimizedPlan.toString.contains("graft_theta_distinct"))
+        val truth = rows.groupBy(r => (r._1, r._2))
+          .view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+        got.collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val ex = truth((r.getLong(0), r.getLong(1)))
+            assert(math.abs(r.getLong(2) - ex) <= math.max(2L, ex / 50))
+          }
+        }
+        // grand total row present and ~exact
+        val total = got.collect().find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2)
+        val exAll = rows.map(_._3).distinct.size.toLong
+        assert(math.abs(total - exAll) <= math.max(2L, exAll / 50))
+      } finally spark.conf.unset("spark.graft.approxDistinct")
+    }
+  }
 }

@@ -85,6 +85,17 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Seq((2L, "b", cursor + 1)))
   }
 
+  test("changes() on a bucketed table tags appended rows correctly") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), "overwrite",
+      bucketBy = Some(graft.lake.Bucketing(4, Seq("k"))))
+    val cursor = t.version
+    t.write((51L to 60L).map(i => (i, s"v$i")).toDF("k", "v"), "append")
+    val got = t.changes(cursor).select("k").as[Long].collect().toSeq.sorted
+    assert(got == (51L to 60L))
+  }
+
   test("merge rewrites surface as re-adds (documented copy-on-write semantics)") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
