@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Config-driven corpus quality filtering — the C4/RefinedWeb-shaped
+  * cleaning pass every pretraining pipeline runs before dedup.
+  *
+  * Each rule compiles to a codegen'd column predicate and the whole
+  * config folds into ONE conjunction evaluated scan-side: a quality
+  * pass over 100 TB is a single map-only scan with no shuffle, no
+  * UDFs, and column pruning intact (only the columns the enabled
+  * rules touch are read). Disabled rules (None) cost nothing — they
+  * never enter the predicate.
+  */
+object QualityFilters {
+
+  /** All thresholds optional: None disables the rule. */
+  final case class FilterConfig(
+      minChars: Option[Int] = None,
+      maxChars: Option[Int] = None,
+      minWords: Option[Int] = None,
+      maxWords: Option[Int] = None,
+      maxPunctRatio: Option[Double] = None,     // punct chars / text chars
+      minMeanWordLen: Option[Double] = None,
+      maxMeanWordLen: Option[Double] = None,
+      minUniqueWordRatio: Option[Double] = None, // distinct words / words
+      langAllow: Seq[String] = Nil)              // empty = all languages
+
+  /** The combined keep-predicate for `config` over (textCol, langCol). */
+  def predicate(config: FilterConfig, text: Column, lang: Column): Column = {
+    val words = TextAnalysis.words(text)
+    val nWords = size(words)
+    val rules = Seq(
+      config.minChars.map(v => length(text) >= v),
+      config.maxChars.map(v => length(text) <= v),
+      config.minWords.map(v => nWords >= v),
+      config.maxWords.map(v => nWords <= v),
+      config.maxPunctRatio.map(v =>
+        TextAnalysis.punctCount(text).cast("double") / length(text) <= v),
+      config.minMeanWordLen.map(v =>
+        length(text).cast("double") / nWords >= v),
+      config.maxMeanWordLen.map(v =>
+        length(text).cast("double") / nWords <= v),
+      config.minUniqueWordRatio.map(v =>
+        size(array_distinct(words)).cast("double") / nWords >= v),
+      if (config.langAllow.isEmpty) None
+      else Some(lang.isin(config.langAllow.map(l => l: Any): _*)),
+    ).flatten
+    rules.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  def apply(docs: DataFrame, textCol: String, langCol: String,
+      config: FilterConfig): DataFrame =
+    docs.where(predicate(config, col(textCol), col(langCol)))
+}

@@ -908,6 +908,31 @@ object Queries {
              |MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // config-driven quality filtering (the C4-style cleaning pass):
+    // every enabled rule folds into ONE scan-side conjunction — a
+    // quality pass is a map-only scan, never a shuffle
+    "q54_quality_filter" -> QueryDef(
+      (s, d) => QualityFilters(
+        tbl(s, d, "documents"), "text", "lang",
+        QualityFilters.FilterConfig(
+          minChars = Some(120), maxChars = Some(520),
+          minWords = Some(15),
+          maxPunctRatio = Some(0.08),
+          minUniqueWordRatio = Some(0.5),
+          langAllow = Seq("en", "fr", "de")))
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH m AS (SELECT doc_id, lang, text,
+             |  len(string_split_regex(text, '\s+')) AS n_words,
+             |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
+             |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id, lang FROM m
+             |WHERE length(text) >= 120 AND length(text) <= 520
+             |  AND n_words >= 15
+             |  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.08
+             |  AND CAST(n_uniq AS DOUBLE) / n_words >= 0.5
+             |  AND lang IN ('en', 'fr', 'de')""".stripMargin)),
+
     // incremental-distinct maintenance shape: per-day theta sketches
     // (the storable summary an ingest job appends) unioned per event
     // type — distinct users over any slice without rescanning raw data

@@ -247,6 +247,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  // ---- quality filtering --------------------------------------------------
+
+  test("quality filters: rules compose, disabled rules cost nothing") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old riverbank today", "en"),
+      (2L, "a b", "en"),                        // too few words
+      (3L, "!!! ??? *** !!! ??? *** !!! ???", "en"), // punct-heavy
+      (4L, "word word word word word word word word word word word word word word word", "en"), // low diversity
+      (5L, "der schnelle braune fuchs springt heute ueber den faulen hund am alten flussufer", "xx"), // lang
+    ).toDF("doc_id", "text", "lang")
+    val cfg = QualityFilters.FilterConfig(
+      minWords = Some(10), maxPunctRatio = Some(0.1),
+      minUniqueWordRatio = Some(0.5), langAllow = Seq("en", "de"))
+    val kept = QualityFilters(docs, "text", "lang", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // empty config keeps everything (predicate folds to true)
+    val all = QualityFilters(docs, "text", "lang", QualityFilters.FilterConfig())
+    assert(all.count() == 5)
+    // the predicate is a single scan-side Filter — no exchange, no UDF
+    val plan = QualityFilters(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "text", "lang", cfg).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+
   // ---- one-call corpus dedup ----------------------------------------------
 
   test("dedupCorpus keeps exactly the minimum-id representative per cluster") {
