@@ -27,10 +27,18 @@ object QualityFilters {
       minUniqueWordRatio: Option[Double] = None, // distinct words / words
       langAllow: Seq[String] = Nil)              // empty = all languages
 
-  /** The combined keep-predicate for `config` over (textCol, langCol). */
+  /** The combined keep-predicate for `config` over (textCol, langCol).
+    * Word rules tokenize TRIMMED text (a padded doc must not count
+    * leading/trailing whitespace as an extra empty "word"), and mean
+    * word length sums actual token lengths — `length(text)/nWords`
+    * would count the separators and overestimate by ~1.
+    */
   def predicate(config: FilterConfig, text: Column, lang: Column): Column = {
-    val words = TextAnalysis.words(text)
+    val words = TextAnalysis.words(trim(text))
     val nWords = size(words)
+    lazy val meanWordLen =
+      aggregate(transform(words, w => length(w)), lit(0), _ + _)
+        .cast("double") / nWords
     val rules = Seq(
       config.minChars.map(v => length(text) >= v),
       config.maxChars.map(v => length(text) <= v),
@@ -38,10 +46,8 @@ object QualityFilters {
       config.maxWords.map(v => nWords <= v),
       config.maxPunctRatio.map(v =>
         TextAnalysis.punctCount(text).cast("double") / length(text) <= v),
-      config.minMeanWordLen.map(v =>
-        length(text).cast("double") / nWords >= v),
-      config.maxMeanWordLen.map(v =>
-        length(text).cast("double") / nWords <= v),
+      config.minMeanWordLen.map(v => meanWordLen >= v),
+      config.maxMeanWordLen.map(v => meanWordLen <= v),
       config.minUniqueWordRatio.map(v =>
         size(array_distinct(words)).cast("double") / nWords >= v),
       if (config.langAllow.isEmpty) None

@@ -922,8 +922,8 @@ object Queries {
           langAllow = Seq("en", "fr", "de")))
         .select(col("doc_id"), col("lang")),
       Some("""WITH m AS (SELECT doc_id, lang, text,
-             |  len(string_split_regex(text, '\s+')) AS n_words,
-             |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq,
              |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
              |  FROM documents)
              |SELECT doc_id, lang FROM m

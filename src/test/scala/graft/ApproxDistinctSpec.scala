@@ -70,14 +70,15 @@ class ApproxDistinctSpec extends AnyFunSuite {
         assert(got.queryExecution.optimizedPlan.toString.contains("graft_theta_distinct"))
         val truth = rows.groupBy(r => (r._1, r._2))
           .view.mapValues(_.map(_._3).distinct.size.toLong).toMap
-        got.collect().foreach { r =>
+        val collected = got.collect()
+        collected.foreach { r =>
           if (!r.isNullAt(0) && !r.isNullAt(1)) {
             val ex = truth((r.getLong(0), r.getLong(1)))
             assert(math.abs(r.getLong(2) - ex) <= math.max(2L, ex / 50))
           }
         }
         // grand total row present and ~exact
-        val total = got.collect().find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2)
+        val total = collected.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2)
         val exAll = rows.map(_._3).distinct.size.toLong
         assert(math.abs(total - exAll) <= math.max(2L, exAll / 50))
       } finally spark.conf.unset("spark.graft.approxDistinct")

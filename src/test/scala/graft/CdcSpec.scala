@@ -92,8 +92,9 @@ class CdcSpec extends AnyFunSuite {
       bucketBy = Some(graft.lake.Bucketing(4, Seq("k"))))
     val cursor = t.version
     t.write((51L to 60L).map(i => (i, s"v$i")).toDF("k", "v"), "append")
-    val got = t.changes(cursor).select("k").as[Long].collect().toSeq.sorted
-    assert(got == (51L to 60L))
+    val got = t.changes(cursor).select("k", "_commit_version")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == (51L to 60L).map(i => (i, cursor + 1)))
   }
 
   test("merge rewrites surface as re-adds (documented copy-on-write semantics)") {
