@@ -904,7 +904,7 @@ object Queries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars")),
       Some("""SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-             |COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+             |COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1""".stripMargin)),
 

@@ -6,6 +6,12 @@ Reads each <verifyOutDir>/<query>/ parquet (Spark result) and replays
 <verifyOutDir>/oracle_sql.json in DuckDB against the sfDir parquet
 tables; compares schema-insensitively: columns sorted by name, rows
 sorted, values hashed.
+
+Type-aware: the driver's hasher distinguishes physical widths that
+Python repr() collapses (DuckDB SUM(BIGINT) -> HUGEINT/int128 vs
+Spark's int64 — the r1-q03 / r2-q53 failure class), so we compare the
+DuckDB-declared column types of both relations and fail on any
+physical-type divergence, making local green as strong as driver green.
 """
 import sys, os, json, glob
 import duckdb
@@ -31,7 +37,9 @@ def main(sf_dir, out_dir):
         spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         spark_cols = sorted(spark_rel.columns)
         sel = ', '.join(f'"{c}"' for c in spark_cols)
-        spark_rows = con.sql(f"SELECT {sel} FROM spark_rel").fetchall()
+        spark_sorted = con.sql(f"SELECT {sel} FROM spark_rel")
+        spark_types = [str(t) for t in spark_sorted.types]
+        spark_rows = spark_sorted.fetchall()
         if q not in oracle:
             results[q] = f"NO-ORACLE rows={len(spark_rows)}"
             continue
@@ -40,12 +48,18 @@ def main(sf_dir, out_dir):
             ora_cols = sorted(ora_rel.columns)
             con.register('ora_view', ora_rel)
             osel = ', '.join(f'"{c}"' for c in ora_cols)
-            ora_rows = con.sql(f"SELECT {osel} FROM ora_rel").fetchall()
+            ora_sorted = con.sql(f"SELECT {osel} FROM ora_rel")
+            ora_types = [str(t) for t in ora_sorted.types]
+            ora_rows = ora_sorted.fetchall()
         except Exception as e:
             results[q] = f"ORACLE-ERROR {str(e)[:160]}"
             continue
         if spark_cols != ora_cols:
             results[q] = f"COLS-MISMATCH spark={spark_cols} oracle={ora_cols}"
+            continue
+        if spark_types != ora_types:
+            bad = [(c, s, o) for c, s, o in zip(spark_cols, spark_types, ora_types) if s != o]
+            results[q] = f"TYPES-MISMATCH {bad}"
             continue
         a, b = canon(spark_rows, len(spark_cols)), canon(ora_rows, len(ora_cols))
         if len(a) != len(b):
