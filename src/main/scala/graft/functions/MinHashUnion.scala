@@ -31,8 +31,11 @@ class MinHashUnion(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]]
 
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
+  // ExpressionEncoder, not javaSerialization: the buffer crosses the
+  // wire on every map-side partial merge — Tungsten's UnsafeArrayData
+  // long[] codec beats Java ser/de by an order of magnitude there
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

@@ -84,17 +84,24 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // The cache is load-bearing: the banding self-join's two sides
-    // stop being plan-identical once the analyzer deduplicates their
-    // attribute ids, so ReuseExchange does NOT unify them — without
-    // the cache both sides recompute the full shingle+md5 scan
-    // (measured 10-15x slower). The cache is pinned by the session's
-    // CacheManager until unpersist — callers that control the
-    // signatures' lifetime (dedupCorpus below, or a pipeline reusing
-    // them across queries) should build signatures themselves and
-    // unpersist when the candidate pairs are materialized.
+    // The signature cache is load-bearing: the banding self-join's two
+    // sides stop being plan-identical once the analyzer deduplicates
+    // their attribute ids, so ReuseExchange does NOT unify them —
+    // without the cache both sides recompute the full shingle+md5 scan
+    // (measured 10-15x slower). But Dataset.cache() entries are pinned
+    // by the session's CacheManager (GC never reclaims them), so this
+    // method OWNS the lifetime: it eagerly materializes the pairs via
+    // localCheckpoint — RDD-persisted, lineage-cut, and reclaimed by
+    // the ContextCleaner once the returned frame is unreferenced —
+    // then releases the signature cache before returning. Repeated
+    // calls leave the CacheManager empty (asserted by OperatorSpec).
+    // Callers that want to reuse the signatures across several
+    // downstream queries should instead build minhashSignatures()
+    // themselves, cache, call bandingPairs, and unpersist when done
+    // (the dedupCorpus pattern below).
     val signed = minhashSignatures(docs, idCol, textCol, k).cache()
-    bandingPairs(signed, k, bands)
+    try bandingPairs(signed, k, bands).localCheckpoint()
+    finally signed.unpersist()
   }
 
   /** Candidate pairs from already-computed signatures (see
@@ -194,24 +201,55 @@ object Dedup {
     } finally signed.unpersist()
   }
 
+  /** Exact set-overlap counts for candidate pairs, computed with the
+    * scale-safe exploded-hash plan: element sets explode to
+    * fixed-width (id, 60-bit md5 hash) rows, the pair join matches
+    * hashes on the (id_b, h) key, and a partial-aggregating
+    * groupBy(pair) counts intersections — so shuffle bytes are
+    * ∝ set cardinality × 16 B, never element size × pair fan-out, and
+    * no array column ever crosses an exchange. (The naive plan — join
+    * pairs against per-id array columns and array_intersect per pair —
+    * ships whole documents through the shuffle and is O(n·m) per
+    * pair.)
+    *
+    * `sets` must have columns (id, elems: array<string>) with elems
+    * already distinct per id and non-empty. Pairs with empty
+    * intersection are preserved (n_inter = 0). The 60-bit hash makes
+    * the counts exact up to md5-prefix collisions — vanishing at any
+    * realistic set size, and off-by-one at worst.
+    */
+  def setOverlap(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    val ex = sets.select(col("id"), explode(col("elems")).as("e"))
+      .select(col("id"),
+        conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long").as("h"))
+    val counts = ex.groupBy("id").agg(count(lit(1)).cast("int").as("n"))
+    val inter = pairs
+      .join(ex.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).cast("int").as("n_inter"))
+    pairs
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter"), lit(0)).as("n_inter"),
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0))).as("n_union"))
+  }
+
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
     * returns integer intersection/union sizes (engine-portable; the
-    * ratio is a trivial client-side division).
+    * ratio is a trivial client-side division). Delegates to the
+    * exploded-hash setOverlap plan — shingle arrays never shuffle.
     */
   def shingleOverlap(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      pairs: DataFrame): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol))).as("sh_set"))
-    pairs
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).as("n_inter"),
-        size(array_union(col("set_a"), col("set_b"))).as("n_union"))
-  }
+      pairs: DataFrame): DataFrame =
+    setOverlap(
+      docs.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol))).as("elems")),
+      pairs)
 
   /** Character n-gram set of a text column (the char-level complement
     * to word shingles — robust to tokenization differences, the usual

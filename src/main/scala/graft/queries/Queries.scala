@@ -699,16 +699,16 @@ object Queries {
     "q45_char_ngram" -> QueryDef(
       (s, d) => {
         val docs = tbl(s, d, "documents")
-          .withColumn("cg", Dedup.charNgrams(col("text"), 4))
-        val a = docs.where(col("doc_id") % 53 === 0)
-          .select(col("doc_id").as("id_a"), col("cg").as("cg_a"))
-        val b = docs.where(col("doc_id") % 59 === 0)
-          .select(col("doc_id").as("id_b"), col("cg").as("cg_b"))
-        a.crossJoin(b).where(col("id_a") < col("id_b"))
+        val pairs = docs.where(col("doc_id") % 53 === 0).select(col("doc_id").as("id_a"))
+          .crossJoin(docs.where(col("doc_id") % 59 === 0).select(col("doc_id").as("id_b")))
+          .where(col("id_a") < col("id_b"))
+        Dedup.setOverlap(
+          docs.select(col("doc_id").as("id"),
+            Dedup.charNgrams(col("text"), 4).as("elems")),
+          pairs)
           .select(col("id_a"), col("id_b"),
-            size(array_intersect(col("cg_a"), col("cg_b"))).cast("long").as("n_inter"),
-            (size(col("cg_a")) + size(col("cg_b")) -
-              size(array_intersect(col("cg_a"), col("cg_b")))).cast("long").as("n_union"))
+            col("n_inter").cast("long").as("n_inter"),
+            col("n_union").cast("long").as("n_union"))
       },
       Some("""WITH g AS (SELECT doc_id, list_distinct(CASE WHEN length(text) < 4 THEN [text]
              |  ELSE list_transform(generate_series(1, length(text) - 3), i -> substr(text, i, 4)) END) AS cg

@@ -57,6 +57,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("lshCandidatePairs owns its cache: CacheManager empty after the call") {
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
+    // the signature cache must be released by the time the call
+    // returns (pairs were eagerly materialized) — a long-lived session
+    // calling this repeatedly must not accumulate pinned entries
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "lshCandidatePairs leaked a pinned cache entry")
+    assert(pairs.count() > 0) // and the result is still usable
+  }
+
   test("simhash: identical docs equal; near-dups close in hamming") {
     val sh = Dedup.simhashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -75,6 +86,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(out((1L, 4L))._1 == out((1L, 4L))._2) // identical sets
     val (i12, u12) = out((1L, 2L))
     assert(i12 == 6 && u12 == 8) // 7 shingles each, 6 shared
+  }
+
+  test("set overlap preserves zero-intersection pairs (n_inter = 0)") {
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b") // disjoint shingle sets
+    val out = Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(out.length == 1)
+    assert(out(0)._3 == 0)
+    assert(out(0)._4 == 12) // 7 + 5 disjoint shingles
   }
 
   // ---- text analysis ------------------------------------------------------

@@ -34,9 +34,45 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q10_pricing_summary")
     assert(p.contains("partial_sum"))
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
-    // minhash signature agg must stay hash-based (longs, not strings)
-    val m = plan("q21_dedup_minhash")
+    // minhash signature agg must stay hash-based (longs, not strings).
+    // q21's public path eagerly checkpoints (its executed plan is a
+    // scan of the materialized pairs), so assert on the underlying
+    // signature+banding pipeline the way dedupCorpus composes it.
+    val spark0 = spark
+    val docs = spark0.read.parquet(s"$dir/documents.parquet")
+    val m = operators.Dedup.bandingPairs(
+      operators.Dedup.minhashSignatures(docs, "doc_id", "text", 8), 8, 4)
+      .queryExecution.executedPlan.toString
     assert(m.contains("partial_min") && !m.contains("SortAggregate"))
+  }
+
+  test("set overlap never ships element arrays through an exchange") {
+    val spark0 = spark
+    import org.apache.spark.sql.functions._
+    val docs = spark0.read.parquet(s"$dir/documents.parquet")
+    val pairs = docs.where(col("doc_id") % 37 === 0).select(col("doc_id").as("id_a"))
+      .crossJoin(docs.where(col("doc_id") % 41 === 0).select(col("doc_id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    // AQE wraps the plan in AdaptiveSparkPlanExec (no visible
+    // children), so disable it for this structural inspection
+    val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
+    spark0.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = operators.Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+        .queryExecution
+      val p = qe.executedPlan.toString
+      // intersection counts are partial-aggregated on the pair key...
+      assert(p.contains("partial_count"), p.take(600))
+      // ...and every exchange carries only fixed-width columns — the
+      // shingle arrays are exploded to 60-bit hashes before any shuffle
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.types.ArrayType
+      val exchanges = qe.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges)
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"array column crosses exchange: ${e.output.map(a => a.name -> a.dataType)}")
+    } finally spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("top-k under total order uses the group-limit pushdown, not a full sort") {
