@@ -53,6 +53,26 @@ final case class Destination(
     bucketSortBy: Seq[String] = Nil,
 )
 
+/** Secret-valued parameters (`#`-prefixed in config.json,
+  * /root/reference/src/configuration.py:41-48). A dedicated type whose
+  * toString is redacted, so a Config accidentally reaching a log line
+  * can never leak credential material (the reference redacts at the
+  * query-log site, component.py:282 — here the type makes the
+  * redaction structural).
+  */
+final case class Secrets(
+    unityCatalogToken: String = "",
+    absSasToken: String = "",
+    awsKeySecret: String = "",
+    gcpServiceAccountKey: String = "",
+) {
+  override def toString: String = {
+    def m(s: String) = if (s.isEmpty) "\"\"" else "\"--SENSITIVE--\""
+    s"Secrets(${m(unityCatalogToken)}, ${m(absSasToken)}, " +
+      s"${m(awsKeySecret)}, ${m(gcpServiceAccountKey)})"
+  }
+}
+
 final case class Config(
     destination: Destination = Destination(),
     accessMethod: AccessMethod.Value = AccessMethod.DirectStorage,
@@ -62,6 +82,15 @@ final case class Config(
     threads: Int = 1,
     maxMemoryMb: Int = 256,
     keepStage: Boolean = false,
+    /** Storage provider for direct_storage access: "abs" | "s3" | "gcs"
+      * (/root/reference/src/component.py:308-330). Empty = local paths.
+      */
+    provider: String = "",
+    unityCatalogUrl: String = "",
+    absAccountName: String = "",
+    awsRegion: String = "",
+    awsKeyId: String = "",
+    secrets: Secrets = Secrets(),
 ) {
 
   /** Mode gate for external / direct-storage writes

@@ -20,8 +20,21 @@ final case class TableDef(
     columns: Seq[String],
     baseTypes: Map[String, String],
     primaryKey: Seq[String],
-    csvPath: Option[String] = None,
+    /** All data files of the table. One element for a plain CSV;
+      * many for a Keboola SLICED table, where the manifest's data
+      * "file" is a directory of headerless chunks (the reference reads
+      * the resolved slice-URL list in one read_csv call,
+      * /root/reference/src/component.py:274-279).
+      */
+    dataPaths: Seq[String] = Nil,
+    /** True when the data came from a slice directory — slices never
+      * carry a header row.
+      */
+    sliced: Boolean = false,
 ) {
+  /** Single-file accessor kept for the common unsliced case. */
+  def csvPath: Option[String] = dataPaths.headOption
+
   def baseTypeOf(col: String): String = baseTypes.getOrElse(col, "STRING")
 
   /** Target Spark schema in manifest column order. */
@@ -63,9 +76,18 @@ object TableDef {
           c -> e.get("value").asText
       }
     }.toMap
-    val dataFile = manifestPath.toString.stripSuffix(".manifest")
-    TableDef(name, columns, baseTypes, pk,
-      csvPath = if (Files.exists(Paths.get(dataFile))) Some(dataFile) else None)
+    val dataFile = Paths.get(manifestPath.toString.stripSuffix(".manifest"))
+    // sliced table: the "data file" is a directory of headerless
+    // chunks — resolve every slice (sorted for determinism; Spark
+    // parallelizes across all of them in one read)
+    val (paths, sliced) =
+      if (Files.isDirectory(dataFile))
+        (Files.list(dataFile).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(_.toString).toSeq.sorted, true)
+      else if (Files.exists(dataFile)) (Seq(dataFile.toString), false)
+      else (Nil, false)
+    TableDef(name, columns, baseTypes, pk, dataPaths = paths, sliced = sliced)
   }
 
   /** Lists table defs in a Keboola datadir (`$dir/in/tables/<t>.manifest`),

@@ -36,9 +36,11 @@ object Runner {
     TableDef.validateInputShape(tables, files)
     if (tables.nonEmpty) {
       val t = tables.head
-      val csv = t.csvPath.getOrElse(
-        throw UserException(s"Input table ${t.name} has no data file"))
-      val staged = StagedCsv.read(spark, t, Seq(csv), hasHeader = csvHasHeader)
+      if (t.dataPaths.isEmpty)
+        throw UserException(s"Input table ${t.name} has no data file")
+      // sliced chunks are headerless regardless of the caller's flag
+      val staged = StagedCsv.read(spark, t, t.dataPaths,
+        hasHeader = csvHasHeader && !t.sliced)
       StageCast.fromStaging(staged, t)
     } else {
       StagedCsv.readParquet(spark, files)
