@@ -25,6 +25,37 @@ import org.apache.spark.sql.types.StructType
   * Options: `path` (required), `versionAsOf`/`timestampAsOf` (read), `partitionBy`,
   * `mergeSchema`, `compression` (write).
   */
+object DefaultSource {
+  import org.apache.spark.sql.{functions => F, Column}
+  import org.apache.spark.sql.sources._
+
+  /** V1 source Filter → Column, for pushing the outer query's
+    * predicates into the column-mapped read. Unsupported shapes return
+    * None — safe, because the relation never claims filters handled
+    * and Spark re-applies all of them above the scan.
+    */
+  private[graft] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(F.col(a) === v)
+    case EqualNullSafe(a, v)      => Some(F.col(a) <=> v)
+    case GreaterThan(a, v)        => Some(F.col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= v)
+    case LessThan(a, v)           => Some(F.col(a) < v)
+    case LessThanOrEqual(a, v)    => Some(F.col(a) <= v)
+    case In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(F.col(a).isNull)
+    case IsNotNull(a)             => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
+    case StringContains(a, v)     => Some(F.col(a).contains(v))
+    case And(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl && cr
+    case Or(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl || cr
+    case Not(c) => filterToColumn(c).map(!_)
+    case _      => None
+  }
+}
+
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
 
@@ -118,14 +149,29 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       .exists(_.startsWith("graft.mapping."))
     if (renamed) {
       // Column-mapped tables need the logical→physical projection that
-      // a bare BaseRelation cannot express; serve the LakeTable read
-      // (still log-pruned and stats-skipped inside) through a TableScan.
+      // a HadoopFsRelation cannot express. Serve them through
+      // PrunedFilteredScan: Spark hands us the required columns and
+      // pushable filters in LOGICAL names; applying them to the
+      // LakeTable read (an alias projection over the physical scan)
+      // lets Catalyst push both through the rename into the parquet
+      // source — column pruning, pushed filters, and the file index's
+      // stats skipping all survive. Filters are re-applied above by
+      // Spark (we don't claim them handled), so semantics are exact.
       val ctx = sqlContext
-      val df = new LakeTable(spark, table).read(version)
-      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      val lakeRead = () => new LakeTable(spark, table).read(version)
+      val fullSchema = lakeRead().schema
+      new BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
         override def sqlContext: SQLContext = ctx
-        override def schema: StructType = df.schema
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+        override def schema: StructType = fullSchema
+        override def buildScan(
+            requiredColumns: Array[String],
+            filters: Array[org.apache.spark.sql.sources.Filter])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val base = filters.flatMap(DefaultSource.filterToColumn)
+            .foldLeft(lakeRead())(_ where _)
+          // empty requiredColumns (COUNT(*)-style) => zero-field rows
+          base.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
+        }
       }
     } else {
       // no column mapping ⇒ physical == logical; serve the shared

@@ -232,8 +232,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val snap = snapshot(path, to)
     val schema = snap.schema
     val mapping = mappingOf(snap)
+    // The same data-file path can be added more than once in the range
+    // (RESTORE re-adds files an earlier commit in range also added);
+    // scanning it twice AND looking it up twice would multiply its
+    // rows. Keep only the LATEST in-range add per path — the rows are
+    // identical, the commit version is the most recent introduction.
     val versioned: Seq[(Long, AddFile)] = addsBetween(path, sinceVersion + 1, to)
       .flatMap { case (v, adds) => adds.filter(_.dataChange).map(v -> _) }
+      .groupBy { case (_, f) => f.path }
+      .values.map(_.maxBy(_._1))
+      .toSeq.sortBy(_._1)
     val outSchema = StructType(schema.fields :+
       StructField("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
     if (versioned.isEmpty)
@@ -639,7 +647,33 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     // re-validate constraints against whatever a winning concurrent
     // commit recorded before retrying our append on top of it
     val recheck = () => enforceConstraints(aligned, snapshot(path))
+    // what this write planned its metadata emission against — compared
+    // per attempt below so a retried append can never re-emit stale
+    // metadata over concurrent DDL
+    val plannedBase = existing.map(s =>
+      (s.schema, s.metadata.partitionColumns, s.metadata.configuration))
     commitWithRetry(retryable = normalized == "append", onRetry = recheck) { version =>
+      testCommitAttemptHook(version)
+      // A lost race may have committed concurrent DDL (constraint,
+      // column mapping, bucketing change): our `meta`/`config` were
+      // derived from the pre-race snapshot, so re-emitting them would
+      // silently drop the winner's metadata. Verify the snapshot this
+      // attempt lands on still matches what we planned against and
+      // fail with the same conflict type tryCommit races surface.
+      if (version > 0L) {
+        val cur = snapshot(path, version - 1)
+        val curBase = (cur.schema, cur.metadata.partitionColumns, cur.metadata.configuration)
+        plannedBase match {
+          case None =>
+            throw new java.util.ConcurrentModificationException(
+              s"Table $path was created concurrently with this write")
+          case Some(p) if p != curBase =>
+            throw new java.util.ConcurrentModificationException(
+              s"Concurrent metadata change on $path during write " +
+                "(schema, partitioning, or configuration diverged); re-run the write")
+          case _ => ()
+        }
+      }
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction(
         if (normalized == "overwrite") "WRITE.Overwrite" else "WRITE.Append",
@@ -896,6 +930,13 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * state the winning commit may have changed (e.g. a constraint
     * added between our validation and our commit).
     */
+  /** Test seam: invoked at the start of every write commit attempt
+    * with the version it targets, so specs can inject a concurrent
+    * commit between planning and committing and exercise the retry
+    * paths deterministically. No-op in production.
+    */
+  private[graft] var testCommitAttemptHook: Long => Unit = _ => ()
+
   private def commitWithRetry(
       retryable: Boolean,
       onRetry: () => Unit = () => ())(

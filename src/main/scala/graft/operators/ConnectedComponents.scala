@@ -66,8 +66,21 @@ object ConnectedComponents {
   def labels(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     val hasCkptDir = spark.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (hasCkptDir) df.checkpoint() else df.localCheckpoint()
+    // Lineage cut with an explicit release handle: each round persists
+    // ONE RDD instance and unpersists the superseded round once the
+    // next is materialized — a 20-round run pins one edge set, not 20.
+    // (persist keeps lineage as an eviction fallback, which
+    // localCheckpoint would not; the final round's blocks are released
+    // by the ContextCleaner when the returned frame is dropped.)
+    // Reliable checkpoints (cluster setting) clean via
+    // spark.cleaner.referenceTracking.cleanCheckpoints.
+    def cut(df: DataFrame): (DataFrame, () => Unit) =
+      if (hasCkptDir) (df.checkpoint(), () => ())
+      else {
+        val rdd = df.rdd
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        (spark.createDataFrame(rdd, df.schema), () => { rdd.unpersist(blocking = false); () })
+      }
 
     val Seq(ea, eb) = edges.columns.take(2).toSeq
     // ids are contracted as longs; a silent cast would null out
@@ -83,7 +96,7 @@ object ConnectedComponents {
             s"ConnectedComponents requires integral ids; column ${f.name} is " +
               s"${f.dataType.simpleString} (hash it to a long first)")
       }
-    var e = cut(edges.select(col(ea).cast("long").as("u"), col(eb).cast("long").as("v"))
+    var (e, release) = cut(edges.select(col(ea).cast("long").as("u"), col(eb).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct())
     // Convergence = identical edge set across a round. Both sides are
     // distinct (u,v) sets, so compare a one-pass fingerprint
@@ -98,14 +111,25 @@ object ConnectedComponents {
     var sig = fingerprint(e)
     var converged = sig._1 == 0L
     var rounds = 0
-    while (!converged && rounds < 50) {
-      val next = cut(smallStar(largeStar(e)))
-      val nextSig = fingerprint(next)
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val (next, releaseNext) = cut(smallStar(largeStar(e)))
+      val nextSig = fingerprint(next) // materializes `next`
+      release()                       // superseded round's blocks freed
+      release = releaseNext
       converged = nextSig == sig
       sig = nextSig
       e = next
       rounds += 1
     }
+    // Star-contraction provably converges in O(log² n) rounds; hitting
+    // the cap means something is structurally wrong (or a graph beyond
+    // any practical size) — returning unconverged labels would be
+    // silently WRONG components, so fail instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxRounds rounds " +
+          s"(${sig._1} edges remain); labels would be unreliable")
     // After convergence small-star output is a star per component:
     // u → component min. Isolated vertices keep their own id.
     val verts = vertices.select(col(idCol).cast("long").as("id")).distinct()

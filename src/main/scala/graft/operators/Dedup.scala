@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Rebalances a narrow input ahead of a CPU-heavy map stage. A
+    * small table often scans as ONE partition (a single parquet row
+    * group cannot be split), which would serialize the per-shingle
+    * hashing on one core no matter how many the session has. When the
+    * scan's parallelism is far below the session default, pay one
+    * shuffle of the raw rows to unlock it; on a real multi-file table
+    * (100 TB: thousands of scan partitions) the condition is false and
+    * this is a no-op — no extra shuffle at scale.
+    */
+  private[operators] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+  }
+
   /** Exact dedup summary: one row per distinct text with the kept
     * (minimum) id and the duplicate count. Group key is md5(text) —
     * at 100 TB you shuffle 16-byte digests, not documents.
@@ -68,7 +82,8 @@ object Dedup {
     * times; measured 10× slower.)
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+    val in = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+    val sh = in.select(col("id"), explode(shingles(col("t"))).as("s"))
     val aggs = (0 until k).map(j => min(minhashHash(col("s"), j)).as(s"mh$j"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -144,8 +159,8 @@ object Dedup {
     * keeps the shuffle at 32 longs per doc.
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = docs.select(col(idCol).as("id"),
-      explode(TextAnalysis.words(col(textCol))).as("w"))
+    val w = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(TextAnalysis.words(col("t"))).as("w"))
       .withColumn("v", TextAnalysis.wordValue(col("w")))
     val bitSums = (0 until 32).map(i =>
       sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
@@ -218,10 +233,29 @@ object Dedup {
     * the counts exact up to md5-prefix collisions — vanishing at any
     * realistic set size, and off-by-one at worst.
     */
-  def setOverlap(sets: DataFrame, pairs: DataFrame): DataFrame = {
-    val ex = sets.select(col("id"), explode(col("elems")).as("e"))
+  /** The fixed-width (id, 60-bit md5 hash) explosion of per-id element
+    * sets — the only shape of the elements that ever crosses a
+    * shuffle.
+    *
+    * explode_outer, NOT explode: InferFiltersFromGenerate turns a
+    * plain explode over an attribute into a `size(elems) > 0` filter,
+    * alias-substitutes the whole element-building expression into it,
+    * and pushes it below the rebalance exchange — re-running the heavy
+    * shingle construction single-threaded on the scan (measured 10×
+    * the entire operator). The rule skips outer explodes, and the two
+    * are equivalent here because setOverlap's contract already
+    * requires non-empty element sets.
+    */
+  private[graft] def explodedHashes(sets: DataFrame): DataFrame =
+    rebalance(sets).select(col("id"), explode_outer(col("elems")).as("e"))
       .select(col("id"),
         conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** The overlap join/agg plan over an exploded-hash table (see
+    * setOverlap; split out so specs can inspect the lazy plan).
+    * `ex` is referenced by three subplans — callers cache it.
+    */
+  private[graft] def setOverlapPlan(ex: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = ex.groupBy("id").agg(count(lit(1)).cast("int").as("n"))
     val inter = pairs
       .join(ex.select(col("id").as("id_a"), col("h")), "id_a")
@@ -236,6 +270,19 @@ object Dedup {
         (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0))).as("n_union"))
   }
 
+  def setOverlap(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    // The exploded-hash table feeds three subplans (per-id counts and
+    // both sides of the pair-hash join); without a cache each
+    // recomputes the scan+explode+md5 (the analyzer's attribute dedup
+    // defeats ReuseExchange — same story as the LSH signatures). This
+    // method owns the cache's lifetime: materialize the per-pair
+    // result eagerly (it is |pairs| rows — small by construction),
+    // release the cache before returning.
+    val ex = explodedHashes(sets).cache()
+    try setOverlapPlan(ex, pairs).localCheckpoint()
+    finally ex.unpersist()
+  }
+
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
     * returns integer intersection/union sizes (engine-portable; the
     * ratio is a trivial client-side division). Delegates to the
@@ -247,8 +294,10 @@ object Dedup {
       textCol: String,
       pairs: DataFrame): DataFrame =
     setOverlap(
-      docs.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol))).as("elems")),
+      // rebalance BEFORE building the shingle arrays, so the heavy
+      // projection runs at full parallelism too
+      rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), array_distinct(shingles(col("t"))).as("elems")),
       pairs)
 
   /** Character n-gram set of a text column (the char-level complement

@@ -32,24 +32,31 @@ object QualityFilters {
     * leading/trailing whitespace as an extra empty "word"), and mean
     * word length sums actual token lengths — `length(text)/nWords`
     * would count the separators and overestimate by ~1.
+    *
+    * Degenerate docs (empty/whitespace-only text ⇒ zero denominators)
+    * get every ratio defined as 0 rather than NULL: max-style rules
+    * pass them, min-style rules fail them — deterministic either way,
+    * never a silent NULL-drop when only max-rules are configured.
     */
   def predicate(config: FilterConfig, text: Column, lang: Column): Column = {
     val words = TextAnalysis.words(trim(text))
     val nWords = size(words)
+    // ratio with a zero-denominator guard: empty docs score 0
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
     lazy val meanWordLen =
-      aggregate(transform(words, w => length(w)), lit(0), _ + _)
-        .cast("double") / nWords
+      ratio(aggregate(transform(words, w => length(w)), lit(0), _ + _), nWords)
     val rules = Seq(
       config.minChars.map(v => length(text) >= v),
       config.maxChars.map(v => length(text) <= v),
       config.minWords.map(v => nWords >= v),
       config.maxWords.map(v => nWords <= v),
       config.maxPunctRatio.map(v =>
-        TextAnalysis.punctCount(text).cast("double") / length(text) <= v),
+        ratio(TextAnalysis.punctCount(text), length(text)) <= v),
       config.minMeanWordLen.map(v => meanWordLen >= v),
       config.maxMeanWordLen.map(v => meanWordLen <= v),
       config.minUniqueWordRatio.map(v =>
-        size(array_distinct(words)).cast("double") / nWords >= v),
+        ratio(size(array_distinct(words)), nWords) >= v),
       if (config.langAllow.isEmpty) None
       else Some(lang.isin(config.langAllow.map(l => l: Any): _*)),
     ).flatten

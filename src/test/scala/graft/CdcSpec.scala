@@ -108,4 +108,17 @@ class CdcSpec extends AnyFunSuite {
     // the rewritten file re-emit too (consumers dedupe by PK)
     assert(emitted.contains(1L) && emitted.contains(99L))
   }
+
+  test("RESTORE re-adding an in-range file does not multiply its rows") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite") // v0: file A
+    t.write(Seq((3L, "c")).toDF("id", "v"), "overwrite")            // v1: remove A, add B
+    t.restore(0L)                                                   // v2: re-add A, remove B
+    // A's path is added at v0 AND v2 — without per-path dedupe the
+    // scan lists it twice and the version lookup matches twice (4x)
+    val got = t.changes(-1L).orderBy("id")
+      .select("id", "_commit_version").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
 }

@@ -46,6 +46,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     check(6, Seq.empty)
   }
 
+  test("intermediate rounds release their persisted edge sets") {
+    val sc = TestSpark.spark.sparkContext
+    System.gc() // let the ContextCleaner drain earlier tests' refs
+    val before = sc.getPersistentRDDs.keySet
+    // 64-chain needs several contraction rounds
+    val verts = (0L until 64L).toDF("id")
+    val e = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    ConnectedComponents.labels(verts, "id", e).collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the FINAL round's edge set may still be pinned (the
+    // returned frame references it); superseded rounds must be freed
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted round RDDs")
+  }
+
   test("cluster summary counts members per component") {
     val verts = (0L until 10L).toDF("id")
     val e = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")

@@ -542,4 +542,29 @@ class LakeTableSpec extends AnyFunSuite {
     val err = intercept[graft.core.UserException](t.restore(1))
     assert(err.getMessage.contains("vacuumed"))
   }
+
+  test("append retry surfaces concurrent DDL instead of clobbering it") {
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "append") // v0
+    // inject a concurrent constraint commit between this write's
+    // planning and its first commit attempt (deterministic race)
+    var fired = false
+    t.testCommitAttemptHook = _ => if (!fired) {
+      fired = true
+      LakeTable.forPath(spark, p).addConstraint("pos_id", "id > 0")
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        t.write(Seq((2L, "b")).toDF("id", "v"), "append"))
+      assert(e.getMessage.contains("metadata change"))
+    } finally t.testCommitAttemptHook = _ => ()
+    // the concurrent DDL survived (NOT overwritten by a stale retry)
+    val t2 = LakeTable.forPath(spark, p)
+    assert(t2.constraints.contains("pos_id"))
+    assert(t2.read().count() == 1) // the losing write landed nothing
+    // a fresh write planned against the new metadata succeeds
+    t2.write(Seq((2L, "b")).toDF("id", "v"), "append")
+    assert(t2.read().count() == 2)
+  }
 }

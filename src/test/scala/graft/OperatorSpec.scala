@@ -293,6 +293,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
 
+  test("quality filters: empty docs are deterministic, never NULL-dropped") {
+    val docs = Seq(
+      (1L, "", "en"),       // empty text: every denominator is zero
+      (2L, "   ", "en"),    // whitespace-only
+      (3L, "normal words here", "en"),
+    ).toDF("doc_id", "text", "lang")
+    // max-style ratios treat zero-denominator docs as ratio 0 => keep
+    val maxOnly = QualityFilters(docs, "text", "lang",
+      QualityFilters.FilterConfig(maxPunctRatio = Some(0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(maxOnly == Set(1L, 2L, 3L))
+    // min-style ratios fail them => drop
+    val minOnly = QualityFilters(docs, "text", "lang",
+      QualityFilters.FilterConfig(minMeanWordLen = Some(1.0)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(minOnly == Set(3L))
+  }
+
   // ---- one-call corpus dedup ----------------------------------------------
 
   test("dedupCorpus keeps exactly the minimum-id representative per cluster") {

@@ -58,7 +58,15 @@ class PlanSpec extends AnyFunSuite {
     val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
     spark0.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val qe = operators.Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+      // inspect the LAZY overlap plan (the public setOverlap eagerly
+      // checkpoints, so its own executed plan is just the result scan).
+      // Pre-spread the TEXT like shingleOverlap does, so the input
+      // rebalance shuffles strings, never the shingle arrays.
+      val sets = docs.repartition(spark0.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("id"),
+          array_distinct(operators.Dedup.shingles(col("text"))).as("elems"))
+      val qe = operators.Dedup.setOverlapPlan(
+        operators.Dedup.explodedHashes(sets), pairs)
         .queryExecution
       val p = qe.executedPlan.toString
       // intersection counts are partial-aggregated on the pair key...

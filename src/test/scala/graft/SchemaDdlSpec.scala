@@ -172,4 +172,27 @@ class SchemaDdlSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "val"))
     assert(df.where(col("val") === "b").count() == 1)
   }
+
+  test("column-mapped graft read prunes and filters through the rename") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 100L).map(i => (i, s"v$i", i * 2)).toDF("id", "v", "w"), "overwrite")
+    t.alterRenameColumn("v", "val")
+    val df = spark.read.format("graft").load(dir)
+    // projection + filter over logical names through PrunedFilteredScan
+    val got = df.where(col("id") > 97L && col("val") =!= "v99")
+      .select("val").as[String].collect().toSet
+    assert(got == Set("v98", "v100"))
+    // count(*) takes the empty-projection path
+    assert(df.where(col("id") <= 10L).count() == 10)
+    // filter translation covers the V1 surface shapes
+    import org.apache.spark.sql.sources._
+    import graft.lake.DefaultSource.filterToColumn
+    assert(filterToColumn(EqualTo("id", 1L)).isDefined)
+    assert(filterToColumn(In("id", Array(1L, 2L))).isDefined)
+    assert(filterToColumn(And(IsNotNull("id"), StringStartsWith("val", "v"))).isDefined)
+    assert(filterToColumn(Not(LessThan("id", 5L))).isDefined)
+    // unsupported shapes degrade to None (Spark re-applies above)
+    assert(filterToColumn(AlwaysTrue).isEmpty)
+  }
 }
