@@ -64,28 +64,34 @@ object Dedup {
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
   }
 
-  /** MinHash hash function j over a shingle: the top 60 bits of
-    * md5(j || '|' || shingle) as a BIGINT. A fixed-width integer (vs
-    * the full hex string) keeps the min() aggregation hash-based —
-    * min(string) has a variable-width buffer and silently demotes the
-    * whole aggregate to SortAggregate — and shrinks the signature
-    * table 4×.
-    */
-  def minhashHash(s: Column, j: Int): Column =
-    conv(substring(md5(concat(lit(s"$j|"), s)), 1, 15), 16, 10).cast("long")
+  /** Mask keeping minhash values in 60 bits (15 md5 hex chars). */
+  val MinhashMask: Long = (1L << 60) - 1
 
-  /** MinHash signatures via explode + groupBy-agg: each shingle is
-    * materialized and hashed exactly ONCE per hash function, and the
-    * k mins are computed with map-side partial aggregation — at scale
-    * only (id, k×8B) rows reach the shuffle, never the shingles.
-    * (A per-row scalar formulation rebuilds the shingle array k
-    * times; measured 10× slower.)
+  /** MinHash signatures via explode + groupBy-agg, with the
+    * Kirsch–Mitzenmacher double-hashing family: ONE md5 per shingle
+    * yields two independent 60-bit values a (hex 1-15) and b
+    * (hex 17-31), and hash function j is (a + j·b) mod 2^60 — the
+    * standard construction whose minhash estimates match k
+    * independent hashes. 8× less hashing than md5-per-function, and
+    * engine-portable (the DuckDB oracle replays the same arithmetic).
+    * a + j·b < 8·2^60 = 2^63 never overflows a signed 64-bit int.
+    *
+    * The k mins are computed with map-side partial aggregation — at
+    * scale only (id, k×8B) rows reach the shuffle, never the
+    * shingles. Fixed-width integer mins keep the aggregation
+    * hash-based (min(string) demotes to SortAggregate).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k <= 8, "k > 8 would overflow a + j*b past 2^63")
     val in = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
     val sh = in.select(col("id"), explode(shingles(col("t"))).as("s"))
-    val aggs = (0 until k).map(j => min(minhashHash(col("s"), j)).as(s"mh$j"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val hx = md5(col("s")) // codegen CSEs the repeated subexpression
+    val ab = sh.select(col("id"),
+      conv(substring(hx, 1, 15), 16, 10).cast("long").as("ha"),
+      conv(substring(hx, 17, 15), 16, 10).cast("long").as("hb"))
+    val aggs = (0 until k).map(j =>
+      min((col("ha") + lit(j.toLong) * col("hb")).bitwiseAND(lit(MinhashMask))).as(s"mh$j"))
+    ab.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: bucket b = md5(mh_{rb} || .. || mh_{rb+r-1}) for
@@ -246,10 +252,16 @@ object Dedup {
     * are equivalent here because setOverlap's contract already
     * requires non-empty element sets.
     */
-  private[graft] def explodedHashes(sets: DataFrame): DataFrame =
-    rebalance(sets).select(col("id"), explode_outer(col("elems")).as("e"))
-      .select(col("id"),
+  private[graft] def explodedHashes(sets: DataFrame, hashElements: Boolean = true): DataFrame = {
+    val ex = rebalance(sets).select(col("id"), explode_outer(col("elems")).as("e"))
+    // short fixed-size elements (char n-grams) skip the md5: the
+    // element is already narrower than a digest, and equality on it is
+    // exact rather than collision-bounded
+    if (hashElements)
+      ex.select(col("id"),
         conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long").as("h"))
+    else ex.select(col("id"), col("e").as("h"))
+  }
 
   /** The overlap join/agg plan over an exploded-hash table (see
     * setOverlap; split out so specs can inspect the lazy plan).
@@ -270,7 +282,11 @@ object Dedup {
         (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0))).as("n_union"))
   }
 
-  def setOverlap(sets: DataFrame, pairs: DataFrame): DataFrame = {
+  /** `hashElements=false` joins on the raw element value instead of
+    * its 60-bit digest — choose it when elements are short and fixed
+    * (char n-grams): less CPU, exact equality, same shuffle width.
+    */
+  def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame = {
     // The exploded-hash table feeds three subplans (per-id counts and
     // both sides of the pair-hash join); without a cache each
     // recomputes the scan+explode+md5 (the analyzer's attribute dedup
@@ -278,7 +294,7 @@ object Dedup {
     // method owns the cache's lifetime: materialize the per-pair
     // result eagerly (it is |pairs| rows — small by construction),
     // release the cache before returning.
-    val ex = explodedHashes(sets).cache()
+    val ex = explodedHashes(sets, hashElements).cache()
     try setOverlapPlan(ex, pairs).localCheckpoint()
     finally ex.unpersist()
   }
@@ -299,6 +315,21 @@ object Dedup {
       rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
         .select(col("id"), array_distinct(shingles(col("t"))).as("elems")),
       pairs)
+
+  /** Char n-gram Jaccard stats for candidate pairs — the char-level
+    * complement of shingleOverlap, same exploded plan but joining on
+    * the raw n-gram (it is already fixed-width; no digest needed).
+    */
+  def charNgramOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      pairs: DataFrame): DataFrame =
+    setOverlap(
+      rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), charNgrams(col("t"), n).as("elems")),
+      pairs, hashElements = false)
 
   /** Character n-gram set of a text column (the char-level complement
     * to word shingles — robust to tokenization differences, the usual

@@ -35,6 +35,17 @@ object Queries {
   private def dec82(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
   private val one = lit(1).cast("decimal(8,2)")
 
+  /** DuckDB replay of Dedup.minhashSignatures' double-hashing family:
+    * ONE md5 per shingle yields (ha, hb) — hex chars 1-15 and 17-31 —
+    * and hash j is (ha + j·hb) masked to 60 bits. The `ab` CTE these
+    * snippets expect is built from an unnested shingle column `s`.
+    */
+  private val duckAb =
+    "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS ha, " +
+      "CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS hb"
+  private def duckMinhash(k: Int): String = (0 until k).map(j =>
+    s"min((ha + $j * hb) & ${graft.operators.Dedup.MinhashMask}) AS mh$j").mkString(",\n")
+
   val all: Seq[(String, QueryDef)] = Seq(
 
     // ================= reference parity (SURVEY.md §2) =================
@@ -361,15 +372,14 @@ object Queries {
     "q21_dedup_minhash" -> QueryDef(
       (s, d) => Dedup.lshCandidatePairs(tbl(s, d, "documents"), "doc_id", "text", k = 8, bands = 4),
       Some {
-        val mh = (0 until 8).map(j =>
-          s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
-          .mkString(",\n")
         val buckets = (0 until 4).map(b =>
           s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
         s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
-           |mh AS (SELECT doc_id, $mh FROM sh),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |ab AS (SELECT doc_id, $duckAb FROM ex),
+           |mh AS (SELECT doc_id, ${duckMinhash(8)} FROM ab GROUP BY doc_id),
            |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
@@ -684,14 +694,12 @@ object Queries {
             (0 until k).map(j => element_at(col("usig"), j + 1).as(s"mh$j")): _*)
       },
       Some {
-        val mh = (0 until 8).map(j =>
-          s"min(CAST(('0x' || substr(md5($j || '|' || x.sh), 1, 15)) AS BIGINT)) AS mh$j")
-          .mkString(",\n")
         s"""WITH w AS (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, source, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
-           |ex AS (SELECT source, unnest(shs) AS sh FROM sh)
-           |SELECT source, $mh FROM ex x GROUP BY source""".stripMargin
+           |ex AS (SELECT source, unnest(shs) AS s FROM sh),
+           |ab AS (SELECT source, $duckAb FROM ex)
+           |SELECT source, ${duckMinhash(8)} FROM ab GROUP BY source""".stripMargin
       }),
 
     // character n-gram Jaccard between sampled pairs (char-level
@@ -702,10 +710,7 @@ object Queries {
         val pairs = docs.where(col("doc_id") % 53 === 0).select(col("doc_id").as("id_a"))
           .crossJoin(docs.where(col("doc_id") % 59 === 0).select(col("doc_id").as("id_b")))
           .where(col("id_a") < col("id_b"))
-        Dedup.setOverlap(
-          docs.select(col("doc_id").as("id"),
-            Dedup.charNgrams(col("text"), 4).as("elems")),
-          pairs)
+        Dedup.charNgramOverlap(docs, "doc_id", "text", 4, pairs)
           .select(col("id_a"), col("id_b"),
             col("n_inter").cast("long").as("n_inter"),
             col("n_union").cast("long").as("n_union"))
@@ -787,15 +792,14 @@ object Queries {
           .select(col("id").as("doc_id"), col("component"))
       },
       Some {
-        val mh = (0 until 8).map(j =>
-          s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
-          .mkString(",\n")
         val buckets = (0 until 4).map(b =>
           s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
-           |mh AS (SELECT doc_id, $mh FROM sh),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |ab AS (SELECT doc_id, $duckAb FROM ex),
+           |mh AS (SELECT doc_id, ${duckMinhash(8)} FROM ab GROUP BY doc_id),
            |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh),
            |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -847,15 +851,14 @@ object Queries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept")),
       Some {
-        val mh = (0 until 8).map(j =>
-          s"list_min(list_transform(shs, x -> CAST(('0x' || substr(md5($j || '|' || x), 1, 15)) AS BIGINT))) AS mh$j")
-          .mkString(",\n")
         val buckets = (0 until 4).map(b =>
           s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
-           |mh AS (SELECT doc_id, $mh FROM sh),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |ab AS (SELECT doc_id, $duckAb FROM ex),
+           |mh AS (SELECT doc_id, ${duckMinhash(8)} FROM ab GROUP BY doc_id),
            |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh),
            |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),

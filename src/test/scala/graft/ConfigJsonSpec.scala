@@ -184,6 +184,29 @@ class ConfigJsonSpec extends AnyFunSuite {
     assert(az.options("azure_storage_sas_token") == "sas")
   }
 
+  test("storage-api client: linear backoff, last-exception rethrow (C5 contract)") {
+    // succeeds on the 3rd attempt; sleeps 1s then 2s (recorded, not slept)
+    val sleeps = collection.mutable.Buffer[Long]()
+    var calls = 0
+    val c = new StorageApiClient[String](
+      transport = url => { calls += 1
+        if (calls < 3) throw new RuntimeException(s"boom$calls") else s"ok:$url" },
+      retryAttempts = 3, sleep = sleeps.+=(_))
+    assert(c.getTableDetail("https://sapi/", "in.c-main.acct") ==
+      "ok:https://sapi/v2/storage/tables/in.c-main.acct")
+    assert(calls == 3 && sleeps.toSeq == Seq(1000L, 2000L))
+
+    // exhausted attempts rethrow the LAST failure, no trailing sleep
+    val sleeps2 = collection.mutable.Buffer[Long]()
+    var calls2 = 0
+    val bad = new StorageApiClient[String](
+      transport = _ => { calls2 += 1; throw new RuntimeException(s"fail$calls2") },
+      retryAttempts = 3, sleep = sleeps2.+=(_))
+    val e = intercept[RuntimeException](bad.get("u"))
+    assert(e.getMessage == "fail3")
+    assert(calls2 == 3 && sleeps2.toSeq == Seq(1000L, 2000L))
+  }
+
   // ---- sliced CSV ---------------------------------------------------------
 
   test("sliced table: 3 headerless chunks read as one input (S5 slices)") {
