@@ -69,15 +69,22 @@ object DataDirConfig {
   def parseParameters(p: JsonNode): Config = {
     val errs = new Errs
 
-    def intF(field: String, default: Int): Int =
+    def intF(field: String, default: Int): Int = {
+      // range-checked: Jackson's asInt silently truncates a long, and
+      // "99999999999".toInt would throw past the error accumulator
+      def fit(l: Long): Int =
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt
+        else { errs.add(field, "Input should be a valid integer"); default }
       Option(p.get(field)) match {
         case None => default
-        case Some(n) if n.isIntegralNumber => n.asInt
+        case Some(n) if n.isIntegralNumber && n.canConvertToLong => fit(n.asLong)
         // pydantic coerces numeric strings ("3" -> 3) but not text
-        case Some(n) if n.isTextual && n.asText.matches("-?\\d+") => n.asText.toInt
+        case Some(n) if n.isTextual && n.asText.matches("-?\\d{1,18}") =>
+          fit(n.asText.toLong)
         case Some(_) =>
           errs.add(field, "Input should be a valid integer"); default
       }
+    }
 
     def boolF(field: String, default: Boolean): Boolean =
       Option(p.get(field)) match {

@@ -57,6 +57,14 @@ final case class TableDef(
 object TableDef {
   private val mapper = new ObjectMapper()
 
+  /** Files.list with a closed stream (the returned java Stream holds
+    * an open DirectoryStream; draining it does not close the fd).
+    */
+  private[graft] def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Parses a `<table>.manifest` JSON file. Base types come from
     * `column_metadata[col]` entries with key `KBC.datatype.basetype`;
     * absent metadata → STRING.
@@ -82,9 +90,8 @@ object TableDef {
     // parallelizes across all of them in one read)
     val (paths, sliced) =
       if (Files.isDirectory(dataFile))
-        (Files.list(dataFile).iterator().asScala
-          .filter(Files.isRegularFile(_))
-          .map(_.toString).toSeq.sorted, true)
+        (listDir(dataFile).filter(Files.isRegularFile(_))
+          .map(_.toString).sorted, true)
       else if (Files.exists(dataFile)) (Seq(dataFile.toString), false)
       else (Nil, false)
     TableDef(name, columns, baseTypes, pk, dataPaths = paths, sliced = sliced)
@@ -97,10 +104,10 @@ object TableDef {
   def fromDataDir(dataDir: Path): Seq[TableDef] = {
     val tablesDir = dataDir.resolve("in/tables")
     if (!Files.isDirectory(tablesDir)) return Nil
-    Files.list(tablesDir).iterator().asScala
+    listDir(tablesDir)
       .filter(_.toString.endsWith(".manifest"))
       .map(fromManifest)
-      .toSeq.sortBy(_.name)
+      .sortBy(_.name)
   }
 
   /** Input-shape validation (M1, /root/reference/src/component.py:38-45):

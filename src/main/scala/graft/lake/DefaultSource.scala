@@ -29,24 +29,31 @@ object DefaultSource {
   import org.apache.spark.sql.{functions => F, Column}
   import org.apache.spark.sql.sources._
 
+  /** Column by EXACT name: backtick-quoted so logical names containing
+    * dots (column mapping allows any string) resolve as one column,
+    * not struct access.
+    */
+  private[graft] def quotedCol(name: String): Column =
+    F.col(s"`${name.replace("`", "``")}`")
+
   /** V1 source Filter → Column, for pushing the outer query's
     * predicates into the column-mapped read. Unsupported shapes return
     * None — safe, because the relation never claims filters handled
     * and Spark re-applies all of them above the scan.
     */
   private[graft] def filterToColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(F.col(a) === v)
-    case EqualNullSafe(a, v)      => Some(F.col(a) <=> v)
-    case GreaterThan(a, v)        => Some(F.col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= v)
-    case LessThan(a, v)           => Some(F.col(a) < v)
-    case LessThanOrEqual(a, v)    => Some(F.col(a) <= v)
-    case In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a)                => Some(F.col(a).isNull)
-    case IsNotNull(a)             => Some(F.col(a).isNotNull)
-    case StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
-    case StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
-    case StringContains(a, v)     => Some(F.col(a).contains(v))
+    case EqualTo(a, v)            => Some(quotedCol(a) === v)
+    case EqualNullSafe(a, v)      => Some(quotedCol(a) <=> v)
+    case GreaterThan(a, v)        => Some(quotedCol(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(quotedCol(a) >= v)
+    case LessThan(a, v)           => Some(quotedCol(a) < v)
+    case LessThanOrEqual(a, v)    => Some(quotedCol(a) <= v)
+    case In(a, vs)                => Some(quotedCol(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(quotedCol(a).isNull)
+    case IsNotNull(a)             => Some(quotedCol(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(quotedCol(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(quotedCol(a).endsWith(v))
+    case StringContains(a, v)     => Some(quotedCol(a).contains(v))
     case And(l, r) =>
       for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl && cr
     case Or(l, r) =>
@@ -170,7 +177,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           val base = filters.flatMap(DefaultSource.filterToColumn)
             .foldLeft(lakeRead())(_ where _)
           // empty requiredColumns (COUNT(*)-style) => zero-field rows
-          base.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
+          base.select(requiredColumns.map(DefaultSource.quotedCol).toSeq: _*).rdd
         }
       }
     } else {

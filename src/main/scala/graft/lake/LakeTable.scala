@@ -644,36 +644,40 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val removes: Seq[String] =
       if (normalized == "overwrite") existing.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
-    // re-validate constraints against whatever a winning concurrent
-    // commit recorded before retrying our append on top of it
-    val recheck = () => enforceConstraints(aligned, snapshot(path))
-    // what this write planned its metadata emission against — compared
-    // per attempt below so a retried append can never re-emit stale
-    // metadata over concurrent DDL
+    // what this write planned its metadata emission against — a lost
+    // race may have committed concurrent DDL (constraint, column
+    // mapping, bucketing change): our `meta`/`config` were derived
+    // from the pre-race snapshot, so re-emitting them would silently
+    // drop the winner's metadata. Fail with the same conflict type
+    // tryCommit races surface.
     val plannedBase = existing.map(s =>
       (s.schema, s.metadata.partitionColumns, s.metadata.configuration))
+    def assertNoMetaDivergence(cur: Snapshot): Unit = {
+      val curBase = (cur.schema, cur.metadata.partitionColumns, cur.metadata.configuration)
+      plannedBase match {
+        case None =>
+          throw new java.util.ConcurrentModificationException(
+            s"Table $path was created concurrently with this write")
+        case Some(p) if p != curBase =>
+          throw new java.util.ConcurrentModificationException(
+            s"Concurrent metadata change on $path during write " +
+              "(schema, partitioning, or configuration diverged); re-run the write")
+        case _ => ()
+      }
+    }
+    // On retry: metadata-divergence check FIRST (a metadata read),
+    // constraint re-validation second (a full scan of the batch) —
+    // never pay the scan for an attempt the divergence guard dooms.
+    val recheck = () => {
+      val cur = snapshot(path)
+      assertNoMetaDivergence(cur)
+      enforceConstraints(aligned, cur)
+    }
     commitWithRetry(retryable = normalized == "append", onRetry = recheck) { version =>
       testCommitAttemptHook(version)
-      // A lost race may have committed concurrent DDL (constraint,
-      // column mapping, bucketing change): our `meta`/`config` were
-      // derived from the pre-race snapshot, so re-emitting them would
-      // silently drop the winner's metadata. Verify the snapshot this
-      // attempt lands on still matches what we planned against and
-      // fail with the same conflict type tryCommit races surface.
-      if (version > 0L) {
-        val cur = snapshot(path, version - 1)
-        val curBase = (cur.schema, cur.metadata.partitionColumns, cur.metadata.configuration)
-        plannedBase match {
-          case None =>
-            throw new java.util.ConcurrentModificationException(
-              s"Table $path was created concurrently with this write")
-          case Some(p) if p != curBase =>
-            throw new java.util.ConcurrentModificationException(
-              s"Concurrent metadata change on $path during write " +
-                "(schema, partitioning, or configuration diverged); re-run the write")
-          case _ => ()
-        }
-      }
+      // belt-and-braces per attempt (also covers a race between the
+      // planning read and the FIRST attempt, which skips onRetry)
+      if (version > 0L) assertNoMetaDivergence(snapshot(path, version - 1))
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction(
         if (normalized == "overwrite") "WRITE.Overwrite" else "WRITE.Append",

@@ -39,6 +39,16 @@ object Dedup {
     if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
   }
 
+  /** Eager materialization with a lineage cut. Reliable checkpoint
+    * when the session has a checkpoint dir — the cluster setting,
+    * where blocks must survive executor loss — else localCheckpoint
+    * (fine single-node; its blocks die with an executor, which is why
+    * clusters should set a checkpoint dir).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact dedup summary: one row per distinct text with the kept
     * (minimum) id and the duplicate count. Group key is md5(text) —
     * at 100 TB you shuffle 16-byte digests, not documents.
@@ -121,7 +131,7 @@ object Dedup {
     // themselves, cache, call bandingPairs, and unpersist when done
     // (the dedupCorpus pattern below).
     val signed = minhashSignatures(docs, idCol, textCol, k).cache()
-    try bandingPairs(signed, k, bands).localCheckpoint()
+    try materialize(bandingPairs(signed, k, bands))
     finally signed.unpersist()
   }
 
@@ -254,6 +264,11 @@ object Dedup {
     */
   private[graft] def explodedHashes(sets: DataFrame, hashElements: Boolean = true): DataFrame = {
     val ex = rebalance(sets).select(col("id"), explode_outer(col("elems")).as("e"))
+      // explode_outer emits (id, NULL) for an empty/NULL set; dropping
+      // it here restores n=0 semantics. The filter is on the
+      // generator's OUTPUT attribute, so it cannot be pushed below the
+      // exchange (the pathology explode_outer exists to avoid).
+      .where(col("e").isNotNull)
     // short fixed-size elements (char n-grams) skip the md5: the
     // element is already narrower than a digest, and equality on it is
     // exact rather than collision-bounded
@@ -274,12 +289,13 @@ object Dedup {
       .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).cast("int").as("n_inter"))
     pairs
-      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"), "left")
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"), "left")
       .join(inter, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"),
         coalesce(col("n_inter"), lit(0)).as("n_inter"),
-        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0))).as("n_union"))
+        (coalesce(col("n_a"), lit(0)) + coalesce(col("n_b"), lit(0)) -
+          coalesce(col("n_inter"), lit(0))).as("n_union"))
   }
 
   /** `hashElements=false` joins on the raw element value instead of
@@ -287,16 +303,25 @@ object Dedup {
     * (char n-grams): less CPU, exact equality, same shuffle width.
     */
   def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame = {
+    // pairs feeds five subplans (the id prune, both hash-join sides,
+    // and the count joins) — pin it for the operator's lifetime
+    val p = pairs.cache()
     // The exploded-hash table feeds three subplans (per-id counts and
     // both sides of the pair-hash join); without a cache each
     // recomputes the scan+explode+md5 (the analyzer's attribute dedup
     // defeats ReuseExchange — same story as the LSH signatures). This
-    // method owns the cache's lifetime: materialize the per-pair
+    // method owns both caches' lifetimes: materialize the per-pair
     // result eagerly (it is |pairs| rows — small by construction),
-    // release the cache before returning.
-    val ex = explodedHashes(sets, hashElements).cache()
-    try setOverlapPlan(ex, pairs).localCheckpoint()
-    finally ex.unpersist()
+    // release the caches before returning.
+    // Only ids that appear in some pair matter — semi-join the element
+    // sets against them before exploding, so a sparse pair sample over
+    // a huge corpus never explodes (or caches) the whole corpus. The
+    // id list is |pairs|-bounded and typically broadcasts.
+    val ids = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val ex = explodedHashes(sets.join(ids, Seq("id"), "left_semi"), hashElements).cache()
+    try materialize(setOverlapPlan(ex, p))
+    finally { ex.unpersist(); p.unpersist() }
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:

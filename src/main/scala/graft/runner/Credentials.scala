@@ -37,17 +37,33 @@ final case class StorageCredentials(uri: String, options: Map[String, String]) {
       m += s"fs.azure.account.auth.type.$acct.dfs.core.windows.net" -> "SAS"
       m += s"fs.azure.sas.fixed.token.$acct.dfs.core.windows.net" -> sas
     }
-    options.get("google_service_account_key").foreach { v =>
+    options.get("google_service_account_key").foreach { _ =>
+      // the keyfile PATH is materialized by applyTo — the config
+      // carries the key CONTENT (delta-rs semantics), which must not
+      // be put where a file path is expected
       m += "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE"
-      m += "fs.gs.auth.service.account.json.keyfile" -> v
     }
     m.result()
   }
 
-  def applyTo(spark: SparkSession): Unit =
+  def applyTo(spark: SparkSession): Unit = {
     hadoopConf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+    // the Hadoop GCS connector reads the service-account key from a
+    // FILE; persist the config's key content to an owner-only temp
+    // file and point the connector at its path
+    options.get("google_service_account_key").filter(_.nonEmpty).foreach { key =>
+      import java.nio.file.attribute.PosixFilePermissions
+      val f = java.nio.file.Files.createTempFile("graft-gcs-key", ".json",
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rw-------")))
+      java.nio.file.Files.writeString(f, key)
+      f.toFile.deleteOnExit()
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.gs.auth.service.account.json.keyfile", f.toString)
+    }
+  }
 }
 
 trait CredentialProvider {
@@ -138,8 +154,13 @@ final class UnityCatalogCredentials(client: UcClient) extends CredentialProvider
       }
     val opts = creds.azureSasToken match {
       case Some(sas) =>
+        // abfss://container@account.dfs.core.windows.net/path
+        val afterAt = creds.url.split("@")
+        if (afterAt.length < 2)
+          throw UserException(
+            s"Unity Catalog returned an Azure credential with a non-abfss URL: ${creds.url}")
         Map(
-          "azure_storage_account_name" -> creds.url.split("@")(1).split("\\.")(0),
+          "azure_storage_account_name" -> afterAt(1).split("\\.")(0),
           "azure_storage_sas_token" -> sas)
       case None =>
         creds.awsTemp match {

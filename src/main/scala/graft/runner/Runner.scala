@@ -55,8 +55,8 @@ object Runner {
   def parquetInputs(dataDir: Path): Seq[String] = {
     val dir = dataDir.resolve("in/files")
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    else TableDef.listDir(dir)
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).sorted
   }
 
   /** External-table path (entry point A): direct lake write. */

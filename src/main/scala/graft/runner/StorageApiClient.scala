@@ -29,7 +29,10 @@ final class StorageApiClient[A](
     while (attempt < retryAttempts) {
       try return transport(url)
       catch {
-        case e: Throwable =>
+        // never retry through cancellation or fatal JVM errors
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
           last = e
           onWarn(s"Attempt ${attempt + 1} failed: ${e.getMessage}")
           if (attempt < retryAttempts - 1) sleep((attempt + 1) * 1000L)

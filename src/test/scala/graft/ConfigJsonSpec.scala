@@ -141,6 +141,19 @@ class ConfigJsonSpec extends AnyFunSuite {
     assert(az("fs.azure.sas.fixed.token.acct.dfs.core.windows.net") == "sas")
   }
 
+  test("GCS key CONTENT becomes an owner-only keyfile, not a bogus path") {
+    val sc = StorageCredentials("gs://b/t",
+      Map("google_service_account_key" -> """{"type":"service_account"}"""))
+    // the pure mapping never places key content where a path belongs
+    assert(!sc.hadoopConf.contains("fs.gs.auth.service.account.json.keyfile"))
+    assert(sc.hadoopConf("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+    sc.applyTo(spark)
+    val path = spark.sparkContext.hadoopConfiguration
+      .get("fs.gs.auth.service.account.json.keyfile")
+    assert(path != null && Files.exists(Paths.get(path)))
+    assert(Files.readString(Paths.get(path)) == """{"type":"service_account"}""")
+  }
+
   test("UC credentials: fake-backed seam, missing table + permission denied (C6/E3)") {
     val cfg = Config(destination = Destination(
       catalog = "c", schemaName = "s", table = "t"))

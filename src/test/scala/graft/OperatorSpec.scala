@@ -97,6 +97,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0)._4 == 12) // 7 + 5 disjoint shingles
   }
 
+  test("set overlap: empty element sets count as 0, not 1") {
+    val sets = Seq(
+      (1L, Seq("x", "y")),
+      (2L, Seq.empty[String]), // explode_outer's NULL row must not count
+    ).toDF("id", "elems")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.setOverlap(sets, pairs).as[(Long, Long, Int, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0, 2)))
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("text stats + fingerprint properties") {

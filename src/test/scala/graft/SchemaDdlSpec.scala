@@ -195,4 +195,16 @@ class SchemaDdlSpec extends AnyFunSuite {
     // unsupported shapes degrade to None (Spark re-applies above)
     assert(filterToColumn(AlwaysTrue).isEmpty)
   }
+
+  test("column-mapped read handles logical names containing dots") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    t.alterRenameColumn("v", "v.renamed") // mapping exists for exactly this
+    val df = spark.read.format("graft").load(dir)
+    assert(df.columns.toSeq == Seq("id", "v.renamed"))
+    val got = df.where(col("`v.renamed`") === "b").select("`v.renamed`")
+      .as[String].collect().toSeq
+    assert(got == Seq("b"))
+  }
 }
