@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing passes: repetition scoring (the C4 duplicate-text
+  * heuristics) and PII redaction — both engine-portable (the DuckDB
+  * oracle replays the same regexes/arithmetic) and shuffle-light.
+  */
+object Scrubbing {
+
+  /** Per-document word-repetition profile: total words, the top
+    * word's count, and its share of the document. High top_ratio is
+    * the classic boilerplate/spam signal (a page that is mostly one
+    * repeated token survives length and punctuation filters).
+    *
+    * Two partial-aggregating groupBys on (id, word) then (id) — the
+    * shuffle carries word-count rows, not documents.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = Dedup.rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(TextAnalysis.words(trim(col("t")))).as("w"))
+    val wc = ex.groupBy("id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("id").agg(
+      sum(col("c")).cast("long").as("n_words"),
+      max(col("c")).cast("long").as("top_count"))
+      .select(col("id"), col("n_words"), col("top_count"),
+        (col("top_count").cast("double") / col("n_words").cast("double"))
+          .as("top_ratio"))
+  }
+
+  /** PII patterns chosen to mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB): no backreferences, no lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redacted text: emails, then phones, then IPv4 literals replaced
+    * by stable tokens. Fixed application order — the oracle replays
+    * it verbatim, so redaction is byte-identical across engines.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** Per-document PII inventory + redacted digest: map-only scan, no
+    * shuffle — a scrub of 100 TB is embarrassingly parallel.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      md5(redactPii(col(textCol))).as("redacted_md5"))
+}

@@ -954,6 +954,68 @@ object Queries {
             .thetaUnion(s, col("sk")).as("distinct_users_est"))
       },
       None),
+
+    // benchmark decontamination (GPT-3-style 13-gram collision): the
+    // mod-101 docs stand in for a held-out eval set; the corpus side
+    // is a broadcast hash probe — it never shuffles at any scale
+    "q55_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val grams = Decontamination.benchmarkGrams(
+          docs.where(col("doc_id") % 101 === 0), "text", n = 13)
+        Decontamination.contaminated(docs, "doc_id", "text", grams, n = 13)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some {
+        val cat13 = (0 until 13).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+        s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [text]
+           |  ELSE list_transform(generate_series(1, len(ws)-12), i -> $cat13) END AS gs FROM w),
+           |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(gm), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gm FROM g)),
+           |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id % 101 = 0),
+           |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM hx JOIN bench USING (h) GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+           |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
+      }),
+
+    // word-repetition profile (the C4 boilerplate/spam signal): a page
+    // that is mostly one repeated token survives length and
+    // punctuation filters but not this one
+    "q56_repetition" -> QueryDef(
+      (s, d) => Scrubbing.repetitionStats(tbl(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |  CAST(MAX(c) AS BIGINT) AS top_count,
+             |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ratio
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // PII inventory + redaction digest: engine-portable regexes, fixed
+    // application order, md5 of the redacted text proves byte-identical
+    // scrubbing across engines; map-only — no shuffle at any scale
+    "q57_pii_scrub" -> QueryDef(
+      (s, d) => Scrubbing.piiScrub(tbl(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some {
+        // the Scala pattern strings contain single backslashes, which
+        // DuckDB single-quoted literals pass through verbatim
+        val email = Scrubbing.EmailRe
+        val phone = Scrubbing.PhoneRe
+        val ip = Scrubbing.Ipv4Re
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '[EMAIL]', 'g'),
+           |    '$phone', '[PHONE]', 'g'),
+           |    '$ip', '[IP]', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

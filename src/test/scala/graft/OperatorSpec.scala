@@ -303,6 +303,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
 
+  test("decontamination: benchmark 13-gram collisions flag exact and partial copies") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // full copy of the benchmark doc
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"),
+      // contains a 13-word window of it inside other text
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu SUFFIX"),
+      // clean
+      (3L, "completely unrelated words that never appeared in the benchmark at all here today ok"),
+      // short doc, not a benchmark fragment
+      (4L, "tiny"),
+    ).toDF("doc_id", "text")
+    val grams = Decontamination.benchmarkGrams(bench, "text", 13)
+    val out = Decontamination.contaminated(corpus, "doc_id", "text", grams, 13)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => r._1 -> r._3) ==
+      Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val clean = Decontamination.decontaminate(corpus, "doc_id", "text", grams, 13)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+    // broadcast probe: corpus side must not shuffle before the join
+    val plan = Decontamination.contaminated(corpus, "doc_id", "text", grams, 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("repetition stats: top-word share exposes boilerplate") {
+    val t = Seq(
+      (1L, "spam spam spam spam ham"),
+      (2L, "all words here are different"),
+    ).toDF("doc_id", "text")
+    val out = Scrubbing.repetitionStats(t, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 5L, 4L, 0.8)))
+    assert(out(1)._3 == 1L && out(1)._4 == 0.2)
+  }
+
+  test("PII scrub: emails/phones/ips counted and redacted deterministically") {
+    val t = Seq(
+      (1L, "mail a.user@example.com or call 555-123-4567 from 10.0.0.1 now"),
+      (2L, "no pii here"),
+    ).toDF("doc_id", "text")
+    val out = Scrubbing.piiScrub(t, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L && out(0).getLong(3) == 1L)
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
+    val redacted = t.orderBy("doc_id").select(Scrubbing.redactPii($"text").as("r"))
+      .as[String].collect()
+    assert(redacted(0) == "mail [EMAIL] or call [PHONE] from [IP] now")
+    assert(redacted(1) == "no pii here")
+  }
+
   test("quality filters: empty docs are deterministic, never NULL-dropped") {
     val docs = Seq(
       (1L, "", "en"),       // empty text: every denominator is zero
