@@ -17,11 +17,12 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two timed runs per query, report the min: the first run pays
+    // Three timed runs per query, report the min: the first run pays
     // one-time codegen/JIT compilation (~1-2 s per distinct plan),
     // which at a 1000-executor scale amortizes to nothing and would
-    // otherwise swamp the sub-second operators.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // otherwise swamp the sub-second operators; the extra iteration
+    // also damps co-tenant host noise in the reported minimum.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // A query that throws must NOT masquerade as a (fast) timing — a
     // regression would silently *improve* the bench. Failed queries
     // report the literal string "failed" instead of a number and are

@@ -63,7 +63,23 @@ object ConnectedComponents {
     * `vertices` supplies the full id universe so isolated vertices
     * label themselves.
     */
-  def labels(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+  /** Edge-count threshold below which the transitive closure runs as
+    * ONE union-find task instead of distributed contraction rounds —
+    * the AQE-style runtime adaptivity decision: each distributed round
+    * is 4 shuffle stages + a convergence job, pure overhead when the
+    * deduplicated edge set fits a single task comfortably (1M edges ≈
+    * tens of MB of long pairs). Pass 0 to force the distributed path.
+    */
+  val DefaultSmallGraphMaxEdges: Long = 1000000L
+
+  def labels(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame =
+    labels(vertices, idCol, edges, DefaultSmallGraphMaxEdges)
+
+  def labels(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      smallGraphMaxEdges: Long): DataFrame = {
     val spark = vertices.sparkSession
     val hasCkptDir = spark.sparkContext.getCheckpointDir.isDefined
     // Lineage cut with an explicit release handle: each round persists
@@ -110,6 +126,39 @@ object ConnectedComponents {
     }
     var sig = fingerprint(e)
     var converged = sig._1 == 0L
+    // Small-graph fast path: the deduplicated edge set fits one task,
+    // so a single union-find pass (union-by-min-root + path
+    // compression, O(E α)) replaces every contraction round — one job
+    // instead of rounds × (4 shuffle stages + a convergence job). The
+    // labels are identical to the distributed path's (spec-compared):
+    // union-by-min-root makes each tree's root the component minimum.
+    if (!converged && sig._1 <= smallGraphMaxEdges) {
+      import spark.implicits._
+      val flat = e.select(col("u"), col("v")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (u, v) =>
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+          }
+          val ks = parent.keysIterator.toArray
+          ks.iterator.map(k => (k, find(k)))
+        }
+        .toDF("u", "v")
+      val (stars, releaseStars) = cut(flat) // materialize before freeing e
+      release()
+      e = stars
+      release = releaseStars
+      converged = true
+    }
     var rounds = 0
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {

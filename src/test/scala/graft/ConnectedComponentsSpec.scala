@@ -23,9 +23,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def check(n: Long, edges: Seq[(Long, Long)]): Unit = {
     val verts = (0L until n).toDF("id")
     val e = edges.toDF("id_a", "id_b")
-    val got = ConnectedComponents.labels(verts, "id", e)
+    // the adaptive small-graph path and the distributed contraction
+    // path must produce identical labels
+    val small = ConnectedComponents.labels(verts, "id", e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == expected(n, edges))
+    val distributed = ConnectedComponents
+      .labels(verts, "id", e, smallGraphMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == expected(n, edges))
+    assert(distributed == expected(n, edges))
   }
 
   test("chain graph (the diameter case naive propagation loses)") {
@@ -50,10 +56,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val sc = TestSpark.spark.sparkContext
     System.gc() // let the ContextCleaner drain earlier tests' refs
     val before = sc.getPersistentRDDs.keySet
-    // 64-chain needs several contraction rounds
+    // 64-chain needs several contraction rounds (force the
+    // distributed path; the small-graph fast path runs no rounds)
     val verts = (0L until 64L).toDF("id")
     val e = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    ConnectedComponents.labels(verts, "id", e).collect()
+    ConnectedComponents.labels(verts, "id", e, smallGraphMaxEdges = 0L).collect()
     val leaked = sc.getPersistentRDDs.keySet -- before
     // only the FINAL round's edge set may still be pinned (the
     // returned frame references it); superseded rounds must be freed
