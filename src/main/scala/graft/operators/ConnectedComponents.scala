@@ -153,8 +153,9 @@ object ConnectedComponents {
           ks.iterator.map(k => (k, find(k)))
         }
         .toDF("u", "v")
-      val (stars, releaseStars) = cut(flat) // materialize before freeing e
-      release()
+      val (stars, releaseStars) = cut(flat)
+      stars.count() // actually materialize the persisted blocks...
+      release()     // ...BEFORE freeing e, which they derive from
       e = stars
       release = releaseStars
       converged = true

@@ -79,12 +79,14 @@ object Dedup {
 
   /** MinHash signatures via explode + groupBy-agg, with the
     * Kirsch–Mitzenmacher double-hashing family: ONE md5 per shingle
-    * yields two independent 60-bit values a (hex 1-15) and b
-    * (hex 17-31), and hash function j is (a + j·b) mod 2^60 — the
-    * standard construction whose minhash estimates match k
-    * independent hashes. 8× less hashing than md5-per-function, and
-    * engine-portable (the DuckDB oracle replays the same arithmetic).
-    * a + j·b < 8·2^60 = 2^63 never overflows a signed 64-bit int.
+    * yields two independent values — a (hex 1-15, 60 bits) and b
+    * (hex 17-30, 56 bits) — and hash function j is (a + j·b) masked
+    * to 60 bits: the standard construction whose minhash estimates
+    * match k independent hashes. 8× less hashing than
+    * md5-per-function, and engine-portable (the DuckDB oracle replays
+    * the same arithmetic — which is also why b is 56 bits:
+    * a + 63·b < 2^60 + 2^62 < 2^63 never overflows signed 64-bit in
+    * EITHER engine, supporting k up to 64).
     *
     * The k mins are computed with map-side partial aggregation — at
     * scale only (id, k×8B) rows reach the shuffle, never the
@@ -92,13 +94,13 @@ object Dedup {
     * hash-based (min(string) demotes to SortAggregate).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k <= 8, "k > 8 would overflow a + j*b past 2^63")
+    require(k >= 1 && k <= 64, "k must be in [1, 64] (a + 63*b is the signed-64 overflow bound)")
     val in = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
     val sh = in.select(col("id"), explode(shingles(col("t"))).as("s"))
     val hx = md5(col("s")) // codegen CSEs the repeated subexpression
     val ab = sh.select(col("id"),
       conv(substring(hx, 1, 15), 16, 10).cast("long").as("ha"),
-      conv(substring(hx, 17, 15), 16, 10).cast("long").as("hb"))
+      conv(substring(hx, 17, 14), 16, 10).cast("long").as("hb"))
     val aggs = (0 until k).map(j =>
       min((col("ha") + lit(j.toLong) * col("hb")).bitwiseAND(lit(MinhashMask))).as(s"mh$j"))
     ab.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -304,7 +306,14 @@ object Dedup {
     */
   def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame = {
     // pairs feeds five subplans (the id prune, both hash-join sides,
-    // and the count joins) — pin it for the operator's lifetime
+    // and the count joins) — pin it for the operator's lifetime. If
+    // the CALLER already cached it (the documented reuse pattern for
+    // feeding one pair set to several overlap calls), cache() is a
+    // no-op on the shared entry and unpersisting it here would destroy
+    // state the operator does not own — only release what we created.
+    val pairsCachedByCaller = pairs.sparkSession.sharedState.cacheManager
+      .lookupCachedData(pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
     val p = pairs.cache()
     // The exploded-hash table feeds three subplans (per-id counts and
     // both sides of the pair-hash join); without a cache each
@@ -321,7 +330,7 @@ object Dedup {
       .union(p.select(col("id_b").as("id"))).distinct()
     val ex = explodedHashes(sets.join(ids, Seq("id"), "left_semi"), hashElements).cache()
     try materialize(setOverlapPlan(ex, p))
-    finally { ex.unpersist(); p.unpersist() }
+    finally { ex.unpersist(); if (!pairsCachedByCaller) p.unpersist() }
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:

@@ -18,15 +18,24 @@ object Scrubbing {
     * shuffle carries word-count rows, not documents.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // drop the empty token that split() yields for empty/whitespace-only
+    // text (otherwise such docs score n_words=1, top_ratio=1.0 — the
+    // whitespace-token skew class), then join back so every document
+    // keeps a row: zeros, ratio 0.0
     val ex = Dedup.rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"), explode(TextAnalysis.words(trim(col("t")))).as("w"))
+      .where(col("w") =!= "")
     val wc = ex.groupBy("id", "w").agg(count(lit(1)).as("c"))
-    wc.groupBy("id").agg(
+    val stats = wc.groupBy("id").agg(
       sum(col("c")).cast("long").as("n_words"),
       max(col("c")).cast("long").as("top_count"))
-      .select(col("id"), col("n_words"), col("top_count"),
-        (col("top_count").cast("double") / col("n_words").cast("double"))
-          .as("top_ratio"))
+    docs.select(col(idCol).as("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        when(col("n_words") > 0L,
+          col("top_count").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("top_ratio"))
   }
 
   /** PII patterns chosen to mean the same thing in Java regex (Spark)

@@ -36,13 +36,13 @@ object Queries {
   private val one = lit(1).cast("decimal(8,2)")
 
   /** DuckDB replay of Dedup.minhashSignatures' double-hashing family:
-    * ONE md5 per shingle yields (ha, hb) — hex chars 1-15 and 17-31 —
+    * ONE md5 per shingle yields (ha, hb) — hex chars 1-15 and 17-30 —
     * and hash j is (ha + j·hb) masked to 60 bits. The `ab` CTE these
     * snippets expect is built from an unnested shingle column `s`.
     */
   private val duckAb =
     "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS ha, " +
-      "CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS hb"
+      "CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS hb"
   private def duckMinhash(k: Int): String = (0 until k).map(j =>
     s"min((ha + $j * hb) & ${graft.operators.Dedup.MinhashMask}) AS mh$j").mkString(",\n")
 
@@ -988,11 +988,16 @@ object Queries {
         .withColumnRenamed("id", "doc_id"),
       Some("""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
              |  FROM documents),
-             |c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
-             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
-             |  CAST(MAX(c) AS BIGINT) AS top_count,
-             |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ratio
-             |FROM c GROUP BY doc_id""".stripMargin)),
+             |c AS (SELECT doc_id, word, COUNT(*) AS c FROM w
+             |  WHERE word <> '' GROUP BY doc_id, word),
+             |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |  CAST(MAX(c) AS BIGINT) AS top_count FROM c GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(s.n_words, 0) AS n_words,
+             |  COALESCE(s.top_count, 0) AS top_count,
+             |  CASE WHEN COALESCE(s.n_words, 0) > 0
+             |    THEN CAST(s.top_count AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+             |    ELSE 0.0 END AS top_ratio
+             |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
     // PII inventory + redaction digest: engine-portable regexes, fixed
     // application order, md5 of the redacted text proves byte-identical

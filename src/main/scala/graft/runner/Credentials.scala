@@ -37,7 +37,9 @@ final case class StorageCredentials(uri: String, options: Map[String, String]) {
       m += s"fs.azure.account.auth.type.$acct.dfs.core.windows.net" -> "SAS"
       m += s"fs.azure.sas.fixed.token.$acct.dfs.core.windows.net" -> sas
     }
-    options.get("google_service_account_key").foreach { _ =>
+    // same nonEmpty guard as applyTo: an empty key must not enable
+    // keyfile auth that applyTo will never back with a file
+    options.get("google_service_account_key").filter(_.nonEmpty).foreach { _ =>
       // the keyfile PATH is materialized by applyTo — the config
       // carries the key CONTENT (delta-rs semantics), which must not
       // be put where a file path is expected

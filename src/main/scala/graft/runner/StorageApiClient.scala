@@ -35,7 +35,12 @@ final class StorageApiClient[A](
         case scala.util.control.NonFatal(e) =>
           last = e
           onWarn(s"Attempt ${attempt + 1} failed: ${e.getMessage}")
-          if (attempt < retryAttempts - 1) sleep((attempt + 1) * 1000L)
+          if (attempt < retryAttempts - 1)
+            try sleep((attempt + 1) * 1000L)
+            catch { // an interrupt during backoff preserves the flag too
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt(); throw ie
+            }
       }
       attempt += 1
     }

@@ -341,6 +341,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1)._3 == 1L && out(1)._4 == 0.2)
   }
 
+  test("repetition stats: empty docs report zeros and keep their row") {
+    val t = Seq((1L, ""), (2L, "   "), (3L, "a a b")).toDF("doc_id", "text")
+    val out = Scrubbing.repetitionStats(t, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 3L, 2L, 2.0 / 3)))
+  }
+
+  test("setOverlap leaves a caller-cached pairs frame cached") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").cache()
+    try {
+      pairs.count()
+      Dedup.shingleOverlap(docs, "doc_id", "text", pairs).count()
+      // the operator must only release caches it created
+      assert(spark.sharedState.cacheManager.lookupCachedData(
+        pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined,
+        "setOverlap evicted the caller's pairs cache")
+    } finally pairs.unpersist()
+  }
+
   test("PII scrub: emails/phones/ips counted and redacted deterministically") {
     val t = Seq(
       (1L, "mail a.user@example.com or call 555-123-4567 from 10.0.0.1 now"),
