@@ -107,6 +107,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0, 2)))
   }
 
+  test("corpus pipeline: stages shrink monotonically and compose correctly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.where($"doc_id" % 101 === 0)
+    val cfg = CorpusPipeline.CleanConfig(
+      quality = QualityFilters.FilterConfig(minChars = Some(50), minWords = Some(5)),
+      maxTopWordRatio = Some(0.5),
+      benchmarkGrams = Some(Decontamination.benchmarkGrams(bench, "text", 13)),
+      dedup = true)
+    val n0 = corpus.count()
+    val out = CorpusPipeline.clean(corpus, "doc_id", "text", "lang", cfg)
+    val n = out.count()
+    assert(n > 0 && n < n0)
+    // schema is preserved (stages filter rows, never reshape)
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    // benchmark full copies are gone
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    assert(out.where($"doc_id".isin(benchIds.toSeq: _*)).count() == 0)
+    // surviving docs satisfy the quality predicate
+    assert(out.where(length($"text") < 50).count() == 0)
+    // no exact duplicate texts survive dedup
+    val texts = out.select("text").as[String].collect()
+    assert(texts.distinct.length == texts.length)
+    // and the pipeline released every cache it created
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("text stats + fingerprint properties") {

@@ -35,6 +35,64 @@ class PropertySpec extends AnyFunSuite {
     d.as[(Long, String, Double)].collect().toSeq
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
 
+  test("setOverlap equals brute-force intersection on random docs/pairs") {
+    val docGen: Gen[List[(Long, String)]] = Gen.listOfN(24, for {
+      id <- Gen.choose(0L, 23L)
+      ws <- Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "eps", "zeta", "eta", "theta"))
+    } yield (id, ws.mkString(" ")))
+    for (seed <- 1L to 4L) {
+      val docs0 = docGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .distinctBy(_._1)
+      val docsDf = docs0.toDF("doc_id", "text")
+      val ids = docs0.map(_._1)
+      val pairs = (for (a <- ids; b <- ids if a < b) yield (a, b)).take(40)
+      val got = graft.operators.Dedup
+        .shingleOverlap(docsDf, "doc_id", "text", pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long, Int, Int)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // brute-force reference over in-memory shingle sets
+      def shingles(t: String): Set[String] = {
+        val ws = t.split("\\s+").toSeq
+        if (ws.length < 3) Set(t)
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val byId = docs0.toMap
+      for ((a, b) <- pairs) {
+        val (sa, sb) = (shingles(byId(a)), shingles(byId(b)))
+        assert(got((a, b)) == ((sa & sb).size, (sa | sb).size),
+          s"seed=$seed pair=($a,$b)")
+      }
+    }
+  }
+
+  test("connected components: adaptive and distributed paths equal union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L)
+    } yield (a, b))
+    for (seed <- 1L to 4L) {
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .filter { case (a, b) => a != b }
+      // in-memory union-find reference
+      val parent = collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until 30L).map(i => i -> find(i)).toMap
+      val verts = (0L until 30L).toDF("id")
+      val e = edges.toDF("id_a", "id_b")
+      for (threshold <- Seq(0L, 1000000L)) {
+        val got = graft.operators.ConnectedComponents
+          .labels(verts, "id", e, smallGraphMaxEdges = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed threshold=$threshold")
+      }
+    }
+  }
+
   test("upsert is idempotent: upsert(upsert(t, s), s) == upsert(t, s)") {
     for (seed <- 1L to 6L) {
       val target = df(sample(seed))
