@@ -28,6 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.requireArity("graft_dot", exprs, 2)
         DotProduct(exprs.head, exprs(1))
       }))
+    // mergeable KLL quantile sketch family (build / union / quantile)
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchBuild].getName, "graft_kll_sketch"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_kll_sketch", exprs, 1)
+        graft.functions.KllSketchBuild(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_union"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchMerge].getName, "graft_kll_union"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_kll_union", exprs, 1)
+        graft.functions.KllSketchMerge(exprs.head).toAggregateExpression()
+      }))
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)

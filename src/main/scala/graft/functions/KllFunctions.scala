@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Mergeable quantile sketches (KLL, Karnin-Lang-Liberty FOCS'16) —
+  * the quantile complement to the theta-distinct family: exact
+  * quantiles (Ranking) need a full sort per query, but a KLL sketch is
+  * ~KB of state, merges associatively (map-side partial aggregation,
+  * day→month rollups), and answers any quantile later without
+  * rescanning raw data. Normalized rank error ≈1.65% at the default
+  * k=200 — spec-tested against exact ranks.
+  */
+private[functions] object KllUpdates {
+  def toDouble(dt: DataType, v: Any): Double = dt match {
+    case DoubleType  => v.asInstanceOf[Double]
+    case FloatType   => v.asInstanceOf[Float].toDouble
+    case LongType    => v.asInstanceOf[Long].toDouble
+    case IntegerType => v.asInstanceOf[Int].toDouble
+    case ShortType   => v.asInstanceOf[Short].toDouble
+    case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new UnsupportedOperationException(
+      s"kll sketch: unsupported input type $other")
+  }
+}
+
+/** Aggregates raw numeric values into a SERIALIZED KLL sketch (binary
+  * column) — one row per (entity, period) in a summary table.
+  */
+case class KllSketchBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+  override def prettyName: String = "graft_kll_sketch"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance()
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(KllUpdates.toDouble(child.dataType, v))
+    buffer
+  }
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Merges STORED KLL sketches (binary column) into one sketch — the
+  * rollup half (day → month → year): re-emits binary so rollups chain.
+  */
+case class KllSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+  override def prettyName: String = "graft_kll_union"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance()
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Scalar: quantile `q` of ONE stored sketch row (binary → double).
+  * Reading a stored summary row is not a hot codegen path —
+  * CodegenFallback keeps it simple; NULL for empty sketches.
+  */
+case class KllQuantile(child: Expression, q: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_kll_quantile"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getQuantile(q)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KllFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_kll_sketch",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_kll_sketch", exprs, 1)
+        KllSketchBuild(exprs.head).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kll_union",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_kll_union", exprs, 1)
+        KllSketchMerge(exprs.head).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kll_quantile",
+      exprs => {
+        graft.GraftExtensions.requireArity("graft_kll_quantile", exprs, 2)
+        val q = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: NumericType) =>
+            v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantile: q must be a numeric literal, got $other")
+        }
+        KllQuantile(exprs.head, q)
+      },
+      "built-in")
+  }
+
+  def kllSketch(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_kll_sketch", c)
+  }
+
+  def kllUnion(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_kll_union", c)
+  }
+
+  def kllQuantile(spark: SparkSession, sketch: Column, q: Double): Column = {
+    register(spark)
+    call_function("graft_kll_quantile", sketch, org.apache.spark.sql.functions.lit(q))
+  }
+}

@@ -955,6 +955,25 @@ object Queries {
       },
       None),
 
+    // mergeable quantile maintenance: per-day KLL sketches rolled up
+    // per event type — any quantile over any slice from KB summaries,
+    // no raw-data rescan (approximate ⇒ rows-only; rank accuracy and
+    // mergeability are spec-tested against exact quantiles)
+    "q58_kll_rollup" -> QueryDef(
+      (s, d) => {
+        val ev = tbl(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+        val daily = ev.groupBy("event_type", "day").agg(
+          graft.functions.KllFunctions.kllSketch(s, col("value")).as("sk"))
+        daily.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n_days"),
+          graft.functions.KllFunctions.kllUnion(s, col("sk")).as("usk"))
+          .select(col("event_type"), col("n_days"),
+            graft.functions.KllFunctions.kllQuantile(s, col("usk"), 0.5).as("p50_est"),
+            graft.functions.KllFunctions.kllQuantile(s, col("usk"), 0.95).as("p95_est"))
+      },
+      None),
+
     // benchmark decontamination (GPT-3-style 13-gram collision): the
     // mod-101 docs stand in for a held-out eval set; the corpus side
     // is a broadcast hash probe — it never shuffles at any scale

@@ -500,6 +500,33 @@ class OperatorSpec extends AnyFunSuite {
 
   // ---- incremental sketch maintenance ------------------------------------
 
+  test("KLL quantile sketches: rank-accurate, mergeable across days") {
+    import graft.functions.KllFunctions
+    val vals = (1L to 20000L).map(i => (f"2024-01-${1 + (i % 10)}%02d", i.toDouble))
+      .toDF("day", "v")
+    val daily = vals.groupBy("day")
+      .agg(KllFunctions.kllSketch(spark, $"v").as("sk")).cache()
+    try {
+      assert(daily.count() == 10)
+      // union of per-day sketches answers quantiles over the full range
+      val merged = daily.agg(KllFunctions.kllUnion(spark, $"sk").as("usk"))
+      val Seq(p50, p95) = Seq(0.5, 0.95).map(q =>
+        merged.select(KllFunctions.kllQuantile(spark, $"usk", q))
+          .as[Double].head())
+      // values are 1..20000 uniform: exact p50=10000, p95=19000; KLL
+      // k=200 normalized rank error ~1.65% -> accept 2% of 20000 = 400
+      assert(math.abs(p50 - 10000.0) <= 400, s"p50=$p50")
+      assert(math.abs(p95 - 19000.0) <= 400, s"p95=$p95")
+      // a sketch over a day SUBSET answers that subset's quantiles
+      val half = daily.where($"day" <= "2024-01-05")
+        .agg(KllFunctions.kllUnion(spark, $"sk").as("usk"))
+        .select(KllFunctions.kllQuantile(spark, $"usk", 0.5)).as[Double].head()
+      val exactHalf = vals.where($"day" <= "2024-01-05")
+        .stat.approxQuantile("v", Array(0.5), 0.0).head
+      assert(math.abs(half - exactHalf) <= 400, s"subset p50=$half vs $exactHalf")
+    } finally daily.unpersist()
+  }
+
   test("theta sketch columns: per-day sketches union to range distincts incrementally") {
     import graft.functions.SketchFunctions
     val events = (1L to 20000L).map { i =>
