@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.requireArity("graft_kll_union", exprs, 1)
         graft.functions.KllSketchMerge(exprs.head).toAggregateExpression()
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "graft_kll_quantile"),
+      graft.functions.KllFunctions.quantileBuilder))
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)

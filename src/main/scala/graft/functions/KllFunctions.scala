@@ -137,18 +137,26 @@ object KllFunctions {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_kll_quantile",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_kll_quantile", exprs, 2)
-        val q = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: NumericType) =>
-            v.toString.toDouble
-          case other => throw new IllegalArgumentException(
-            s"graft_kll_quantile: q must be a numeric literal, got $other")
-        }
-        KllQuantile(exprs.head, q)
-      },
-      "built-in")
+      "graft_kll_quantile", quantileBuilder, "built-in")
+  }
+
+  /** Shared builder (per-session registry AND session extensions):
+    * validates the rank literal at ANALYSIS time, not per row on the
+    * executors.
+    */
+  private[graft] def quantileBuilder(
+      exprs: Seq[Expression]): Expression = {
+    graft.GraftExtensions.requireArity("graft_kll_quantile", exprs, 2)
+    val q = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _: NumericType) =>
+        v.toString.toDouble
+      case other => throw new IllegalArgumentException(
+        s"graft_kll_quantile: q must be a numeric literal, got $other")
+    }
+    if (q < 0.0 || q > 1.0)
+      throw new IllegalArgumentException(
+        s"graft_kll_quantile: q must be in [0, 1], got $q")
+    KllQuantile(exprs.head, q)
   }
 
   def kllSketch(spark: SparkSession, c: Column): Column = {

@@ -154,8 +154,10 @@ object ConnectedComponents {
         }
         .toDF("u", "v")
       val (stars, releaseStars) = cut(flat)
-      stars.count() // actually materialize the persisted blocks...
-      release()     // ...BEFORE freeing e, which they derive from
+      // checkpoint() is already eager; the persist branch needs an
+      // action to materialize blocks BEFORE freeing e they derive from
+      if (!hasCkptDir) stars.count()
+      release()
       e = stars
       release = releaseStars
       converged = true

