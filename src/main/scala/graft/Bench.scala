@@ -45,7 +45,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // host-load stamp: a co-tenant-loaded run reads very differently
+    // from an idle one (r3's 3.0x-vs-1.4x lesson) — make the JSON
+    // self-describing
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Exception =>
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        s"[$l]"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

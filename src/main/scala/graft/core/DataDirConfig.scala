@@ -69,13 +69,13 @@ object DataDirConfig {
   def parseParameters(p: JsonNode): Config = {
     val errs = new Errs
 
-    def intF(field: String, default: Int): Int = {
+    def intNodeF(node: JsonNode, field: String, default: Int): Int = {
       // range-checked: Jackson's asInt silently truncates a long, and
       // "99999999999".toInt would throw past the error accumulator
       def fit(l: Long): Int =
         if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt
         else { errs.add(field, "Input should be a valid integer"); default }
-      Option(p.get(field)) match {
+      Option(node.get(field)) match {
         case None => default
         case Some(n) if n.isIntegralNumber && n.canConvertToLong => fit(n.asLong)
         // pydantic coerces numeric strings ("3" -> 3) but not text
@@ -85,6 +85,7 @@ object DataDirConfig {
           errs.add(field, "Input should be a valid integer"); default
       }
     }
+    def intF(field: String, default: Int): Int = intNodeF(p, field, default)
 
     def boolF(field: String, default: Boolean): Boolean =
       Option(p.get(field)) match {
@@ -100,7 +101,8 @@ object DataDirConfig {
       Option(node.get(field)) match {
         case None => default
         case Some(n) if n.isTextual => n.asText
-        case Some(n) if n.isValueNode => n.asText
+        // pydantic v2 `str` is strict-ish: numbers/booleans/null are NOT
+        // coerced (a bare NullNode.asText would even yield "null")
         case Some(_) =>
           errs.add(field, "Input should be a valid string"); default
       }
@@ -148,8 +150,7 @@ object DataDirConfig {
           compression = strF(d, "compression", "UNCOMPRESSED"),
           dedupColumns = strList(d, "dedup_columns"),
           bucketBy = strList(d, "bucket_by"),
-          numBuckets = { val dd = d; // bucketing extension fields
-            Option(dd.get("num_buckets")).filter(_.isIntegralNumber).map(_.asInt).getOrElse(0) },
+          numBuckets = intNodeF(d, "num_buckets", 0), // bucketing extension field
           bucketSortBy = strList(d, "bucket_sort_by"),
         )
     }

@@ -25,6 +25,7 @@ private[functions] object KllUpdates {
     case LongType    => v.asInstanceOf[Long].toDouble
     case IntegerType => v.asInstanceOf[Int].toDouble
     case ShortType   => v.asInstanceOf[Short].toDouble
+    case ByteType    => v.asInstanceOf[Byte].toDouble
     case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
     case other => throw new UnsupportedOperationException(
       s"kll sketch: unsupported input type $other")
@@ -147,9 +148,20 @@ object KllFunctions {
   private[graft] def quantileBuilder(
       exprs: Seq[Expression]): Expression = {
     graft.GraftExtensions.requireArity("graft_kll_quantile", exprs, 2)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // NULL literals carry NumericType too — match them before extracting,
+    // and fold foldable-but-unfolded shapes (CAST(0.5 AS DOUBLE)) since
+    // this builder runs before constant folding.
     val q = exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v, _: NumericType) =>
-        v.toString.toDouble
+      case Literal(null, _) => throw new IllegalArgumentException(
+        "graft_kll_quantile: q must be a numeric literal, got NULL")
+      case Literal(v, _: NumericType) => v.toString.toDouble
+      case e if e.foldable && e.dataType.isInstanceOf[NumericType] =>
+        e.eval() match {
+          case null => throw new IllegalArgumentException(
+            "graft_kll_quantile: q must be a numeric literal, got NULL")
+          case v => v.toString.toDouble
+        }
       case other => throw new IllegalArgumentException(
         s"graft_kll_quantile: q must be a numeric literal, got $other")
     }

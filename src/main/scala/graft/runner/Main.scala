@@ -51,6 +51,22 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
+  /** UC client factory seam: the sandbox has no network, so the
+    * default refuses with a clear error; specs (and a real deployment
+    * wrapping the databricks SDK) install their own.
+    */
+  @volatile private[graft] var ucClientFactory: Config => UcClient = cfg =>
+    throw UserException(
+      "Unity Catalog access requires a reachable endpoint" +
+        (if (cfg.unityCatalogUrl.nonEmpty) s" (unity_catalog_url=${cfg.unityCatalogUrl})"
+         else "") + "; no UcClient is configured in this environment")
+
+  private[graft] def credentialProviderFor(cfg: Config): CredentialProvider =
+    cfg.accessMethod match {
+      case AccessMethod.UnityCatalog => new UnityCatalogCredentials(ucClientFactory(cfg))
+      case _                         => DirectStorageCredentials
+    }
+
   /** Local destination path for a config's destination fields. */
   private[graft] def resolveDest(cfg: Config, dataDir: Path): Path = {
     val base = sys.env.get("GRAFT_WAREHOUSE_DIR").map(Paths.get(_))
@@ -82,8 +98,11 @@ object Main {
     dd.action match {
       case "run" =>
         // cloud-provider configs resolve credentials through the seam;
-        // locally the resulting Hadoop conf entries are inert
-        DirectStorageCredentials.resolve(cfg).applyTo(spark)
+        // locally the resulting Hadoop conf entries are inert.
+        // access_method=unity_catalog routes through the UC provider so
+        // the reference's missing-table / permission-denied errors
+        // (component.py:117-133) surface on real runs, not just specs.
+        credentialProviderFor(cfg).resolve(cfg).applyTo(spark)
         Runner.run(spark, cfg, dataDir, destOverride.getOrElse(resolveDest(cfg, dataDir)))
       case "list_uc_catalogs" =>
         Actions.listCatalogs(spark).foreach(e => println(e.value))

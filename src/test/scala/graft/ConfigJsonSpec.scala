@@ -92,6 +92,23 @@ class ConfigJsonSpec extends AnyFunSuite {
     assert(dd.action == "run" && dd.config.threads == 4)
   }
 
+  test("num_buckets validates like every other int field (coerce + error)") {
+    val ok = DataDirConfig.parse(
+      """{"parameters": {"destination": {"table": "t", "bucket_by": ["a"], "num_buckets": "4"}}}""")
+    assert(ok.config.destination.numBuckets == 4)
+    val e = intercept[UserException](DataDirConfig.parse(
+      """{"parameters": {"destination": {"table": "t", "num_buckets": 4.5}}}"""))
+    assert(e.getMessage.contains("num_buckets: Input should be a valid integer"))
+  }
+
+  test("string fields reject non-string scalars (pydantic v2 strict str)") {
+    val e = intercept[UserException](DataDirConfig.parse(
+      """{"parameters": {"provider": 42,
+        |  "destination": {"table": null}}}""".stripMargin))
+    assert(e.getMessage.contains("provider: Input should be a valid string"))
+    assert(e.getMessage.contains("table: Input should be a valid string"))
+  }
+
   // ---- resource knobs -----------------------------------------------------
 
   test("session conf derives from config: local[threads], batch_size file cap") {
@@ -207,6 +224,30 @@ class ConfigJsonSpec extends AnyFunSuite {
     }).resolve(cfg)
     assert(az.options("azure_storage_account_name") == "acctname")
     assert(az.options("azure_storage_sas_token") == "sas")
+  }
+
+  test("run action dispatches on access_method: UC configs hit the UC seam") {
+    val cfg = Config(
+      accessMethod = AccessMethod.UnityCatalog,
+      destination = Destination(catalog = "c", schemaName = "s", table = "t"))
+    // direct storage keeps the direct provider
+    assert(Main.credentialProviderFor(cfg.copy(accessMethod = AccessMethod.DirectStorage))
+      eq DirectStorageCredentials)
+    // default UC factory refuses clearly (sandbox has no endpoint)
+    val e = intercept[UserException](Main.credentialProviderFor(cfg))
+    assert(e.getMessage.contains("UcClient"))
+    // an installed client surfaces the reference's UC errors on the CLI path
+    val prev = Main.ucClientFactory
+    try {
+      Main.ucClientFactory = _ => new UcClient {
+        def tableExists(n: String) = false
+        def tempTableCredentials(n: String) = fail("unreachable")
+        def region = "r"
+      }
+      val e2 = intercept[UserException](Main.credentialProviderFor(cfg).resolve(cfg))
+      assert(e2.getMessage ==
+        "External table c.s.t does not exist in Unity Catalog, please create it.")
+    } finally Main.ucClientFactory = prev
   }
 
   test("storage-api client: linear backoff, last-exception rethrow (C5 contract)") {

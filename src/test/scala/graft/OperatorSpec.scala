@@ -529,6 +529,31 @@ class OperatorSpec extends AnyFunSuite {
     } finally daily.unpersist()
   }
 
+  test("KLL quantile rank argument: NULL rejected cleanly, foldable cast accepted") {
+    import graft.functions.KllFunctions
+    KllFunctions.register(spark)
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    df.createOrReplaceTempView("kll_args_v")
+    // NULL literal: the intended argument error, not an NPE
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT graft_kll_quantile(graft_kll_sketch(v), NULL) FROM kll_args_v").collect())
+    assert(e.getMessage.contains("q must be a numeric literal"))
+    // foldable-but-unfolded rank (builder runs before constant folding)
+    val folded = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll_sketch(v), CAST(0.5 AS DOUBLE)) FROM kll_args_v")
+      .as[Double].head()
+    assert(folded == 2.0, s"median of 1,2,3 = $folded")
+    // out-of-range still validated at analysis time
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("SELECT graft_kll_quantile(graft_kll_sketch(v), 1.5) FROM kll_args_v"))
+    assert(e2.getMessage.contains("q must be in [0, 1]"))
+    // TINYINT input converts losslessly
+    val tiny = df.select($"v".cast("byte").as("b"))
+      .agg(KllFunctions.kllSketch(spark, $"b").as("sk"))
+      .select(KllFunctions.kllQuantile(spark, $"sk", 1.0)).as[Double].head()
+    assert(tiny == 3.0)
+  }
+
   test("theta sketch columns: per-day sketches union to range distincts incrementally") {
     import graft.functions.SketchFunctions
     val events = (1L to 20000L).map { i =>
