@@ -54,7 +54,9 @@ object Bench {
       catch { case _: Exception =>
         val l = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
-        s"[$l]"
+        // getSystemLoadAverage returns -1.0 when unsupported; emit null
+        // so unknown load is distinguishable from a measured near-idle one
+        if (l < 0) "null" else s"[$l]"
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()

@@ -165,7 +165,9 @@ object KllFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_kll_quantile: q must be a numeric literal, got $other")
     }
-    if (q < 0.0 || q > 1.0)
+    // NaN compares false against both bounds, so reject it explicitly —
+    // otherwise CAST('NaN' AS DOUBLE) reaches getQuantile at runtime
+    if (q.isNaN || q < 0.0 || q > 1.0)
       throw new IllegalArgumentException(
         s"graft_kll_quantile: q must be in [0, 1], got $q")
     KllQuantile(exprs.head, q)

@@ -121,6 +121,10 @@ object ConnectedComponents {
     // set (~2^-64) would only stop the provably-convergent contraction
     // one round early.
     def fingerprint(df: DataFrame): (Long, Long) = {
+      // sum() over xxhash64 wraps on Long overflow BY DESIGN: the value
+      // is only an equality fingerprint, so mod-2^64 arithmetic is fine
+      // (order-independent, deterministic) — this is a deliberate
+      // exception to the repo's "never rely on wrap" rule.
       val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }

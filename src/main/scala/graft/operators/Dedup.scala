@@ -36,7 +36,10 @@ object Dedup {
     */
   private[operators] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+    // queryExecution.toRdd reuses the frame's own physical planning
+    // (`.rdd` would plan a SECOND copy with row conversion — measurable
+    // driver time on wide plans, and the planning work is discarded)
+    if (df.queryExecution.toRdd.getNumPartitions * 4 < target) df.repartition(target) else df
   }
 
   /** Eager materialization with a lineage cut. Reliable checkpoint

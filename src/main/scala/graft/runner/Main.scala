@@ -61,9 +61,15 @@ object Main {
         (if (cfg.unityCatalogUrl.nonEmpty) s" (unity_catalog_url=${cfg.unityCatalogUrl})"
          else "") + "; no UcClient is configured in this environment")
 
-  private[graft] def credentialProviderFor(cfg: Config): CredentialProvider =
+  /** `factory` defaults to the global seam; tests pass their mock
+    * explicitly instead of mutating the shared var (suites run in
+    * parallel in the forked JVM).
+    */
+  private[graft] def credentialProviderFor(
+      cfg: Config,
+      factory: Config => UcClient = ucClientFactory): CredentialProvider =
     cfg.accessMethod match {
-      case AccessMethod.UnityCatalog => new UnityCatalogCredentials(ucClientFactory(cfg))
+      case AccessMethod.UnityCatalog => new UnityCatalogCredentials(factory(cfg))
       case _                         => DirectStorageCredentials
     }
 

@@ -30,7 +30,8 @@ object Runner {
   def loadInput(
       spark: SparkSession,
       dataDir: Path,
-      csvHasHeader: Boolean = true): DataFrame = {
+      csvHasHeader: Boolean = true,
+      keepStage: Boolean = false): DataFrame = {
     val tables = TableDef.fromDataDir(dataDir)
     val files = parquetInputs(dataDir)
     TableDef.validateInputShape(tables, files)
@@ -41,6 +42,12 @@ object Runner {
       // sliced chunks are headerless regardless of the caller's flag
       val staged = StagedCsv.read(spark, t, t.dataPaths,
         hasHeader = csvHasHeader && !t.sliced)
+      // keep_stage: the all-string staged frame survives the run as a
+      // temp view for post-run inspection (the reference keeps its
+      // DuckDB staging table); default false drops it — D3 semantics.
+      val viewName = s"graft_stage_${t.name}"
+      if (keepStage) staged.createOrReplaceTempView(viewName)
+      else spark.catalog.dropTempView(viewName)
       StageCast.fromStaging(staged, t)
     } else {
       StagedCsv.readParquet(spark, files)
@@ -63,7 +70,7 @@ object Runner {
   def runExternal(spark: SparkSession, config: Config, dataDir: Path, dest: Path): Unit = {
     config.validateExternalMode()
     val d = config.destination
-    val loaded = loadInput(spark, dataDir)
+    val loaded = loadInput(spark, dataDir, keepStage = config.keepStage)
     val df = if (d.dedupColumns.nonEmpty)
       graft.operators.Dedup.exact(loaded, d.dedupColumns) else loaded
     new LakeTable(spark, dest).write(
@@ -88,7 +95,7 @@ object Runner {
     val tables = TableDef.fromDataDir(dataDir)
     if (tables.isEmpty)
       throw UserException("Native table type requires a table input.")
-    val df = loadInput(spark, dataDir)
+    val df = loadInput(spark, dataDir, keepStage = config.keepStage)
     val d = config.destination
     val lake = new LakeTable(spark, dest)
     d.mode match {

@@ -236,18 +236,18 @@ class ConfigJsonSpec extends AnyFunSuite {
     // default UC factory refuses clearly (sandbox has no endpoint)
     val e = intercept[UserException](Main.credentialProviderFor(cfg))
     assert(e.getMessage.contains("UcClient"))
-    // an installed client surfaces the reference's UC errors on the CLI path
-    val prev = Main.ucClientFactory
-    try {
-      Main.ucClientFactory = _ => new UcClient {
-        def tableExists(n: String) = false
-        def tempTableCredentials(n: String) = fail("unreachable")
-        def region = "r"
-      }
-      val e2 = intercept[UserException](Main.credentialProviderFor(cfg).resolve(cfg))
-      assert(e2.getMessage ==
-        "External table c.s.t does not exist in Unity Catalog, please create it.")
-    } finally Main.ucClientFactory = prev
+    // an installed client surfaces the reference's UC errors on the CLI
+    // path; the mock is passed explicitly (no global mutation — suites
+    // run in parallel in the forked JVM)
+    val mock: graft.core.Config => UcClient = _ => new UcClient {
+      def tableExists(n: String) = false
+      def tempTableCredentials(n: String) = fail("unreachable")
+      def region = "r"
+    }
+    val e2 = intercept[UserException](
+      Main.credentialProviderFor(cfg, mock).resolve(cfg))
+    assert(e2.getMessage ==
+      "External table c.s.t does not exist in Unity Catalog, please create it.")
   }
 
   test("storage-api client: linear backoff, last-exception rethrow (C5 contract)") {

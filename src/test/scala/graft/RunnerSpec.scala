@@ -137,6 +137,22 @@ class RunnerSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("bucket_by"))
   }
 
+  test("keep_stage keeps the all-string staged frame as a temp view; default drops it") {
+    assume(Files.exists(sampleDir))
+    val keep = Config(destination = Destination(mode = LoadType.Append),
+      keepStage = true)
+    Runner.run(spark, keep, sampleDir, tmp().resolve("t"))
+    val view = spark.table("graft_stage_test")
+    // the staged frame is the pre-cast ingest: all columns STRING
+    assert(view.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    assert(view.count() == 21)
+    // a later run without keep_stage drops the stale view (D3 semantics)
+    Runner.run(spark, Config(destination = Destination(mode = LoadType.Append)),
+      sampleDir, tmp().resolve("t"))
+    assert(!spark.catalog.tableExists("graft_stage_test"))
+  }
+
   test("SQL extensions entry point registers graft functions session-wide") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
