@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)
+    // SQL MERGE/UPDATE/DELETE on graft catalog tables → lake
+    // copy-on-write commands (the reference's generated DML,
+    // component.py:228-258)
+    e.injectResolutionRule(session => new graft.lake.v2.GraftDmlRule(session))
   }
 }
 

@@ -34,4 +34,17 @@ object SparkEntry {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the cluster-deployment pair every entry point carries: native
+    // functions + SQL DML rules, and the graft TableCatalog so
+    // `graft.<schema>.<table>` resolves (same two lines a real
+    // spark-submit would pass as --conf)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.lake.v2.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", warehouseDir)
+
+  /** Session-scoped catalog warehouse (tests/Verify/Bench create
+    * per-query tables under it; a deployment overrides the conf).
+    */
+  lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
 }

@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.core.UserException
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, split, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, monotonically_increasing_id, split, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.URLDecoder
@@ -402,7 +402,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
 
   // ---- constraints --------------------------------------------------------
 
-  private[lake] val ConstraintPrefix = "graft.constraint."
+  private[lake] def ConstraintPrefix: String = LakeTable.ConstraintPrefix
 
   /** CHECK constraints recorded in table config: name → SQL predicate. */
   def constraints: Map[String, String] =
@@ -757,6 +757,174 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     } finally src.unpersist()
   }
 
+  /** General SQL MERGE (the reference's generated `MERGE INTO … WHEN
+    * MATCHED THEN UPDATE … WHEN NOT MATCHED THEN INSERT …`,
+    * /root/reference/src/component.py:249-258, plus conditioned clauses,
+    * DELETE actions and NOT MATCHED BY SOURCE). Copy-on-write with the
+    * same file pruning as `merge`: only files containing matched rows
+    * are rewritten (all files when NOT MATCHED BY SOURCE clauses exist,
+    * since any file may hold an unmatched row); INSERT rows append.
+    *
+    * `build` is called with concrete (target, source) frames and must
+    * return the clause spec resolved against THEM — this inversion lets
+    * the SQL command layer rebind analyzed expressions onto whichever
+    * frame the engine is scanning (probe vs. rewrite) without the
+    * engine knowing about Catalyst attributes.
+    *
+    * Clause order is SQL's: the first WHEN whose condition holds acts.
+    * A target row matching >1 source row errors when a MATCHED clause
+    * exists (ANSI cardinality rule).
+    */
+  def mergeInto(source: DataFrame)(build: (DataFrame, DataFrame) => MergeSpec): Unit = {
+    if (!exists)
+      throw UserException(s"MERGE INTO target does not exist: $path")
+    val snap = snapshot(path)
+    val schema = snap.schema
+    // exact-name column lookup (column mapping allows dotted names)
+    def tcol(df: DataFrame, c: String): Column = df(s"`${c.replace("`", "``")}`")
+    val src = source.cache()
+    try {
+      val probe = read()
+      val probeSpec = build(probe, src)
+      probeSpec.matched.foreach {
+        case _: MergeClause.Insert => throw UserException(
+          "MERGE: INSERT is not a valid WHEN MATCHED action")
+        case _ => ()
+      }
+
+      // -- file pruning: which live files must be rewritten? --
+      val touched: Seq[AddFile] =
+        if (snap.files.isEmpty) Nil
+        else if (probeSpec.notMatchedBySource.nonEmpty) snap.files
+        else if (probeSpec.matched.isEmpty) Nil
+        else {
+          val withFile = probe.withColumn("__graft_file", col("_metadata.file_path"))
+          val files = withFile.join(src, probeSpec.condition, "left_semi")
+            .select("__graft_file").distinct()
+            .collect().map(_.getString(0)).toSet
+          snap.files.filter(touchedMatcher(files))
+        }
+
+      // -- rewrite of touched files: matched + not-matched-by-source --
+      val rewritten: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else {
+          val affected = readFiles(snap, touched)
+          val spec = build(affected, src)
+          if (spec.matched.nonEmpty) {
+            // ANSI cardinality rule: a target row may be updated/deleted
+            // by at most one source row
+            val tid = monotonically_increasing_id().as("__graft_tid")
+            val dup = affected.select(tid +: schema.fieldNames.toSeq.map(affected(_)): _*)
+            val dupes = dup.join(src, spec.condition, "inner")
+              .groupBy(col("__graft_tid")).count()
+              .where(col("count") > 1).limit(1).count()
+            if (dupes > 0) throw UserException(
+              "MERGE: a target row matched multiple source rows; " +
+                "deduplicate the source on the merge keys first")
+          }
+          val sMarked = src.withColumn("__graft_s", lit(true))
+          val joined = affected.join(sMarked, spec.condition, "left_outer")
+          val sPresent = coalesce(col("__graft_s"), lit(false))
+          // first applicable clause, SQL WHEN order; -1 = keep unchanged
+          val clauses: Seq[(Column, MergeClause)] =
+            spec.matched.map(c => (sPresent && c.condition.getOrElse(lit(true)), c)) ++
+              spec.notMatchedBySource.map(c =>
+                (!sPresent && c.condition.getOrElse(lit(true)), c))
+          val idx = clauses.zipWithIndex.foldRight(lit(-1)) {
+            case (((guard, _), i), acc) => when(guard, lit(i)).otherwise(acc)
+          }
+          val deleteIdx = clauses.map(_._2).zipWithIndex.collect {
+            case (_: MergeClause.Delete, i) => i
+          }
+          val withIdx = joined.withColumn("__graft_idx", idx)
+          val kept =
+            if (deleteIdx.isEmpty) withIdx
+            else withIdx.where(!col("__graft_idx").isin(deleteIdx.map(Integer.valueOf): _*))
+          val updates = clauses.map(_._2).zipWithIndex.collect {
+            case (u: MergeClause.Update, i) => (i, u.assignments)
+          }
+          Some(kept.select(schema.fields.toSeq.map { f =>
+            val base = tcol(affected, f.name)
+            updates.foldRight(base) { case ((i, assigns), acc) =>
+              assigns.get(f.name) match {
+                case Some(v) => when(col("__graft_idx") === i, v).otherwise(acc)
+                case None    => acc
+              }
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+        }
+
+      // -- NOT MATCHED inserts: source rows matching NO target row --
+      val inserts: Option[DataFrame] =
+        if (probeSpec.notMatched.isEmpty) None
+        else {
+          val unmatched =
+            if (snap.files.isEmpty) src
+            else src.join(probe, probeSpec.condition, "left_anti")
+          val ins = probeSpec.notMatched
+          val idx = ins.zipWithIndex.foldRight(lit(-1)) {
+            case ((c, i), acc) =>
+              when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+          }
+          val withIdx = unmatched.withColumn("__graft_idx", idx)
+            .where(col("__graft_idx") >= 0)
+          Some(withIdx.select(schema.fields.toSeq.map { f =>
+            ins.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+              case ((c, i), acc) =>
+                c.assignments.get(f.name) match {
+                  case Some(v) => when(col("__graft_idx") === i, v).otherwise(acc)
+                  case None    => acc
+                }
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+        }
+
+      val newRows = (rewritten, inserts) match {
+        case (Some(r), Some(i)) => Some(alignToSchema(r, schema).unionByName(alignToSchema(i, schema)))
+        case (Some(r), None)    => Some(alignToSchema(r, schema))
+        case (None, Some(i))    => Some(alignToSchema(i, schema))
+        case (None, None)       => None
+      }
+      newRows.foreach { data =>
+        enforceConstraints(data, snap)
+        val adds = writeDataFiles(bucketize(data, bucketingOf(snap)),
+          snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))
+        val ts = System.currentTimeMillis()
+        val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+        actions += commitInfoAction("MERGE",
+          Map("matchedClauses" -> probeSpec.matched.size.toString,
+            "notMatchedClauses" -> probeSpec.notMatched.size.toString,
+            "notMatchedBySourceClauses" -> probeSpec.notMatchedBySource.size.toString), ts)
+        touched.foreach(f => actions += removeAction(f.path, ts))
+        adds.foreach(a => actions += addAction(a))
+        commitPinned(snap.version, actions.result())
+      }
+    } finally src.unpersist()
+  }
+
+  /** Metadata-only CREATE TABLE: schema + partitioning + configuration
+    * committed as version 0, no data files (the DSv2 catalog's
+    * `createTable`; writes bootstrap the same way when the table is
+    * created by a first append).
+    */
+  private[graft] def createEmpty(
+      schema: StructType,
+      partitionBy: Seq[String],
+      configuration: Map[String, String]): Unit = {
+    val missing = partitionBy.filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw UserException(s"Partition columns not in schema: ${missing.mkString(",")}")
+    val ts = System.currentTimeMillis()
+    val meta = Metadata(UUID.randomUUID().toString, schema, partitionBy, configuration)
+    // pinned at version 0: a concurrent creation race must fail, not stack
+    if (exists) throw UserException(s"Table already exists at $path (mode=error).")
+    commitPinned(-1L, Seq(
+      commitInfoAction("CREATE TABLE",
+        Map("partitionBy" -> partitionBy.mkString(",")), ts),
+      protocolAction(), metadataAction(meta)))
+  }
+
   /** Copy-on-write DELETE: files that may contain matching rows (found
     * via `_metadata.file_path` provenance, so stats/partition pruning
     * applies to the probe) are rewritten without them; untouched files
@@ -1066,6 +1234,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
 }
 
 object LakeTable {
+  /** Table-config key prefix for ENFORCED CHECK constraints. */
+  private[graft] val ConstraintPrefix = "graft.constraint."
+
   def forPath(spark: SparkSession, p: String): LakeTable =
     new LakeTable(spark, TransactionLog.pathOf(p))
 }
