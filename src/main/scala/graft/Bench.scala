@@ -27,7 +27,12 @@ object Bench {
     // regression would silently *improve* the bench. Failed queries
     // report the literal string "failed" instead of a number and are
     // excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for focused local iteration
+    // (the driver never sets this; absent ⇒ full inventory)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var ok = true
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "graft_kll_quantile"),
       graft.functions.KllFunctions.quantileBuilder))
+    // theta sketch family (distinct / build / union / union_sketch) —
+    // same builders the embedded per-session register uses
+    graft.functions.SketchFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.ThetaSketchBuild].getName, name),
+        b))
+    }
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)

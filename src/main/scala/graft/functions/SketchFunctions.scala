@@ -181,36 +181,34 @@ case class ThetaSketchMerge(
 }
 
 object SketchFunctions {
+  /** name → SQL expression builder, shared by the per-session
+    * `register` (embedded use) and `GraftExtensions` (cluster-wide
+    * `--conf spark.sql.extensions` deployment).
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_theta_distinct" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_theta_distinct", exprs, 1)
+      ThetaSketchDistinct(exprs.head).toAggregateExpression()
+    },
+    "graft_theta_sketch" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_theta_sketch", exprs, 1)
+      ThetaSketchBuild(exprs.head).toAggregateExpression()
+    },
+    "graft_theta_union" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_theta_union", exprs, 1)
+      ThetaSketchMerge(exprs.head, emitBinary = false).toAggregateExpression()
+    },
+    "graft_theta_union_sketch" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_theta_union_sketch", exprs, 1)
+      ThetaSketchMerge(exprs.head, emitBinary = true).toAggregateExpression()
+    },
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_theta_distinct",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_theta_distinct", exprs, 1)
-        ThetaSketchDistinct(exprs.head).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_theta_sketch",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_theta_sketch", exprs, 1)
-        ThetaSketchBuild(exprs.head).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_theta_union",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_theta_union", exprs, 1)
-        ThetaSketchMerge(exprs.head, emitBinary = false).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_theta_union_sketch",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_theta_union_sketch", exprs, 1)
-        ThetaSketchMerge(exprs.head, emitBinary = true).toAggregateExpression()
-      },
-      "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   def thetaDistinct(spark: SparkSession, c: Column): Column = {

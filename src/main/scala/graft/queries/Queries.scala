@@ -1040,6 +1040,59 @@ object Queries {
            |    '$ip', '[IP]', 'g')) AS redacted_md5
            |FROM documents""".stripMargin
       }),
+
+    // ========== DSv2 + SQL-DML parity: the reference's GENERATED ==========
+    // statements run verbatim through GraftCatalog + GraftDmlRule:
+    // CREATE TABLE … PRIMARY KEY (component.py:216-224), INSERT INTO …
+    // SELECT CAST(…) from an all-string stage (:228-236), and MERGE
+    // INTO … WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED THEN INSERT
+    // (:249-258). Every step is pure `spark.sql`; the result is the
+    // final table content read back through the catalog, so the oracle
+    // replays the merge algebra (same shape as q07's, plus the
+    // string-stage round trip, which is exact — q02 proves the hash).
+    "q59_sql_merge" -> QueryDef(
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val asStage = o.columns.toSeq.map(c => col(c).cast("string").as(c))
+        s.sql("DROP TABLE IF EXISTS graft.default.q59_orders")
+        s.sql("""CREATE TABLE graft.default.q59_orders (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
+          PRIMARY KEY (o_orderkey)) USING graft""")
+        o.where(col("o_orderkey") % 3 =!= 0).select(asStage: _*)
+          .createOrReplaceTempView("q59_stage_seed")
+        s.sql("""INSERT INTO graft.default.q59_orders
+          SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+                 CAST(o_orderstatus AS STRING), CAST(o_totalprice AS DOUBLE),
+                 CAST(o_orderdate AS TIMESTAMP), CAST(o_orderpriority AS STRING)
+          FROM q59_stage_seed""")
+        o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderpriority", lit("UPDATED"))
+          .select(asStage: _*)
+          .createOrReplaceTempView("q59_stage_delta")
+        s.sql("""MERGE INTO graft.default.q59_orders AS target
+          USING q59_stage_delta AS source
+          ON target.o_orderkey = CAST(source.o_orderkey AS BIGINT)
+          WHEN MATCHED THEN UPDATE SET
+            target.o_orderkey = CAST(source.o_orderkey AS BIGINT),
+            target.o_custkey = CAST(source.o_custkey AS BIGINT),
+            target.o_orderstatus = CAST(source.o_orderstatus AS STRING),
+            target.o_totalprice = CAST(source.o_totalprice AS DOUBLE),
+            target.o_orderdate = CAST(source.o_orderdate AS TIMESTAMP),
+            target.o_orderpriority = CAST(source.o_orderpriority AS STRING)
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+            VALUES (CAST(source.o_orderkey AS BIGINT), CAST(source.o_custkey AS BIGINT),
+                    CAST(source.o_orderstatus AS STRING), CAST(source.o_totalprice AS DOUBLE),
+                    CAST(source.o_orderdate AS TIMESTAMP), CAST(source.o_orderpriority AS STRING))""")
+        s.sql("SELECT * FROM graft.default.q59_orders")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, 'UPDATED'
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Subprocess target for RunnerSpec's extensions test: a JVM whose
+  * ONLY graft wiring is `--conf spark.sql.extensions=graft.GraftExtensions`
+  * — the pure-SQL cluster deployment path (`spark-submit --conf …`).
+  * The shared test session can't prove this (getOrCreate applies
+  * extensions at creation only), so the spec forks this main and
+  * asserts on its exit code + marker line.
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-check")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      spark.range(0, 1000).createOrReplaceTempView("ext_check")
+      val scalar = spark.sql(
+        """SELECT graft_kll_quantile(graft_kll_sketch(CAST(id AS DOUBLE)), 0.5) AS med,
+          |       first(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))) AS c,
+          |       first(graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))) AS d
+          |FROM ext_check""".stripMargin).head()
+      require(scalar.getDouble(0) > 400.0 && scalar.getDouble(0) < 600.0,
+        s"kll median off: ${scalar.getDouble(0)}")
+      require(scalar.getDouble(1) == 1.0, "cosine off")
+      require(scalar.getDouble(2) == 11.0, "dot off")
+      // build per-group sketches, then union the stored binaries —
+      // the day→month rollup shape, pure SQL end to end
+      val dv = spark.sql(
+        """SELECT graft_theta_union(sk) AS dv FROM (
+          |  SELECT graft_theta_sketch(id) AS sk FROM ext_check GROUP BY id % 4)
+          |""".stripMargin).head().getLong(0)
+      require(math.abs(dv - 1000L) <= 50L, s"theta distinct off: $dv")
+      println("GRAFT_EXT_OK")
+    } finally spark.stop()
+  }
+}

@@ -104,4 +104,23 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("*("), s"$q dropped out of codegen")
     }
   }
+
+  test("catalog (DSv2) scan prunes columns and pushes filters like V1") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark0.sql("DROP TABLE IF EXISTS graft.default.plan_v2")
+    spark0.sql("""CREATE TABLE graft.default.plan_v2
+      (id BIGINT, name STRING, price DOUBLE, cat STRING) USING graft""")
+    spark0.sql("""INSERT INTO graft.default.plan_v2
+      SELECT id, concat('n', id), id * 1.5, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END
+      FROM range(100)""")
+    val df = spark0.sql("SELECT name FROM graft.default.plan_v2 WHERE id = 2")
+    assert(df.as[String].collect().toSeq == Seq("n2"))
+    val p = df.queryExecution.executedPlan.toString
+    // the V1Scan bridge surfaces the pushed set on the scan node …
+    assert(p.contains("EqualTo(id,2)"), p.take(600))
+    // … and the scan schema is the pruned {id,name}, never price/cat
+    assert(!p.contains("price") && !p.contains("cat"), p.take(600))
+    spark0.sql("DROP TABLE graft.default.plan_v2")
+  }
 }

@@ -153,25 +153,31 @@ class RunnerSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("graft_stage_test"))
   }
 
-  test("SQL extensions entry point registers graft functions session-wide") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    // getOrCreate applies extensions only when it CREATES the session;
-    // in the shared test JVM it may return the pre-existing one. If so,
-    // skip (the Verify drive covers the embedded registration path).
-    val resolved =
-      try { s2.sql("SELECT graft_cosine(array(1.0d), array(1.0d))"); true }
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    assume(resolved, "pre-existing session reused; extensions apply at creation only")
-    val r = s2.sql(
-      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-        "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d").head()
-    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  test("a fresh --conf spark.sql.extensions session serves graft SQL functions") {
+    // getOrCreate applies extensions at session CREATION only, so the
+    // shared test JVM can never prove the cluster deployment path —
+    // fork a clean JVM whose only graft wiring is the conf line a real
+    // spark-submit would pass, and let it run the sketch family in
+    // pure SQL (graft.ExtensionsCheck).
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", sys.props("java.class.path"), "graft.ExtensionsCheck")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val exit = proc.waitFor()
+    assert(exit == 0 && out.contains("GRAFT_EXT_OK"), out.takeRight(2000))
   }
 
   test("sync actions return catalog + column metadata") {

@@ -207,4 +207,86 @@ class SchemaDdlSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(got == Seq("b"))
   }
+
+  // ---- SQL DML through GraftCatalog + GraftDmlRule (reference's ----
+  // generated-statement shapes, component.py:216-258)
+
+  test("SQL CREATE/INSERT/UPDATE/DELETE on a catalog table") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sql1")
+    spark.sql("""CREATE TABLE graft.default.ddl_sql1
+      (id BIGINT, name STRING, price DOUBLE, cat STRING, PRIMARY KEY (id))
+      USING graft PARTITIONED BY (cat)""")
+    spark.sql("""INSERT INTO graft.default.ddl_sql1 VALUES
+      (1, 'a', 10.0, 'x'), (2, 'b', 20.0, 'y'), (3, 'c', 30.0, 'x')""")
+    // UPDATE returns the affected-row count, like DSv2 row-level ops
+    val updated = spark.sql(
+      "UPDATE graft.default.ddl_sql1 SET price = price * 2 WHERE cat = 'x'")
+    assert(updated.as[Long].head() == 2L)
+    val afterUpdate = spark.sql(
+      "SELECT id, price FROM graft.default.ddl_sql1 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(afterUpdate == Seq((1L, 20.0), (2L, 20.0), (3L, 60.0)))
+    val deleted = spark.sql("DELETE FROM graft.default.ddl_sql1 WHERE id = 2")
+    assert(deleted.as[Long].head() == 1L)
+    assert(spark.sql("SELECT id FROM graft.default.ddl_sql1 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    // INSERT OVERWRITE truncates then writes, one atomic commit
+    spark.sql("INSERT OVERWRITE graft.default.ddl_sql1 VALUES (9, 'z', 1.5, 'y')")
+    assert(spark.sql("SELECT id, name FROM graft.default.ddl_sql1")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    spark.sql("DROP TABLE graft.default.ddl_sql1")
+    assert(!spark.sql("SHOW TABLES IN graft.default").collect()
+      .map(_.getString(1)).contains("ddl_sql1"))
+  }
+
+  test("SQL MERGE: conditioned clauses, DELETE action, NOT MATCHED BY SOURCE") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sql2")
+    spark.sql("""CREATE TABLE graft.default.ddl_sql2
+      (id BIGINT, v STRING, n BIGINT) USING graft""")
+    spark.sql("""INSERT INTO graft.default.ddl_sql2 VALUES
+      (1, 'a', 1), (2, 'b', 2), (3, 'c', 3), (4, 'd', 4)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW ddl_sql2_src AS
+      SELECT * FROM VALUES (1, 'a2'), (2, 'b2'), (5, 'e') AS s(id, v)""")
+    spark.sql("""
+      MERGE INTO graft.default.ddl_sql2 AS t
+      USING ddl_sql2_src AS s
+      ON t.id = s.id
+      WHEN MATCHED AND t.n >= 2 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)
+      WHEN NOT MATCHED BY SOURCE AND t.n = 4 THEN UPDATE SET t.v = 'untouched'
+    """)
+    val got = spark.sql("SELECT id, v, n FROM graft.default.ddl_sql2 ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    // 1 matched (n=1 → update), 2 matched (n=2 → delete), 3 not-matched-by-
+    // source n=3 → kept as-is, 4 → conditioned NMBS update, 5 → insert
+    assert(got == Seq((1L, "a2", 1L), (3L, "c", 3L),
+      (4L, "untouched", 4L), (5L, "e", 0L)))
+    // WITH SCHEMA EVOLUTION is an explicit error, not silent drift.
+    // (A same-schema source resolves, so OUR guard fires; a source
+    // with genuinely new columns never resolves and Spark's own
+    // analyzer rejects it upstream — both fail loudly.)
+    val e = intercept[graft.core.UserException](spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO graft.default.ddl_sql2 AS t
+      USING (SELECT 1 AS id, 'x' AS v, 9 AS n) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+    """))
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    spark.sql("DROP TABLE graft.default.ddl_sql2")
+  }
+
+  test("SQL CHECK constraints on catalog tables are enforced on write") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sql3")
+    spark.sql("""CREATE TABLE graft.default.ddl_sql3
+      (id BIGINT, score DOUBLE, CONSTRAINT score_pos CHECK (score > 0))
+      USING graft""")
+    spark.sql("INSERT INTO graft.default.ddl_sql3 VALUES (1, 5.0)")
+    val err = intercept[graft.core.UserException](
+      spark.sql("INSERT INTO graft.default.ddl_sql3 VALUES (2, -1.0)"))
+    assert(err.getMessage.contains("score_pos"))
+    assert(spark.sql("SELECT count(*) FROM graft.default.ddl_sql3")
+      .as[Long].head() == 1L)
+    spark.sql("DROP TABLE graft.default.ddl_sql3")
+  }
 }
