@@ -30,7 +30,17 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case agg: Aggregate =>
+      // Position-independence guard: this rule runs in DIFFERENT spots
+      // depending on registration — extendedOperatorOptimizationRules
+      // (GraftExtensions) run BEFORE RewriteDistinctAggregates,
+      // experimental.extraOptimizations AFTER. Rewrite an Aggregate
+      // only when EVERY distinct in it is a rewritable single-arg
+      // COUNT: then the whole distinct family becomes mergeable theta
+      // aggs (and the pre-Rewrite path never even plans an Expand). A
+      // mix with multi-arg or filtered distincts keeps exact semantics
+      // wholesale — rewriting part of a mixed family would silently
+      // change one column's contract at whichever position we run.
+      case agg: Aggregate if allDistinctsRewritable(agg) =>
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _)
               if ThetaSupported.ok(child.dataType) =>
@@ -41,6 +51,17 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
               filter = None, resultId = ae.resultId)
         }
     }
+
+  private def allDistinctsRewritable(agg: Aggregate): Boolean = {
+    val distincts = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct => ae
+    })
+    distincts.nonEmpty && distincts.forall {
+      case AggregateExpression(Count(Seq(child)), _, true, None, _) =>
+        ThetaSupported.ok(child.dataType)
+      case _ => false
+    }
+  }
 }
 
 private object ThetaSupported {

@@ -9,6 +9,12 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * union of their shingle sets, so corpus-level entities (a source, a
   * crawl, a day) get comparable signatures by folding their documents'
   * signatures — no re-tokenization, constant state.
+  *
+  * Use this form when the signatures are ALREADY materialized as array
+  * columns (a signature table maintained incrementally). When raw text
+  * is at hand, `Dedup.minhashSignaturesByKey` expresses the same union
+  * as a wide-column groupBy-min — fully codegen'd HashAggregate, the
+  * scale path (OperatorSpec proves the two agree).
   */
 class MinHashUnion(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
 

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * in a held-out benchmark set.
   *
   * Scale shape: corpus documents explode to (doc, 60-bit gram hash) —
-  * fixed-width rows, one md5 per gram — and join against the
-  * benchmark's DISTINCT gram hashes. The benchmark side is tiny
+  * fixed-width rows, one md5 per WORD plus a polynomial fold per gram
+  * (never a gram string) — and join against the benchmark's DISTINCT
+  * gram hashes. The benchmark side is tiny
   * relative to a 100 TB corpus (eval suites are megabytes), so the
   * join is a BROADCAST hash probe: the corpus never shuffles, the
   * whole check is one map-side pass. The per-doc verdict is a
@@ -23,6 +24,9 @@ object Decontamination {
 
   /** Word n-grams of a text column; degenerate texts (< n words)
     * collapse to the whole text — same convention as Dedup.shingles.
+    * (Kept as the string-gram surface; the contamination check itself
+    * hashes with `wordNgramHashes` below, which never materializes the
+    * gram strings.)
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val ws = TextAnalysis.words(text)
@@ -32,20 +36,57 @@ object Decontamination {
           element_at(ws, i + o)): _*)))
   }
 
-  /** 60-bit gram hash (md5 prefix — same engine-portable digest the
-    * dedup family uses).
+  /** Double polynomial rolling-hash moduli/multipliers: two
+    * independent 30-bit folds over per-word 30-bit md5 values combine
+    * to a 60-bit gram hash. All intermediates stay < 2^35, so the
+    * arithmetic is exact in signed 64-bit in BOTH engines (the DuckDB
+    * oracle replays it with list_reduce).
     */
-  private def gramHash(g: Column): Column =
-    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+  private[graft] val M1 = 1073741789L
+  private[graft] val M2 = 1073741783L
+  private[graft] val P1 = 31L
+  private[graft] val P2 = 37L
+
+  /** 30-bit md5-derived word value — the per-word unit of gram
+    * hashing. ONE md5 per word replaces one md5 per GRAM over an
+    * n-word string: ~n× less hashing and zero gram-string
+    * materialization, the dominant cost of the n-gram scan.
+    */
+  private def wordVal30(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit((1L << 30) - 1))
+
+  /** h1/h2 polynomial fold over a slice of word values, combined to a
+    * 60-bit hash (h1 · 2^30 + h2).
+    */
+  private def gramFold(sub: Column): Column = {
+    val folded = aggregate(sub,
+      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      (acc, v) => struct(
+        pmod(acc.getField("h1") * lit(P1) + v, lit(M1)).as("h1"),
+        pmod(acc.getField("h2") * lit(P2) + v, lit(M2)).as("h2")))
+    folded.getField("h1") * lit(1L << 30) + folded.getField("h2")
+  }
+
+  /** 60-bit hashes of a text's word n-grams (degenerate short texts
+    * fold the whole word list). Equal word sequences hash equal —
+    * the verbatim-overlap contract of decontamination — without ever
+    * building the n-word gram strings.
+    */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    val vals = transform(TextAnalysis.words(text), w => wordVal30(w))
+    when(size(vals) < n, array(gramFold(vals))).otherwise(
+      transform(sequence(lit(1), size(vals) - (n - 1)), i =>
+        gramFold(slice(vals, i, lit(n)))))
+  }
 
   /** The distinct n-gram hash set of a benchmark corpus — build once,
     * reuse across corpus scans (callers may persist or write it out).
     */
   def benchmarkGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
     Dedup.rebalance(bench.select(col(textCol).as("t")))
-      .select(explode_outer(array_distinct(wordNgrams(col("t"), n))).as("g"))
-      .where(col("g").isNotNull)
-      .select(gramHash(col("g")).as("h"))
+      .select(explode_outer(array_distinct(wordNgramHashes(col("t"), n))).as("h"))
+      .where(col("h").isNotNull)
       .distinct()
 
   /** Per-document contamination verdict: (id, n_hits, contaminated).
@@ -60,9 +101,8 @@ object Decontamination {
       grams: DataFrame,
       n: Int = 13): DataFrame = {
     val ex = Dedup.rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), explode_outer(array_distinct(wordNgrams(col("t"), n))).as("g"))
-      .where(col("g").isNotNull)
-      .select(col("id"), gramHash(col("g")).as("h"))
+      .select(col("id"), explode_outer(array_distinct(wordNgramHashes(col("t"), n))).as("h"))
+      .where(col("h").isNotNull)
     val hits = ex.join(broadcast(grams), Seq("h"))
       .groupBy("id").agg(count(lit(1)).cast("long").as("n_hits"))
     docs.select(col(idCol).as("id"))

@@ -96,9 +96,20 @@ object Dedup {
     * shingles. Fixed-width integer mins keep the aggregation
     * hash-based (min(string) demotes to SortAggregate).
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    minhashSignaturesByKey(docs, idCol, textCol, k).withColumnRenamed(idCol, "id")
+
+  /** MinHash signature per arbitrary entity key (document, source,
+    * domain, …). Because a minhash union is an elementwise min, the
+    * signature OF a group equals the union of its members' signatures —
+    * so grouping by a coarser key here (ONE explode + ONE partial-agg
+    * groupBy, shuffle = groups × k longs) replaces the per-doc
+    * signature + union-aggregate two-step entirely. Output columns:
+    * (keyCol, mh0..mh{k-1}).
+    */
+  def minhashSignaturesByKey(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 64, "k must be in [1, 64] (a + 63*b is the signed-64 overflow bound)")
-    val in = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+    val in = rebalance(docs.select(col(keyCol).as("id"), col(textCol).as("t")))
     val sh = in.select(col("id"), explode(shingles(col("t"))).as("s"))
     val hx = md5(col("s")) // codegen CSEs the repeated subexpression
     val ab = sh.select(col("id"),
@@ -106,7 +117,7 @@ object Dedup {
       conv(substring(hx, 17, 14), 16, 10).cast("long").as("hb"))
     val aggs = (0 until k).map(j =>
       min((col("ha") + lit(j.toLong) * col("hb")).bitwiseAND(lit(MinhashMask))).as(s"mh$j"))
-    ab.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    ab.groupBy("id").agg(aggs.head, aggs.tail: _*).withColumnRenamed("id", keyCol)
   }
 
   /** LSH banding: bucket b = md5(mh_{rb} || .. || mh_{rb+r-1}) for
@@ -118,30 +129,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    // The signature cache is load-bearing: the banding self-join's two
-    // sides stop being plan-identical once the analyzer deduplicates
-    // their attribute ids, so ReuseExchange does NOT unify them —
-    // without the cache both sides recompute the full shingle+md5 scan
-    // (measured 10-15x slower). But Dataset.cache() entries are pinned
-    // by the session's CacheManager (GC never reclaims them), so this
-    // method OWNS the lifetime: it eagerly materializes the pairs via
-    // localCheckpoint — RDD-persisted, lineage-cut, and reclaimed by
-    // the ContextCleaner once the returned frame is unreferenced —
-    // then releases the signature cache before returning. Repeated
-    // calls leave the CacheManager empty (asserted by OperatorSpec).
-    // Callers that want to reuse the signatures across several
-    // downstream queries should instead build minhashSignatures()
-    // themselves, cache, call bandingPairs, and unpersist when done
-    // (the dedupCorpus pattern below).
-    val signed = minhashSignatures(docs, idCol, textCol, k).cache()
-    try materialize(bandingPairs(signed, k, bands))
-    finally signed.unpersist()
-  }
+      bands: Int = 4): DataFrame =
+    // one declarative pipeline: the signatures feed exactly one
+    // consumer (the bucket groupBy), so no cache, no eager
+    // materialization, no extra jobs — scan → signatures → buckets →
+    // pairs runs as a single lazy plan
+    bandingPairs(minhashSignatures(docs, idCol, textCol, k), k, bands)
 
-  /** Candidate pairs from already-computed signatures (see
-    * lshCandidatePairs for the banding scheme).
+  /** Candidate pairs from already-computed signatures: docs sharing
+    * any band bucket. Instead of the classic bucket self-join (which
+    * consumes the signatures TWICE — forcing callers to cache them —
+    * and shuffles both sides), this groups each bucket's ids into a
+    * sorted array and explodes the ordered pairs out of it: ONE
+    * consumption, one bucket shuffle, no cache to manage. Pair
+    * explosion is two chained generators, so peak memory per row is
+    * O(bucket size), never O(bucket²); the quadratic OUTPUT per hot
+    * bucket is inherent to LSH (the self-join had the same blowup,
+    * concentrated on the same reducer).
     */
   def bandingPairs(signed: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
@@ -151,9 +155,12 @@ object Dedup {
         concat(lit(s"$b:"),
           md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)))): _*))
         .as("bucket"))
-    val a = buckets.as("a"); val bdf = buckets.as("b")
-    a.join(bdf, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    buckets.groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
   }
 
@@ -177,20 +184,35 @@ object Dedup {
   /** SimHash via explode + aggregate — md5 is computed once per word
     * occurrence (the scalar-expression form recomputes the word-value
     * array per bit: measured 30× more md5 calls). Partial aggregation
-    * keeps the shuffle at 32 longs per doc.
+    * keeps the shuffle at 17 longs per doc.
+    *
+    * The 32 per-bit ±1 sums are folded to 16 packed set-bit counters
+    * (bits i and i+16 share a long in two 32-bit lanes) plus one word
+    * count, using the identity Σ±1 = 2·count(bit set) − n: bit i of
+    * the sketch is set iff 2·s_i > n. Lanes cannot overflow — a lane
+    * would need 2³² words in ONE document (tens of GB in a single
+    * row) — and halving the aggregation width halves the per-row
+    * buffer-update cost, the hot loop of this operator.
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"), explode(TextAnalysis.words(col("t"))).as("w"))
       .withColumn("v", TextAnalysis.wordValue(col("w")))
-    val bitSums = (0 until 32).map(i =>
-      sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"b$i"))
-    w.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val lanes = (0 until 16).map { i =>
+      val lo = shiftright(col("v"), i).bitwiseAND(lit(1L))
+      val hi = shiftleft(shiftright(col("v"), i + 16).bitwiseAND(lit(1L)), 32)
+      sum(lo + hi).as(s"p$i")
+    }
+    val aggs = count(lit(1)).as("n") +: lanes
+    val mask = lit((1L << 32) - 1)
+    w.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (0 until 32).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+        (0 until 16).map { i =>
+          val sLo = col(s"p$i").bitwiseAND(mask)
+          val sHi = shiftright(col(s"p$i"), 32)
+          when(sLo * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)) +
+            when(sHi * 2 > col("n"), lit(1L << (i + 16))).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on the top byte, then exact
@@ -216,10 +238,9 @@ object Dedup {
     * every cluster. Returns the deduplicated corpus — the surviving
     * rows with docs' exact schema and column order (left-semi join).
     *
-    * Owns the signature cache's lifetime: ConnectedComponents.labels
-    * materializes (and lineage-cuts) the pair graph during its
-    * convergence loop, so the signatures unpersist before returning —
-    * repeated calls don't accumulate pinned cache entries.
+    * No cache to manage: bandingPairs consumes the signatures exactly
+    * once, and ConnectedComponents.labels materializes (and
+    * lineage-cuts) the pair graph itself before its convergence loop.
     */
   def dedupCorpus(
       docs: DataFrame,
@@ -227,14 +248,11 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4): DataFrame = {
-    val signed = minhashSignatures(docs, idCol, textCol, k).cache()
-    try {
-      val pairs = bandingPairs(signed, k, bands)
-      val keep = ConnectedComponents.labels(docs, idCol, pairs)
-        .where(col("id") === col("component"))
-        .select(col("id").as(idCol))
-      docs.join(keep, Seq(idCol), "left_semi")
-    } finally signed.unpersist()
+    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
+    val keep = ConnectedComponents.labels(docs, idCol, pairs)
+      .where(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Exact set-overlap counts for candidate pairs, computed with the
@@ -286,6 +304,14 @@ object Dedup {
   /** The overlap join/agg plan over an exploded-hash table (see
     * setOverlap; split out so specs can inspect the lazy plan).
     * `ex` is referenced by three subplans — callers cache it.
+    *
+    * Intersections come from the hash EQUI-join (a-side rows ⋈ b-side
+    * rows on (id_b, h)): per pair only the MATCHING hashes flow into
+    * the aggregation — Σ|A∩B| rows. (The tag-and-aggregate
+    * alternative — tag every element row with its pair memberships and
+    * count bits per (pair, hash) — needs no per-id counts pass but
+    * fans out Σ(|A|+|B|) rows per pair; measured 3× slower at sparse
+    * overlaps, which candidate verification always is.)
     */
   private[graft] def setOverlapPlan(ex: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = ex.groupBy("id").agg(count(lit(1)).cast("int").as("n"))
@@ -309,31 +335,25 @@ object Dedup {
     */
   def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame = {
     // pairs feeds five subplans (the id prune, both hash-join sides,
-    // and the count joins) — pin it for the operator's lifetime. If
-    // the CALLER already cached it (the documented reuse pattern for
-    // feeding one pair set to several overlap calls), cache() is a
-    // no-op on the shared entry and unpersisting it here would destroy
-    // state the operator does not own — only release what we created.
-    val pairsCachedByCaller = pairs.sparkSession.sharedState.cacheManager
-      .lookupCachedData(pairs.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .isDefined
-    val p = pairs.cache()
-    // The exploded-hash table feeds three subplans (per-id counts and
-    // both sides of the pair-hash join); without a cache each
-    // recomputes the scan+explode+md5 (the analyzer's attribute dedup
-    // defeats ReuseExchange — same story as the LSH signatures). This
-    // method owns both caches' lifetimes: materialize the per-pair
-    // result eagerly (it is |pairs| rows — small by construction),
-    // release the caches before returning.
+    // and the count joins) and the exploded-hash table feeds three —
+    // without sharing, each consumer recomputes its input from scratch
+    // (the analyzer's attribute dedup defeats ReuseExchange — same
+    // story as the LSH signatures). Both are shared via eager
+    // materialization with a lineage cut rather than Dataset.cache():
+    // checkpointed blocks are reclaimed by the ContextCleaner when the
+    // returned frame is dropped, so there is no CacheManager entry to
+    // own, no unpersist obligation, and the RESULT can stay lazy — the
+    // caller's single consumption is the only pass over it.
+    val p = materialize(pairs)
     // Only ids that appear in some pair matter — semi-join the element
     // sets against them before exploding, so a sparse pair sample over
-    // a huge corpus never explodes (or caches) the whole corpus. The
-    // id list is |pairs|-bounded and typically broadcasts.
+    // a huge corpus never explodes (or materializes) the whole corpus.
+    // The id list is |pairs|-bounded and typically broadcasts.
     val ids = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
-    val ex = explodedHashes(sets.join(ids, Seq("id"), "left_semi"), hashElements).cache()
-    try materialize(setOverlapPlan(ex, p))
-    finally { ex.unpersist(); if (!pairsCachedByCaller) p.unpersist() }
+    val ex = materialize(
+      explodedHashes(sets.join(ids, Seq("id"), "left_semi"), hashElements))
+    setOverlapPlan(ex, p)
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:

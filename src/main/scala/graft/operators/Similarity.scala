@@ -56,7 +56,7 @@ object Similarity {
     * (the expression-level formulation recomputed ~planes×dims md5
     * calls per row).
     */
-  private[operators] def planeComponent(p: Int, d: Int): Double = {
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$p:$d".getBytes("UTF-8"))
     val hex8 = digest.take(4).map(b => f"$b%02x").mkString

@@ -443,12 +443,37 @@ object Queries {
              |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
              |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin)),
 
-    // LSH-bucketed ANN (the 100 TB path; recall < 1 ⇒ rows-only check)
+    // LSH-bucketed ANN (the 100 TB path). Recall < 1 is by design, but
+    // everything the query RETURNS is deterministic: hyperplanes are
+    // md5-derived literals, so the oracle replays them verbatim (the
+    // exact doubles Spark embeds, unrolled as left-associated term sums
+    // — the same accumulation order as the codegen'd dot loop), and
+    // scoring within buckets reuses q25's proven cosine replay. Only
+    // the recall LEVEL stays spec-side (AnnIndexSpec). Dims are
+    // hardcoded 64 = the testdata embedding width (Spark reads it from
+    // the data; SQL can't).
     "q26_ann_lsh" -> QueryDef(
       (s, d) => Similarity.lshTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") % 100 === 0, k = 5, planes = 8),
-      None),
+      Some {
+        val dims = 64
+        def planeDot(p: Int): String =
+          (0 until dims).map { i =>
+            s"v[${i + 1}]*(${Similarity.planeComponent(p, i)})"
+          }.mkString(" + ")
+        val sigExpr = (0 until 8).map { p =>
+          s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
+           |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+           |  FROM sg p JOIN sg c USING (sig) WHERE p.vec_id % 100 = 0 AND p.vec_id <> c.vec_id),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
 
     // text quality stats
     "q27_text_stats" -> QueryDef(
@@ -570,12 +595,39 @@ object Queries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // IVF-style ANN (data-adaptive inverted lists; recall<1 ⇒ rows-only)
+    // IVF-style ANN (data-adaptive inverted lists). Recall < 1 is by
+    // design, but the RETURNED rows are deterministic: the coarse
+    // quantizer is the first 16 corpus vectors by id, list assignment
+    // is argmax-dot with id tiebreak, and within-candidate scoring is
+    // q25's proven cosine replay — all SQL-expressible. The dot is
+    // unrolled as a left-associated 64-term sum, matching the codegen
+    // loop's accumulation order exactly; only the recall level stays
+    // spec-side (AnnIndexSpec).
     "q35_ann_ivf" -> QueryDef(
       (s, d) => Similarity.ivfTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") % 100 === 0, k = 5),
-      None),
+      Some {
+        val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+           |  FROM e ORDER BY vec_id LIMIT 16),
+           |dots AS (SELECT e.vec_id, cent.cid, ($dot) AS dot FROM e, cent),
+           |ranked AS (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM dots),
+           |corpus AS (SELECT vec_id AS cand_id, cid AS list_id FROM ranked WHERE rn = 1),
+           |probes AS (SELECT vec_id AS probe_id, cid AS list_id FROM ranked
+           |  WHERE rn <= 4 AND vec_id % 100 = 0),
+           |s AS (SELECT p.probe_id, c.cand_id,
+           |  round(list_cosine_similarity(pe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN corpus c USING (list_id)
+           |  JOIN e pe ON pe.vec_id = p.probe_id
+           |  JOIN e ce ON ce.vec_id = c.cand_id
+           |  WHERE p.probe_id <> c.cand_id),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
 
     // scalar string-function surface
     "q36_string_funcs" -> QueryDef(
@@ -674,25 +726,16 @@ object Queries {
              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
              |FROM w, UNNEST(generate_series(1, least(len(ws), 5))) AS t(i)""".stripMargin)),
 
-    // entity-level minhash via typed Aggregator union (signature of a
-    // source = elementwise min over its documents' signatures)
+    // entity-level minhash: signature of a source = union (elementwise
+    // min) of its documents' signatures, which by the minhash identity
+    // is just the signature GROUPED BY source — one explode + one
+    // partial-agg groupBy, shuffle = sources × k longs, fully inside
+    // HashAggregate codegen (the typed MinHashUnion Aggregator remains
+    // the Dataset-pipeline form for already-materialized signature
+    // arrays; OperatorSpec proves the two agree)
     "q42_source_minhash" -> QueryDef(
-      (s, d) => {
-        import s.implicits._
-        val k = 8
-        val docs = tbl(s, d, "documents")
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k)
-          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
-          .select(col("source"),
-            array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
-        val unioned = sigs.as[(String, Seq[Long])]
-          .groupByKey(_._1)
-          .mapValues(_._2)
-          .agg(new graft.functions.MinHashUnion(k).toColumn.name("usig"))
-        unioned.toDF("source", "usig")
-          .select(col("source") +:
-            (0 until k).map(j => element_at(col("usig"), j + 1).as(s"mh$j")): _*)
-      },
+      (s, d) => Dedup.minhashSignaturesByKey(
+        tbl(s, d, "documents"), "source", "text", k = 8),
       Some {
         s"""WITH w AS (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, source, CASE WHEN len(ws) < 3 THEN [text]
@@ -986,12 +1029,19 @@ object Queries {
           .withColumnRenamed("id", "doc_id")
       },
       Some {
-        val cat13 = (0 until 13).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
-        s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
-           |g AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [text]
-           |  ELSE list_transform(generate_series(1, len(ws)-12), i -> $cat13) END AS gs FROM w),
-           |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(gm), 1, 15)) AS BIGINT) AS h
-           |  FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gm FROM g)),
+        // exact replay of Decontamination's double polynomial rolling
+        // hash: per-word 30-bit md5 values, two 30-bit folds (the
+        // prepended 0 reproduces Spark's aggregate zero), combined to
+        // 60 bits — all intermediates < 2^35, exact in int64 here too
+        import graft.operators.Decontamination.{M1, M2, P1, P2}
+        def fold(sub: String): String =
+          s"list_reduce(list_prepend(0, $sub), (a,v) -> (a*$P1+v)%$M1) * ${1L << 30} + " +
+            s"list_reduce(list_prepend(0, $sub), (a,v) -> (a*$P2+v)%$M2)"
+        s"""WITH w AS (SELECT doc_id, list_transform(string_split_regex(text, '\\s+'),
+           |  wd -> CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT) & ${(1L << 30) - 1}) AS wv FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(wv) < 13 THEN [${fold("wv")}]
+           |  ELSE list_transform(generate_series(1, len(wv)-12), i -> ${fold("wv[i:i+12]")}) END AS gs FROM w),
+           |hx AS (SELECT doc_id, unnest(list_distinct(gs)) AS h FROM g),
            |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id % 101 = 0),
            |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM hx JOIN bench USING (h) GROUP BY doc_id)
            |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,

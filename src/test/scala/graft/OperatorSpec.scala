@@ -374,6 +374,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 3L, 2L, 2.0 / 3)))
   }
 
+  test("MinHashUnion aggregator agrees with the by-key groupBy-min form") {
+    val k = 8
+    val corpus = Seq(
+      (1L, "src_a", "the quick brown fox jumps over the lazy dog"),
+      (2L, "src_a", "a completely different second document for source a"),
+      (3L, "src_b", "spark engines process shuffles and partitions at scale"),
+      (4L, "src_b", "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "source", "text")
+    // wide path: group straight by source
+    val wide = Dedup.minhashSignaturesByKey(corpus, "source", "text", k)
+      .collect().map(r => r.getString(0) -> (0 until k).map(j => r.getLong(j + 1)))
+      .toMap
+    // typed path: per-doc signatures folded by the Aggregator
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", k)
+      .join(corpus.select($"doc_id".as("id"), $"source"), "id")
+      .select($"source", array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
+    val typed = sigs.as[(String, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.MinHashUnion(k).toColumn.name("usig"))
+      .collect().toMap
+    assert(wide.keySet == typed.keySet)
+    for ((src, w) <- wide) assert(typed(src) == w, s"mismatch for $src")
+  }
+
   test("setOverlap leaves a caller-cached pairs frame cached") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").cache()
     try {

@@ -34,10 +34,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q10_pricing_summary")
     assert(p.contains("partial_sum"))
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
-    // minhash signature agg must stay hash-based (longs, not strings).
-    // q21's public path eagerly checkpoints (its executed plan is a
-    // scan of the materialized pairs), so assert on the underlying
-    // signature+banding pipeline the way dedupCorpus composes it.
+    // minhash signature agg must stay hash-based (longs, not strings);
+    // this signatures→banding pipeline IS q21's whole (lazy) plan.
     val spark0 = spark
     val docs = spark0.read.parquet(s"$dir/documents.parquet")
     val m = operators.Dedup.bandingPairs(
@@ -58,8 +56,8 @@ class PlanSpec extends AnyFunSuite {
     val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
     spark0.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // inspect the LAZY overlap plan (the public setOverlap eagerly
-      // checkpoints, so its own executed plan is just the result scan).
+      // inspect the overlap plan over raw inputs (the public setOverlap
+      // checkpoints its INPUTS, so its plan scans materialized RDDs).
       // Pre-spread the TEXT like shingleOverlap does, so the input
       // rebalance shuffles strings, never the shingle arrays.
       val sets = docs.repartition(spark0.sparkContext.defaultParallelism)
