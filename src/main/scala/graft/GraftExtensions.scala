@@ -47,6 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "graft_kll_quantile"),
       graft.functions.KllFunctions.quantileBuilder))
+    // word-n-gram rolling-hash kernel (decontamination's hot loop)
+    e.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WordNgramHashes].getName,
+        "graft_word_ngram_hashes"),
+      graft.functions.GramHashFunctions.builder))
+    // dedup text kernels: minhash signature / shingle hashes /
+    // char n-grams / simhash
+    graft.functions.TextKernelFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.MinhashSignatureExpr].getName, name),
+        b))
+    }
     // theta sketch family (distinct / build / union / union_sketch) —
     // same builders the embedded per-session register uses
     graft.functions.SketchFunctions.builders.foreach { case (name, b) =>

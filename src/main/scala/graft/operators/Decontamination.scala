@@ -72,8 +72,24 @@ object Decontamination {
     * fold the whole word list). Equal word sequences hash equal —
     * the verbatim-overlap contract of decontamination — without ever
     * building the n-word gram strings.
+    *
+    * Evaluated by the codegen'd rolling kernel
+    * (graft.functions.GramHashKernel): O(words) per document instead
+    * of the expression form's O(words × n) slice re-folds, with no
+    * per-element interpreter dispatch — measured ~3× on the sf0.1
+    * corpus scan. `gramFoldExpr` below keeps the reference expression
+    * form; OperatorSpec asserts the two agree, which is also the
+    * kernel-vs-oracle agreement proof (the oracle replays the
+    * expression form's fresh folds in DuckDB).
     */
-  def wordNgramHashes(text: Column, n: Int): Column = {
+  def wordNgramHashes(text: Column, n: Int): Column =
+    graft.functions.GramHashFunctions.wordNgramHashes(text, n)
+
+  /** The HOF-expression reference form of wordNgramHashes — same math,
+    * fresh fold per gram. Kept as the executable specification the
+    * kernel is property-tested against.
+    */
+  private[graft] def wordNgramHashesExpr(text: Column, n: Int): Column = {
     val vals = transform(TextAnalysis.words(text), w => wordVal30(w))
     when(size(vals) < n, array(gramFold(vals))).otherwise(
       transform(sequence(lit(1), size(vals) - (n - 1)), i =>

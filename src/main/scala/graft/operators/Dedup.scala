@@ -80,44 +80,77 @@ object Dedup {
   /** Mask keeping minhash values in 60 bits (15 md5 hex chars). */
   val MinhashMask: Long = (1L << 60) - 1
 
-  /** MinHash signatures via explode + groupBy-agg, with the
-    * Kirsch–Mitzenmacher double-hashing family: ONE md5 per shingle
-    * yields two independent values — a (hex 1-15, 60 bits) and b
-    * (hex 17-30, 56 bits) — and hash function j is (a + j·b) masked
-    * to 60 bits: the standard construction whose minhash estimates
-    * match k independent hashes. 8× less hashing than
-    * md5-per-function, and engine-portable (the DuckDB oracle replays
-    * the same arithmetic — which is also why b is 56 bits:
+  /** Per-document MinHash signatures with the Kirsch–Mitzenmacher
+    * double-hashing family: ONE md5 per shingle yields two
+    * independent values — a (hex 1-15, 60 bits) and b (hex 17-30,
+    * 56 bits) — and hash function j is (a + j·b) masked to 60 bits:
+    * the standard construction whose minhash estimates match k
+    * independent hashes. 8× less hashing than md5-per-function, and
+    * engine-portable (the DuckDB oracle replays the same
+    * arithmetic — which is also why b is 56 bits:
     * a + 63·b < 2^60 + 2^62 < 2^63 never overflows signed 64-bit in
-    * EITHER engine, supporting k up to 64).
-    *
-    * The k mins are computed with map-side partial aggregation — at
-    * scale only (id, k×8B) rows reach the shuffle, never the
-    * shingles. Fixed-width integer mins keep the aggregation
-    * hash-based (min(string) demotes to SortAggregate).
+    * EITHER engine, supporting k up to 64). Computed map-only by the
+    * compiled kernel (see perRowSignatures): no explode, no shuffle —
+    * shingles never leave their scan task.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    minhashSignaturesByKey(docs, idCol, textCol, k).withColumnRenamed(idCol, "id")
+    perRowSignatures(docs, idCol, textCol, k).withColumnRenamed(idCol, "id")
+
+  /** Per-ROW MinHash signature, computed entirely map-side by the
+    * compiled TextKernels.minhashSignature kernel (one md5 per
+    * shingle, all k mins in one JIT'd pass): NO explode and NO
+    * groupBy — zero shuffles beyond the parallelism rebalance. Rows
+    * with NULL text are dropped (the explode formulation's semantics:
+    * a null shingle array contributes no rows). Requires `keyCol`
+    * values to be unique (true for document ids);
+    * minhashSignaturesByKey is the grouped form for coarser keys.
+    *
+    * `perRowSignaturesExpr` keeps the HOF-expression reference form —
+    * the executable specification the kernel is property-tested
+    * against (OperatorSpec), which is also the kernel-vs-oracle
+    * agreement proof (the DuckDB oracles replay the expression math).
+    */
+  private def perRowSignatures(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64] (a + 63*b is the signed-64 overflow bound)")
+    rebalance(docs.select(col(keyCol).as("id"), col(textCol).as("t")))
+      .where(col("t").isNotNull)
+      .select(col("id"),
+        graft.functions.TextKernelFunctions.minhashSignature(col("t"), k).as("sig"))
+      .select(col("id").as(keyCol) +: (0 until k).map(j =>
+        element_at(col("sig"), j + 1).as(s"mh$j")): _*)
+  }
+
+  /** HOF-expression reference form of perRowSignatures (same hex
+    * slicing, same Kirsch–Mitzenmacher arithmetic, min-reduced with
+    * array expressions) — kept as the spec the kernel is tested
+    * against. The three projections stay separate because each alias
+    * is non-cheap and multi-referenced (CollapseProject leaves them),
+    * so every md5 runs exactly once per row.
+    */
+  private[graft] def perRowSignaturesExpr(
+      docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(keyCol).as("id"), col(textCol).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("id"), transform(shingles(col("t")), s => md5(s)).as("hx"))
+      .select(col("id"), transform(col("hx"), h => struct(
+        conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
+        conv(substring(h, 17, 14), 16, 10).cast("long").as("b"))).as("ab"))
+      .select(col("id").as(keyCol) +: (0 until k).map(j =>
+        array_min(transform(col("ab"), p =>
+          (p("a") + lit(j.toLong) * p("b")).bitwiseAND(lit(MinhashMask)))).as(s"mh$j")): _*)
 
   /** MinHash signature per arbitrary entity key (document, source,
     * domain, …). Because a minhash union is an elementwise min, the
-    * signature OF a group equals the union of its members' signatures —
-    * so grouping by a coarser key here (ONE explode + ONE partial-agg
-    * groupBy, shuffle = groups × k longs) replaces the per-doc
-    * signature + union-aggregate two-step entirely. Output columns:
-    * (keyCol, mh0..mh{k-1}).
+    * signature OF a group equals the elementwise min of its members'
+    * per-row signatures — so this is the map-only per-row signature
+    * followed by one partial-aggregating min-groupBy whose shuffle is
+    * rows × k longs (the shingle hashes themselves never leave their
+    * scan task). Output columns: (keyCol, mh0..mh{k-1}).
     */
   def minhashSignaturesByKey(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 64, "k must be in [1, 64] (a + 63*b is the signed-64 overflow bound)")
-    val in = rebalance(docs.select(col(keyCol).as("id"), col(textCol).as("t")))
-    val sh = in.select(col("id"), explode(shingles(col("t"))).as("s"))
-    val hx = md5(col("s")) // codegen CSEs the repeated subexpression
-    val ab = sh.select(col("id"),
-      conv(substring(hx, 1, 15), 16, 10).cast("long").as("ha"),
-      conv(substring(hx, 17, 14), 16, 10).cast("long").as("hb"))
-    val aggs = (0 until k).map(j =>
-      min((col("ha") + lit(j.toLong) * col("hb")).bitwiseAND(lit(MinhashMask))).as(s"mh$j"))
-    ab.groupBy("id").agg(aggs.head, aggs.tail: _*).withColumnRenamed("id", keyCol)
+    val perRow = perRowSignatures(docs, keyCol, textCol, k)
+    val aggs = (0 until k).map(j => min(col(s"mh$j")).as(s"mh$j"))
+    perRow.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: bucket b = md5(mh_{rb} || .. || mh_{rb+r-1}) for
@@ -181,38 +214,49 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash via explode + aggregate — md5 is computed once per word
-    * occurrence (the scalar-expression form recomputes the word-value
-    * array per bit: measured 30× more md5 calls). Partial aggregation
-    * keeps the shuffle at 17 longs per doc.
-    *
-    * The 32 per-bit ±1 sums are folded to 16 packed set-bit counters
-    * (bits i and i+16 share a long in two 32-bit lanes) plus one word
-    * count, using the identity Σ±1 = 2·count(bit set) − n: bit i of
-    * the sketch is set iff 2·s_i > n. Lanes cannot overflow — a lane
-    * would need 2³² words in ONE document (tens of GB in a single
-    * row) — and halving the aggregation width halves the per-row
-    * buffer-update cost, the hot loop of this operator.
+  /** SimHash computed entirely map-side by the compiled
+    * TextKernels.simhash kernel (one md5 per word occurrence, 32 bit
+    * counters, sketch bit i set iff 2·s_i > n — the Σ±1 > 0
+    * identity): zero shuffles beyond the parallelism rebalance. The
+    * explode+groupBy formulation this replaces paid a full exchange of
+    * partial-agg rows and 17-column buffer updates per word (measured
+    * 2.3× slower at sf0.1, and a whole extra shuffle stage at any
+    * scale); here the sketch is finished the moment the scan task
+    * ends. Rows with NULL text are dropped (the explode form's
+    * semantics).
     */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), explode(TextAnalysis.words(col("t"))).as("w"))
-      .withColumn("v", TextAnalysis.wordValue(col("w")))
-    val lanes = (0 until 16).map { i =>
-      val lo = shiftright(col("v"), i).bitwiseAND(lit(1L))
-      val hi = shiftleft(shiftright(col("v"), i + 16).bitwiseAND(lit(1L)), 32)
-      sum(lo + hi).as(s"p$i")
-    }
-    val aggs = count(lit(1)).as("n") +: lanes
-    val mask = lit((1L << 32) - 1)
-    w.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .where(col("t").isNotNull)
       .select(col("id"),
-        (0 until 16).map { i =>
-          val sLo = col(s"p$i").bitwiseAND(mask)
-          val sHi = shiftright(col(s"p$i"), 32)
-          when(sLo * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)) +
-            when(sHi * 2 > col("n"), lit(1L << (i + 16))).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        graft.functions.TextKernelFunctions.simhash(col("t")).as("simhash"))
+
+  /** HOF-expression reference form of the simhash sketch (the word
+    * values materialized once, 16 packed two-lane folds, the
+    * 2·s_i > n identity) — the executable spec the kernel is tested
+    * against.
+    */
+  private[graft] def simhashTableExpr(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val v = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("id"),
+        transform(TextAnalysis.words(col("t")), w => TextAnalysis.wordValue(w)).as("vals"))
+    val lanes = (0 until 16).map { i =>
+      aggregate(col("vals"), lit(0L), (acc, x) =>
+        acc + shiftright(x, i).bitwiseAND(lit(1L)) +
+          shiftleft(shiftright(x, i + 16).bitwiseAND(lit(1L)), 32)).as(s"p$i")
+    }
+    val withLanes = v.select(
+      col("id") +: size(col("vals")).cast("long").as("n") +: lanes: _*)
+    val mask = lit((1L << 32) - 1)
+    withLanes.select(col("id"),
+      (0 until 16).map { i =>
+        val sLo = col(s"p$i").bitwiseAND(mask)
+        val sHi = shiftright(col(s"p$i"), 32)
+        when(sLo * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)) +
+          when(sHi * 2 > col("n"), lit(1L << (i + 16))).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on the top byte, then exact
@@ -329,6 +373,39 @@ object Dedup {
           coalesce(col("n_inter"), lit(0))).as("n_union"))
   }
 
+  /** Broadcast fast path for the candidate-VERIFICATION regime —
+    * pairs (and therefore the docs they touch) small enough to
+    * broadcast, which LSH/blocking candidate sets are by
+    * construction. Plan: semi-join-prune the element sets to the
+    * paired ids, broadcast the pruned (id, elems, n) table once
+    * (ReuseExchange dedups the two identical broadcast subplans), and
+    * compute each pair's intersection with `array_intersect` on the
+    * two arrays — ZERO shuffles, no eager materialization, one
+    * map-side pass over the pairs. Counts are identical to the
+    * exploded plan (both intersect the distinct element sets).
+    *
+    * Use `setOverlap` (the exploded-hash plan) when the pair set is
+    * beyond broadcast size — its shuffle is bounded by set
+    * cardinality × 16 B and never materializes an array per pair.
+    */
+  def setOverlapCompact(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    // no .distinct() — the left-semi probe dedups, and skipping it
+    // keeps the whole plan exchange-free (asserted by OperatorSpec)
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+    val pruned = sets.join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("id"), col("elems"), size(col("elems")).as("n"))
+    pairs
+      .join(broadcast(pruned.select(col("id").as("id_a"),
+        col("elems").as("ea"), col("n").as("na"))), Seq("id_a"), "left")
+      .join(broadcast(pruned.select(col("id").as("id_b"),
+        col("elems").as("eb"), col("n").as("nb"))), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(size(array_intersect(col("ea"), col("eb"))), lit(0)).as("n_inter"),
+        (coalesce(col("na"), lit(0)) + coalesce(col("nb"), lit(0)) -
+          coalesce(size(array_intersect(col("ea"), col("eb"))), lit(0))).as("n_union"))
+  }
+
   /** `hashElements=false` joins on the raw element value instead of
     * its 60-bit digest — choose it when elements are short and fixed
     * (char n-grams): less CPU, exact equality, same shuffle width.
@@ -360,33 +437,50 @@ object Dedup {
     * returns integer intersection/union sizes (engine-portable; the
     * ratio is a trivial client-side division). Delegates to the
     * exploded-hash setOverlap plan — shingle arrays never shuffle.
+    * Elements arrive PRE-hashed to 60-bit longs by the compiled
+    * TextKernels.shingleHashes kernel (distinct on the gram string,
+    * then one md5 each — byte-identical to
+    * `array_distinct(shingles(t))` + per-element digest, without the
+    * interpreted string-building lambdas).
     */
   def shingleOverlap(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      pairs: DataFrame): DataFrame =
-    setOverlap(
-      // rebalance BEFORE building the shingle arrays, so the heavy
-      // projection runs at full parallelism too
-      rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-        .select(col("id"), array_distinct(shingles(col("t"))).as("elems")),
-      pairs)
+      pairs: DataFrame,
+      compact: Boolean = true): DataFrame = {
+    // rebalance BEFORE building the element sets, so the heavy
+    // kernel projection runs at full parallelism too
+    val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        graft.functions.TextKernelFunctions.shingleHashes(col("t")).as("elems"))
+    // compact: candidate pairs from LSH/blocking/sampling are tiny
+    // relative to the corpus — broadcast-verify them. Flip to the
+    // exploded plan only for pair sets beyond broadcast size.
+    if (compact) setOverlapCompact(sets, pairs)
+    else setOverlap(sets, pairs, hashElements = false)
+  }
 
   /** Char n-gram Jaccard stats for candidate pairs — the char-level
     * complement of shingleOverlap, same exploded plan but joining on
     * the raw n-gram (it is already fixed-width; no digest needed).
+    * The distinct n-gram set comes from the compiled
+    * TextKernels.charNgrams kernel (code-point substrings, identical
+    * to the `charNgrams` column form below).
     */
   def charNgramOverlap(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      pairs: DataFrame): DataFrame =
-    setOverlap(
-      rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-        .select(col("id"), charNgrams(col("t"), n).as("elems")),
-      pairs, hashElements = false)
+      pairs: DataFrame,
+      compact: Boolean = true): DataFrame = {
+    val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        graft.functions.TextKernelFunctions.charNgrams(col("t"), n).as("elems"))
+    if (compact) setOverlapCompact(sets, pairs)
+    else setOverlap(sets, pairs, hashElements = false)
+  }
 
   /** Character n-gram set of a text column (the char-level complement
     * to word shingles — robust to tokenization differences, the usual

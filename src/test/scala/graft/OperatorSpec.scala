@@ -356,6 +356,92 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("gram-hash kernel agrees with the HOF fold form on real and degenerate texts") {
+    // the rolling kernel (GramHashKernel) vs the fresh-fold expression
+    // form the DuckDB oracle replays: equality here IS the
+    // kernel-vs-oracle agreement proof
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        (9001L, ""),                       // empty text
+        (9002L, "   "),                    // whitespace only (empty words)
+        (9003L, "one two three"),          // shorter than n
+        (9004L, "a  b\tc\nd e f g h i j k l m n o p"), // mixed whitespace, len>n
+      ).toDF("doc_id", "text"))
+    for (n <- Seq(2, 13)) {
+      val mismatches = docs.select(
+        Decontamination.wordNgramHashes(col("text"), n).as("kernel"),
+        Decontamination.wordNgramHashesExpr(col("text"), n).as("hof"))
+        .where(not(col("kernel") === col("hof"))).count()
+      assert(mismatches == 0, s"kernel != HOF fold at n=$n")
+    }
+    // and the kernel stays inside whole-stage codegen: its Project
+    // carries the `*(n)` codegen-stage marker (no fallback node)
+    val plan = docs.select(Decontamination.wordNgramHashes(col("text"), 13))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("*(") && l.contains("graft_word_ngram_hashes")))
+  }
+
+  test("text kernels agree with their HOF reference forms on real and degenerate texts") {
+    // compiled kernels (TextKernels) vs the HOF-expression forms the
+    // DuckDB oracles replay — equality IS the oracle-agreement proof
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        (9001L, ""), (9002L, "   "), (9003L, "one two"),
+        (9004L, "a  b\tc\nd e"), (9005L, "sept"),
+      ).toDF("doc_id", "text"))
+
+    // minhash signatures: kernel vs expression form, all k columns
+    val sigK = Dedup.perRowSignaturesExpr(docs, "doc_id", "text", 8)
+    val sigE = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .withColumnRenamed("id", "doc_id")
+    assert(sigK.exceptAll(sigE).isEmpty && sigE.exceptAll(sigK).isEmpty,
+      "minhash kernel != HOF form")
+
+    // simhash: kernel vs expression form
+    val shK = Dedup.simhashTable(docs, "doc_id", "text")
+    val shE = Dedup.simhashTableExpr(docs, "doc_id", "text")
+    assert(shK.exceptAll(shE).isEmpty && shE.exceptAll(shK).isEmpty,
+      "simhash kernel != HOF form")
+
+    // shingle hashes: kernel vs array_distinct(shingles)+md5 explode
+    import graft.functions.TextKernelFunctions
+    val hashK = docs.select(col("doc_id"),
+        explode(TextKernelFunctions.shingleHashes(col("text"))).as("h"))
+    val hashE = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    assert(hashK.exceptAll(hashE).isEmpty && hashE.exceptAll(hashK).isEmpty,
+      "shingle-hash kernel != HOF form")
+
+    // char n-grams: kernel vs the charNgrams column form
+    for (n <- Seq(2, 4)) {
+      val cgK = docs.select(col("doc_id"),
+        explode(TextKernelFunctions.charNgrams(col("text"), n)).as("g"))
+      val cgE = docs.select(col("doc_id"),
+        explode(Dedup.charNgrams(col("text"), n)).as("g"))
+      assert(cgK.exceptAll(cgE).isEmpty && cgE.exceptAll(cgK).isEmpty,
+        s"char-ngram kernel != HOF form at n=$n")
+    }
+  }
+
+  test("compact (broadcast array_intersect) overlap equals the exploded-hash plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .where(col("id_a") % 37 === 0 && col("id_b") % 41 === 0 && col("id_a") < col("id_b"))
+    val compact = Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+    val exploded = Dedup.shingleOverlap(docs, "doc_id", "text", pairs, compact = false)
+    assert(compact.exceptAll(exploded).isEmpty && exploded.exceptAll(compact).isEmpty)
+    // the compact plan is shuffle-free: broadcast joins only
+    val plan = compact.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "compact overlap must not shuffle")
+  }
+
   test("repetition stats: top-word share exposes boilerplate") {
     val t = Seq(
       (1L, "spam spam spam spam ham"),

@@ -34,14 +34,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q10_pricing_summary")
     assert(p.contains("partial_sum"))
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
-    // minhash signature agg must stay hash-based (longs, not strings);
-    // this signatures→banding pipeline IS q21's whole (lazy) plan.
+    // minhash signatures are computed MAP-SIDE by the compiled kernel
+    // (no signature aggregation exists at all); the banding pipeline's
+    // remaining aggs — bucket collect_list, pair distinct — stay
+    // partial and never demote to SortAggregate. This
+    // signatures→banding pipeline IS q21's whole (lazy) plan.
     val spark0 = spark
     val docs = spark0.read.parquet(s"$dir/documents.parquet")
     val m = operators.Dedup.bandingPairs(
       operators.Dedup.minhashSignatures(docs, "doc_id", "text", 8), 8, 4)
       .queryExecution.executedPlan.toString
-    assert(m.contains("partial_min") && !m.contains("SortAggregate"))
+    assert(m.contains("graft_minhash_signature") && !m.contains("SortAggregate"))
+    assert(m.contains("partial_collect_list"))
   }
 
   test("set overlap never ships element arrays through an exchange") {
