@@ -127,6 +127,47 @@ object TextKernels {
     new GenericArrayData(seen.toArray())
   }
 
+  /** Rolling polynomial document fingerprint — the compiled form of
+    * TextAnalysis.fingerprint: h = (h·31 + wordValue) mod 1e9+7 over
+    * ALL words (empties included, as the HOF fold saw them).
+    */
+  def fingerprint(text: UTF8String): Long = {
+    val md = digest.get()
+    val words = text.toString.split("\\s+", -1)
+    var h = 0L; var wi = 0
+    while (wi < words.length) {
+      md.reset()
+      val d = md.digest(words(wi).getBytes(StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h = (h * 31L + v) % 1000000007L
+      wi += 1
+    }
+    h
+  }
+
+  /** Word-repetition profile — the compiled form of
+    * Scrubbing.repetitionStats' two groupBys: per-doc word counts in
+    * one hash-map pass. trim() is space-only (UTF8String.trim, the
+    * SQL `trim` the HOF form used); empty tokens are dropped.
+    * Returns (n_words, top_count).
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.trim().toString.split("\\s+", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var n = 0L; var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (!w.isEmpty) { counts.merge(w, 1, Integer.sum); n += 1 }
+      wi += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; if (c > top) top = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, top))
+  }
+
   /** 32-bit SimHash: per word, the 32-bit value is the first 8 md5
     * hex chars (= first 4 digest bytes); sketch bit i is set iff
     * 2·(count of words with bit i set) > word count — the Σ±1 > 0
@@ -201,6 +242,32 @@ case class CharNgramsExpr(child: Expression, n: Int) extends TextKernelExpr {
     copy(child = newChild)
 }
 
+/** `FingerprintExpr(text)` → long rolling polynomial fingerprint. */
+case class FingerprintExpr(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+/** `RepetitionStatsExpr(text)` → struct<n_words,top_count>. */
+case class RepetitionStatsExpr(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 /** `SimHashExpr(text)` → long 32-bit simhash sketch. */
 case class SimHashExpr(child: Expression) extends TextKernelExpr {
   override def dataType: DataType = LongType
@@ -246,6 +313,14 @@ object TextKernelFunctions {
     "graft_simhash" -> { exprs =>
       graft.GraftExtensions.requireArity("graft_simhash", exprs, 1)
       SimHashExpr(exprs.head)
+    },
+    "graft_fingerprint" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_fingerprint", exprs, 1)
+      FingerprintExpr(exprs.head)
+    },
+    "graft_repetition_stats" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_repetition_stats", exprs, 1)
+      RepetitionStatsExpr(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =
@@ -268,5 +343,13 @@ object TextKernelFunctions {
   def simhash(text: Column): Column = {
     register(SparkSession.active)
     call_function("graft_simhash", text)
+  }
+  def fingerprint(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_fingerprint", text)
+  }
+  def repetitionStats(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_repetition_stats", text)
   }
 }

@@ -14,15 +14,33 @@ object Scrubbing {
     * the classic boilerplate/spam signal (a page that is mostly one
     * repeated token survives length and punctuation filters).
     *
-    * Two partial-aggregating groupBys on (id, word) then (id) — the
-    * shuffle carries word-count rows, not documents.
+    * Computed map-only by the compiled TextKernels.repetitionStats
+    * kernel (one hash-map pass per document — empty tokens from
+    * empty/whitespace-only text dropped, such docs score zeros/0.0):
+    * the explode + two-groupBy + join-back formulation this replaces
+    * paid two exchanges of word-count rows; here nothing shuffles at
+    * any corpus size. `repetitionStatsExpr` keeps that formulation as
+    * the executable spec (OperatorSpec asserts agreement — which is
+    * the oracle-agreement proof, the DuckDB oracle replaying the
+    * grouped form).
     */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // drop the empty token that split() yields for empty/whitespace-only
-    // text (otherwise such docs score n_words=1, top_ratio=1.0 — the
-    // whitespace-token skew class), then join back so every document
-    // keeps a row: zeros, ratio 0.0
-    val ex = Dedup.rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        graft.functions.TextKernelFunctions.repetitionStats(col("t")).as("rs"))
+      .select(col("id"),
+        coalesce(col("rs.n_words"), lit(0L)).as("n_words"),
+        coalesce(col("rs.top_count"), lit(0L)).as("top_count"),
+        when(coalesce(col("rs.n_words"), lit(0L)) > 0L,
+          col("rs.top_count").cast("double") / col("rs.n_words").cast("double"))
+          .otherwise(lit(0.0)).as("top_ratio"))
+
+  /** The explode + two-groupBy + join-back reference form of
+    * repetitionStats — kept as the spec the kernel is tested against.
+    */
+  private[graft] def repetitionStatsExpr(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"), explode(TextAnalysis.words(trim(col("t")))).as("w"))
       .where(col("w") =!= "")
     val wc = ex.groupBy("id", "w").agg(count(lit(1)).as("c"))

@@ -44,9 +44,15 @@ object TextAnalysis {
   /** Rolling polynomial document fingerprint:
     * h_i = (h_{i-1} * 31 + v(w_i)) mod P, h_0 = 0.
     * Order-sensitive (unlike a bag-of-words hash), so reordered
-    * near-duplicates fingerprint differently.
+    * near-duplicates fingerprint differently. Evaluated by the
+    * compiled TextKernels.fingerprint kernel; `fingerprintExpr` keeps
+    * the HOF fold the oracle replays (OperatorSpec asserts agreement).
     */
   def fingerprint(text: Column): Column =
+    graft.functions.TextKernelFunctions.fingerprint(text)
+
+  /** HOF-expression reference form of the fingerprint fold. */
+  private[graft] def fingerprintExpr(text: Column): Column =
     aggregate(
       transform(words(text), w => wordValue(w)),
       lit(0L),

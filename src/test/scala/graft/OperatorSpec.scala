@@ -426,6 +426,20 @@ class OperatorSpec extends AnyFunSuite {
       assert(cgK.exceptAll(cgE).isEmpty && cgE.exceptAll(cgK).isEmpty,
         s"char-ngram kernel != HOF form at n=$n")
     }
+
+    // fingerprint: kernel vs the HOF fold
+    val fpK = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fpE = docs.select(col("doc_id"), TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+    assert(fpK.exceptAll(fpE).isEmpty && fpE.exceptAll(fpK).isEmpty,
+      "fingerprint kernel != HOF form")
+
+    // repetition stats: kernel vs the explode + two-groupBy form
+    val rsK = Scrubbing.repetitionStats(docs, "doc_id", "text")
+    val rsE = Scrubbing.repetitionStatsExpr(docs, "doc_id", "text")
+    assert(rsK.exceptAll(rsE).isEmpty && rsE.exceptAll(rsK).isEmpty,
+      "repetition kernel != grouped form")
+    // and the kernel form is exchange-free
+    assert(!rsK.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
 
   test("compact (broadcast array_intersect) overlap equals the exploded-hash plan") {
