@@ -168,6 +168,33 @@ object TextKernels {
       Array[Any](n, top))
   }
 
+  /** Per-document term frequencies — one hash-map pass, emitted as
+    * (word, tf) pairs in first-occurrence order. Every split token
+    * counts (empties included), exactly like
+    * `explode(words(t))` + `groupBy(id, word).count()` — whose
+    * occurrence-level shuffle this removes: only DISTINCT terms per
+    * doc ever leave the scan task.
+    */
+  def wordTf(text: UTF8String): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var wi = 0
+    while (wi < words.length) {
+      counts.merge(words(wi), 1L, (a, b) => a + b)
+      wi += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash: per word, the 32-bit value is the first 8 md5
     * hex chars (= first 4 digest bytes); sketch bit i is set iff
     * 2·(count of words with bit i set) > word count — the Σ±1 > 0
@@ -268,6 +295,22 @@ case class RepetitionStatsExpr(child: Expression) extends TextKernelExpr {
     copy(child = newChild)
 }
 
+/** `WordTfExpr(text)` → array<struct<word,tf>> per-doc term counts. */
+case class WordTfExpr(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_word_tf"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordTf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordTf($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordTfExpr =
+    copy(child = newChild)
+}
+
 /** `SimHashExpr(text)` → long 32-bit simhash sketch. */
 case class SimHashExpr(child: Expression) extends TextKernelExpr {
   override def dataType: DataType = LongType
@@ -321,6 +364,10 @@ object TextKernelFunctions {
     "graft_repetition_stats" -> { exprs =>
       graft.GraftExtensions.requireArity("graft_repetition_stats", exprs, 1)
       RepetitionStatsExpr(exprs.head)
+    },
+    "graft_word_tf" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_word_tf", exprs, 1)
+      WordTfExpr(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =
@@ -351,5 +398,9 @@ object TextKernelFunctions {
   def repetitionStats(text: Column): Column = {
     register(SparkSession.active)
     call_function("graft_repetition_stats", text)
+  }
+  def wordTf(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_word_tf", text)
   }
 }

@@ -108,15 +108,26 @@ object TextAnalysis {
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    // term frequencies come from the compiled per-doc kernel: only
+    // DISTINCT (doc, term) pairs are ever exploded — the word-
+    // OCCURRENCE shuffle of the explode+groupBy form is gone (at any
+    // corpus size the occurrences never leave their scan task).
+    // OperatorSpec asserts kernel/grouped-form agreement.
+    val tf = Dedup.rebalance(docs.select(col(idCol).as("doc_id"), col(textCol).as("t")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernelFunctions.wordTf(col("t"))).as("wt"))
+      .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    // document frequency as a COUNT window over the word partition:
+    // the same shuffle that a groupBy("word") would pay now ALSO
+    // delivers dfreq onto every row — no second tf consumption, no
+    // dfreq build side, no join exchange (was: groupBy + equi-join,
+    // two more exchanges and a double scan of tf)
+    val dfreq = count(lit(1)).over(Window.partitionBy("word"))
     val qscore = floor(col("tf") * log(lit(n.toDouble) / col("dfreq")) * lit(1e6))
       .cast("long")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("qscore").desc, col("tf").desc, col("word").asc)
-    tf.join(dfreq, "word")
+    tf.withColumn("dfreq", dfreq)
       .withColumn("qscore", qscore)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)

@@ -37,6 +37,21 @@ object ExtensionsCheck {
           |  SELECT graft_theta_sketch(id) AS sk FROM ext_check GROUP BY id % 4)
           |""".stripMargin).head().getLong(0)
       require(math.abs(dv - 1000L) <= 50L, s"theta distinct off: $dv")
+      // text kernels resolve and compute from pure SQL
+      val tk = spark.sql(
+        """SELECT size(graft_minhash_signature('a b c d e', 8)) AS k,
+          |       size(graft_shingle_hashes('a b c d e')) AS sh,
+          |       size(graft_char_ngrams('abcd', 2)) AS cg,
+          |       graft_simhash('a b c') AS sim,
+          |       graft_fingerprint('a b c') AS fp,
+          |       graft_repetition_stats('x x y').top_count AS top,
+          |       size(graft_word_tf('x x y')) AS tfn,
+          |       size(graft_word_ngram_hashes('a b c d e', 3)) AS g
+          |""".stripMargin).head()
+      require(tk.getInt(0) == 8 && tk.getInt(1) == 3 && tk.getInt(2) == 3,
+        "kernel array sizes off")
+      require(tk.getLong(5) == 2L && tk.getInt(6) == 2 && tk.getInt(7) == 3,
+        "kernel counts off")
       println("GRAFT_EXT_OK")
     } finally spark.stop()
   }

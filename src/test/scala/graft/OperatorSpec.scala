@@ -440,6 +440,16 @@ class OperatorSpec extends AnyFunSuite {
       "repetition kernel != grouped form")
     // and the kernel form is exchange-free
     assert(!rsK.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+
+    // word-tf pairs: kernel vs explode + groupBy(doc, word) counts
+    val tfK = docs.select(col("doc_id"),
+        explode(TextKernelFunctions.wordTf(col("text"))).as("wt"))
+      .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val tfE = docs.select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    assert(tfK.exceptAll(tfE).isEmpty && tfE.exceptAll(tfK).isEmpty,
+      "word-tf kernel != grouped form")
   }
 
   test("compact (broadcast array_intersect) overlap equals the exploded-hash plan") {
