@@ -76,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // copy-on-write commands (the reference's generated DML,
     // component.py:228-258)
     e.injectResolutionRule(session => new graft.lake.v2.GraftDmlRule(session))
+    // lake maintenance SQL: OPTIMIZE [ZORDER BY] / VACUUM /
+    // DESCRIBE HISTORY / RESTORE TABLE … TO VERSION AS OF
+    e.injectParser((_, parser) => new graft.lake.v2.GraftSqlParser(parser))
   }
 }
 

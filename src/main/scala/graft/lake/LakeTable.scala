@@ -103,7 +103,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * answer sane even if a lost-and-retried commit recorded a slightly
     * older timestamp at a higher version.
     */
-  private[lake] def versionAsOfTimestamp(ts: Long): Long = {
+  def versionAsOfTimestamp(ts: Long): Long = {
     val h = history(path)
     h.filter(_.timestamp <= ts).map(_.version).maxOption.getOrElse(
       throw UserException(

@@ -62,7 +62,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isPathIdent(ident: Identifier): Boolean =
     ident.namespace.isEmpty && ident.name.startsWith("/")
 
-  private def dirFor(ident: Identifier): Path =
+  private[v2] def dirFor(ident: Identifier): Path =
+    dirForImpl(ident)
+
+  /** The directory a catalog identifier addresses (maintenance SQL). */
+  private[v2] def tableDir(ident: Identifier): Path = dirForImpl(ident)
+
+  private def dirForImpl(ident: Identifier): Path =
     if (isPathIdent(ident)) Paths.get(ident.name)
     else ident.namespace.foldLeft(warehouse)(_ resolve _).resolve(ident.name)
 
@@ -75,6 +81,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftTableV2(spark, dirFor(ident), fullName(ident))
+  }
+
+  /** SQL time travel: `SELECT … FROM graft.s.t VERSION AS OF n`
+    * resolves through this overload (Spark passes the literal as a
+    * string).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw UserException(s"VERSION AS OF must be a commit number, got '$version'")
+    }
+    new GraftTableV2(spark, dirFor(ident), fullName(ident), asOfVersion = v)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch; the
+    * log's commit timestamps are millis.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val lake = new LakeTable(spark, dirFor(ident))
+    val v = lake.versionAsOfTimestamp(timestamp / 1000L)
+    new GraftTableV2(spark, dirFor(ident), fullName(ident), asOfVersion = v)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

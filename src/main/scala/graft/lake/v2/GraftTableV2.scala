@@ -33,11 +33,12 @@ import scala.jdk.CollectionConverters._
   * (BucketingSpec) — the same split Delta Lake ships (catalog DSv2 +
   * V1 execution relations).
   */
-final class GraftTableV2(spark: SparkSession, val tablePath: Path, ident: String)
+final class GraftTableV2(spark: SparkSession, val tablePath: Path, ident: String,
+    asOfVersion: Long = -1L)
     extends Table with SupportsRead with SupportsWrite {
 
   private[v2] lazy val lake = new LakeTable(spark, tablePath)
-  private lazy val snap: Snapshot = TransactionLog.snapshot(tablePath)
+  private lazy val snap: Snapshot = TransactionLog.snapshot(tablePath, asOfVersion)
 
   override def name(): String = ident
 
@@ -57,10 +58,15 @@ final class GraftTableV2(spark: SparkSession, val tablePath: Path, ident: String
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(lake, snap.schema)
+    new GraftScanBuilder(lake, snap.schema, asOfVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (asOfVersion >= 0L)
+      throw graft.core.UserException(
+        s"Cannot write to table $ident at historical version $asOfVersion " +
+          "(time-travel reads are read-only)")
     new GraftWriteBuilder(lake, snap.metadata.partitionColumns)
+  }
 }
 
 /** Column pruning + filter pushdown for the catalog read path. We
@@ -70,7 +76,8 @@ final class GraftTableV2(spark: SparkSession, val tablePath: Path, ident: String
   * `LakeTable.read().where(…)` for row-group skipping and the file
   * index's min/max pruning.
   */
-final class GraftScanBuilder(lake: LakeTable, fullSchema: StructType)
+final class GraftScanBuilder(lake: LakeTable, fullSchema: StructType,
+    asOfVersion: Long = -1L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -97,7 +104,7 @@ final class GraftScanBuilder(lake: LakeTable, fullSchema: StructType)
         override def schema: StructType = requiredNow
         override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
           val base = pushedNow.flatMap(DefaultSource.filterToColumn)
-            .foldLeft(lake.read())(_ where _)
+            .foldLeft(lake.read(versionAsOf = asOfVersion))(_ where _)
           // empty requiredNow (COUNT(*)-style) ⇒ zero-field rows
           base.select(requiredNow.fieldNames.toSeq.map(DefaultSource.quotedCol): _*).rdd
         }

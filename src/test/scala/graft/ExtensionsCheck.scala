@@ -11,12 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-ext-wh").toString
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-check")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.lake.v2.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -52,6 +55,18 @@ object ExtensionsCheck {
         "kernel array sizes off")
       require(tk.getLong(5) == 2L && tk.getInt(6) == 2 && tk.getInt(7) == 3,
         "kernel counts off")
+      // the injected parser + catalog pair: maintenance SQL end to end
+      spark.sql("CREATE TABLE graft.default.ext_m (id BIGINT) USING graft")
+      spark.sql("INSERT INTO graft.default.ext_m VALUES (1)")
+      spark.sql("INSERT INTO graft.default.ext_m VALUES (2)")
+      require(spark.sql("OPTIMIZE graft.default.ext_m").head().getLong(0) >= 2L,
+        "OPTIMIZE did not compact")
+      require(spark.sql("DESCRIBE HISTORY graft.default.ext_m").count() >= 4L,
+        "HISTORY rows missing")
+      require(spark.sql("VACUUM graft.default.ext_m").head().getLong(0) >= 2L,
+        "VACUUM removed nothing")
+      require(spark.sql("SELECT sum(id) FROM graft.default.ext_m")
+        .head().getLong(0) == 3L, "content changed by maintenance")
       println("GRAFT_EXT_OK")
     } finally spark.stop()
   }

@@ -239,6 +239,70 @@ class SchemaDdlSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("ddl_sql1"))
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_tt")
+    spark.sql("CREATE TABLE graft.default.ddl_tt (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.default.ddl_tt VALUES (1, 'first')")   // version 1
+    spark.sql("UPDATE graft.default.ddl_tt SET v = 'second' WHERE id = 1") // version 2
+    // latest sees the update; VERSION AS OF 1 sees the original
+    assert(spark.sql("SELECT v FROM graft.default.ddl_tt").as[String].head() == "second")
+    assert(spark.sql("SELECT v FROM graft.default.ddl_tt VERSION AS OF 1")
+      .as[String].head() == "first")
+    // the time-travel scan still prunes columns + takes filters
+    assert(spark.sql(
+      "SELECT v FROM graft.default.ddl_tt VERSION AS OF 1 WHERE id = 1")
+      .as[String].head() == "first")
+    // TIMESTAMP AS OF now resolves to the newest commit (microsecond
+    // literal handled by Spark; a far-future timestamp = latest)
+    assert(spark.sql(
+      "SELECT v FROM graft.default.ddl_tt TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .as[String].head() == "second")
+    // bad version string errors cleanly; historical writes are rejected
+    assertThrows[Exception](
+      spark.sql("SELECT * FROM graft.default.ddl_tt VERSION AS OF 99").collect())
+    assertThrows[Exception](
+      spark.sql("INSERT INTO graft.default.ddl_tt VERSION AS OF 1 VALUES (2, 'x')"))
+    spark.sql("DROP TABLE graft.default.ddl_tt")
+  }
+
+  test("maintenance SQL: OPTIMIZE / ZORDER / VACUUM / DESCRIBE HISTORY / RESTORE") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_maint")
+    spark.sql("CREATE TABLE graft.default.ddl_maint (id BIGINT, x DOUBLE) USING graft")
+    // two appends → two small files per partition dir
+    spark.sql("INSERT INTO graft.default.ddl_maint VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft.default.ddl_maint VALUES (3, 3.0), (4, 4.0)")
+    val rewritten = spark.sql("OPTIMIZE graft.default.ddl_maint")
+    assert(rewritten.schema.fieldNames.toSeq == Seq("files_rewritten"))
+    // the exact file count depends on insert task parallelism; the two
+    // appends guarantee at least two inputs were compacted
+    assert(rewritten.as[Long].head() >= 2L)
+    // compaction must not change content
+    assert(spark.sql("SELECT sum(id) FROM graft.default.ddl_maint")
+      .as[Long].head() == 10L)
+    // z-order variant parses and runs (single column suffices here)
+    spark.sql("INSERT INTO graft.default.ddl_maint VALUES (5, 5.0)")
+    assert(spark.sql("OPTIMIZE graft.default.ddl_maint ZORDER BY (id, x)")
+      .as[Long].head() >= 1L)
+    // history shows every commit, newest first
+    val hist = spark.sql("DESCRIBE HISTORY graft.default.ddl_maint")
+    assert(hist.schema.fieldNames.toSeq ==
+      Seq("version", "timestamp", "operation", "operation_parameters"))
+    val ops = hist.select("operation").as[String].collect().toSeq
+    assert(ops.length >= 5 && ops.count(_ == "OPTIMIZE") == 2)
+    // restore (before vacuum — vacuum would delete version 1's files,
+    // and RESTORE correctly refuses to resurrect vacuumed data)
+    spark.sql("RESTORE TABLE graft.default.ddl_maint TO VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM graft.default.ddl_maint")
+      .as[Long].head() == 2L)
+    // vacuum drops every file the restored snapshot no longer references
+    assert(spark.sql("VACUUM graft.default.ddl_maint").as[Long].head() >= 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.default.ddl_maint")
+      .as[Long].head() == 2L)
+    // non-matching statements still parse through the delegate
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    spark.sql("DROP TABLE graft.default.ddl_maint")
+  }
+
   test("SQL MERGE: conditioned clauses, DELETE action, NOT MATCHED BY SOURCE") {
     spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sql2")
     spark.sql("""CREATE TABLE graft.default.ddl_sql2
