@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -64,7 +64,23 @@ object DefaultSource {
 }
 
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
+
+  // streaming SOURCE: tail the transaction log (see GraftStreamSource)
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, org.apache.spark.sql.types.StructType) =
+    graft.streaming.GraftStreamSource.sourceSchema(parameters)
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    graft.streaming.GraftStreamSource.createSource(sqlContext, parameters)
 
   override def shortName(): String = "graft"
 

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.lake.{LakeTable, TransactionLog}
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.SparkBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import java.nio.file.{Path, Paths}
+
+/** Streaming SOURCE over a lake table — `readStream.format("graft")
+  * .load(path)` tails the transaction log: each micro-batch is the
+  * rows appended in a commit-version range, resolved from log
+  * metadata only (no directory listing, no snapshot diff — the same
+  * `changes()` path the batch CDC reader uses). Offsets are commit
+  * versions, so checkpoint recovery replays exactly the uncommitted
+  * version range.
+  *
+  * Batch 0 is the table's current snapshot (versions 0..v), then each
+  * subsequent batch covers (prevVersion, currentVersion]. Semantics
+  * are append-driven like Delta's default streaming source:
+  * compaction is invisible (`dataChange=false` adds are skipped), and
+  * rows re-added by MERGE/UPDATE copy-on-write rewrites surface as
+  * fresh appends — key-level consumers deduplicate downstream
+  * (`EventStreams.dedupStream`).
+  *
+  * Every emitted row carries `_commit_version` — the join point for
+  * incremental downstream bookkeeping.
+  */
+class GraftStreamSource(sqlContext: SQLContext, tablePath: Path) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val lake = new LakeTable(spark, tablePath)
+
+  override val schema: StructType = StructType(
+    TransactionLog.snapshot(tablePath).schema.fields :+
+      StructField("_commit_version", LongType, nullable = false))
+
+  private def versionOf(o: Offset): Long = o.json.toLong
+
+  override def getOffset: Option[Offset] = {
+    val v = TransactionLog.latestVersion(tablePath)
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(versionOf).getOrElse(-1L)
+    val batch = lake.changes(sinceVersion = since, toVersion = versionOf(end))
+    // V1 contract: the returned frame must be flagged streaming
+    SparkBridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$tablePath]"
+}
+
+object GraftStreamSource {
+  /** Provider hooks shared with DefaultSource (kept here so the lake
+    * package stays stream-agnostic).
+    */
+  def sourceSchema(parameters: Map[String, String]): (String, StructType) = {
+    val p = pathOf(parameters)
+    ("graft", StructType(TransactionLog.snapshot(p).schema.fields :+
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  def createSource(sqlContext: SQLContext, parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext, pathOf(parameters))
+
+  private def pathOf(parameters: Map[String, String]): Path =
+    Paths.get(parameters.getOrElse("path",
+      throw graft.core.UserException("graft streaming source requires a path")))
+}

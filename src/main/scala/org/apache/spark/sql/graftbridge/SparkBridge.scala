@@ -28,4 +28,16 @@ object SparkBridge {
 
   /** The Catalyst expression behind a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame flagged isStreaming=true over an InternalRow RDD —
+    * what a V1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts the plan is streaming). Same
+    * internal API FileStreamSource uses.
+    */
+  def streamingDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

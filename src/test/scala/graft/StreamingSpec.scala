@@ -49,6 +49,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.read().count() == 15)
   }
 
+  test("lake streaming SOURCE: tails the log, initial snapshot + incremental appends, resumes from checkpoint") {
+    val root = Files.createTempDirectory("graft-stream-src")
+    val lakeDir = root.resolve("src_lake")
+    val mirrorDir = root.resolve("mirror_lake")
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new LakeTable(spark, lakeDir)
+    val mirror = new LakeTable(spark, mirrorDir)
+    lake.write(spark.range(0, 4).select($"id", lit("a").as("v")).toDF(), mode = "append")
+
+    // source AND sink are lake tables: the tail of one table feeds
+    // another, exactly-once via the sink's recorded batch ids
+    def startStream() = spark.readStream.format("graft").load(lakeDir.toString)
+      .writeStream.format("graft")
+      .option("path", mirrorDir.toString)
+      .option("checkpointLocation", ckpt).start()
+
+    val q = startStream()
+    q.processAllAvailable()
+    // batch 0 = the current snapshot, stamped with its commit version
+    assert(mirror.read().count() == 4)
+    assert(mirror.read().select("_commit_version")
+      .as[Long].collect().toSet == Set(0L))
+
+    // appends arrive incrementally with their own commit versions
+    lake.write(spark.range(4, 7).select($"id", lit("b").as("v")).toDF(), mode = "append")
+    q.processAllAvailable()
+    assert(mirror.read().count() == 7)
+    assert(mirror.read().select("_commit_version")
+      .as[Long].collect().toSet == Set(0L, 1L))
+
+    // compaction is dataChange=false: invisible to the tail
+    lake.compact(minFilesPerPartition = 2)
+    q.processAllAvailable()
+    assert(mirror.read().count() == 7)
+    q.stop()
+
+    // restart from the checkpoint: only data committed AFTER the
+    // stopped offset is delivered (no snapshot replay)
+    lake.write(spark.range(7, 9).select($"id", lit("c").as("v")).toDF(), mode = "append")
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(mirror.read().count() == 9)
+    val resumedIds = mirror.read().where($"_commit_version" >= 3)
+      .select("id").as[Long].collect().toSet
+    assert(resumedIds == Set(7L, 8L),
+      s"expected only the post-restart append in the new versions, got $resumedIds")
+  }
+
   test("watermarked windowed aggregation over a memory sink") {
     val root = Files.createTempDirectory("graft-stream-w")
     val in = root.resolve("in"); Files.createDirectories(in)
