@@ -373,7 +373,7 @@ object Queries {
       (s, d) => Dedup.lshCandidatePairs(tbl(s, d, "documents"), "doc_id", "text", k = 8, bands = 4),
       Some {
         val buckets = (0 until 4).map(b =>
-          s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+          s"(CAST($b AS BIGINT) << 60) | CAST(('0x' || substr(md5(mh${2 * b} || mh${2 * b + 1}), 1, 15)) AS BIGINT)").mkString(", ")
         s"""WITH w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
@@ -836,7 +836,7 @@ object Queries {
       },
       Some {
         val buckets = (0 until 4).map(b =>
-          s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+          s"(CAST($b AS BIGINT) << 60) | CAST(('0x' || substr(md5(mh${2 * b} || mh${2 * b + 1}), 1, 15)) AS BIGINT)").mkString(", ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
@@ -895,7 +895,7 @@ object Queries {
         .agg(count(lit(1)).as("n_kept")),
       Some {
         val buckets = (0 until 4).map(b =>
-          s"'$b:' || md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+          s"(CAST($b AS BIGINT) << 60) | CAST(('0x' || substr(md5(mh${2 * b} || mh${2 * b + 1}), 1, 15)) AS BIGINT)").mkString(", ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
            |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
