@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lake maintenance SQL: OPTIMIZE [ZORDER BY] / VACUUM /
     // DESCRIBE HISTORY / RESTORE TABLE … TO VERSION AS OF
     e.injectParser((_, parser) => new graft.lake.v2.GraftSqlParser(parser))
+    // incremental CDC reads from SQL:
+    // SELECT … FROM graft_table_changes('<table>', since[, to])
+    e.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(graft.lake.v2.GraftTableChanges.getClass.getName,
+        "graft_table_changes"),
+      graft.lake.v2.GraftTableChanges.builder))
   }
 }
 

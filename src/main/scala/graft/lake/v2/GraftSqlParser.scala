@@ -82,6 +82,68 @@ object GraftSqlParser {
     }
 }
 
+/** Multipart-identifier → LakeTable resolution through whichever
+  * GraftCatalog the name addresses (shared by maintenance SQL and the
+  * graft_table_changes table function).
+  */
+object GraftIdentifiers {
+  def resolveLake(
+      spark: org.apache.spark.sql.SparkSession,
+      nameParts: Seq[String],
+      context: String): LakeTable = {
+    val mgr = spark.asInstanceOf[SparkSession].sessionState.catalogManager
+    val (catName, rest) = nameParts match {
+      case head +: tail if tail.nonEmpty && mgr.isCatalogRegistered(head) => (head, tail)
+      case _ => (mgr.currentCatalog.name, nameParts)
+    }
+    mgr.catalog(catName) match {
+      case g: GraftCatalog =>
+        val ident = Identifier.of(rest.dropRight(1).toArray, rest.last)
+        new LakeTable(spark, g.tableDir(ident))
+      case other => throw UserException(
+        s"$context requires a graft catalog table; " +
+          s"'$catName' is ${other.getClass.getSimpleName}")
+    }
+  }
+}
+
+/** `graft_table_changes('<table>', since[, to])` — the SQL surface of
+  * `LakeTable.changes`: rows appended in the commit-version range
+  * (since, to], each stamped `_commit_version`. Registered as a TABLE
+  * function (`SELECT … FROM graft_table_changes(…)`), the
+  * Delta-CDF-style incremental read for pure-SQL consumers.
+  */
+object GraftTableChanges {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{IntegerType, LongType => SqlLongType, StringType => SqlStringType}
+
+  private def foldableString(e: Expression): String = e match {
+    case x if x.foldable && x.dataType == SqlStringType =>
+      Option(x.eval()).map(_.toString).getOrElse(
+        throw UserException("graft_table_changes: table name must not be NULL"))
+    case other => throw UserException(
+      s"graft_table_changes: table name must be a string literal, got $other")
+  }
+  private def foldableLong(e: Expression): Long = e match {
+    case x if x.foldable && (x.dataType == SqlLongType || x.dataType == IntegerType) =>
+      Literal.create(x.eval(), x.dataType).value.asInstanceOf[Number].longValue()
+    case other => throw UserException(
+      s"graft_table_changes: version must be an integer literal, got $other")
+  }
+
+  private[graft] val builder: Seq[Expression] => LogicalPlan = exprs => {
+    if (exprs.length < 2 || exprs.length > 3)
+      throw UserException(
+        s"graft_table_changes(table, since[, to]) takes 2 or 3 arguments, got ${exprs.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(foldableString(exprs.head))
+    val lake = GraftIdentifiers.resolveLake(spark, parts, "graft_table_changes")
+    val since = foldableLong(exprs(1))
+    val to = if (exprs.length == 3) foldableLong(exprs(2)) else -1L
+    lake.changes(sinceVersion = since, toVersion = to).queryExecution.logical
+  }
+}
+
 /** Eagerly-executed maintenance command over a graft catalog table. */
 case class GraftMaintenanceCommand(
     kind: String,
@@ -100,24 +162,8 @@ case class GraftMaintenanceCommand(
     case "restore" => Seq(AttributeReference("restored_to_version", LongType)())
   }
 
-  private def resolveLake(spark: org.apache.spark.sql.SparkSession): LakeTable = {
-    val mgr = spark.asInstanceOf[SparkSession].sessionState.catalogManager
-    val (catName, rest) = nameParts match {
-      case head +: tail if tail.nonEmpty && mgr.isCatalogRegistered(head) => (head, tail)
-      case _ => (mgr.currentCatalog.name, nameParts)
-    }
-    mgr.catalog(catName) match {
-      case g: GraftCatalog =>
-        val ident = Identifier.of(rest.dropRight(1).toArray, rest.last)
-        new LakeTable(spark, g.tableDir(ident))
-      case other => throw UserException(
-        s"${kind.toUpperCase} requires a graft catalog table; " +
-          s"'$catName' is ${other.getClass.getSimpleName}")
-    }
-  }
-
   override def run(spark: org.apache.spark.sql.SparkSession): Seq[Row] = {
-    val lake = resolveLake(spark)
+    val lake = GraftIdentifiers.resolveLake(spark, nameParts, kind.toUpperCase)
     if (!lake.exists) throw UserException(
       s"Table ${nameParts.mkString(".")} does not exist")
     kind match {

@@ -303,6 +303,31 @@ class SchemaDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ddl_maint")
   }
 
+  test("graft_table_changes TVF: incremental CDC from pure SQL") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_cdc")
+    spark.sql("CREATE TABLE graft.default.ddl_cdc (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.default.ddl_cdc VALUES (1), (2)")   // v1
+    spark.sql("INSERT INTO graft.default.ddl_cdc VALUES (3)")        // v2
+    // since v1 → only v2's rows, stamped with their commit version
+    val delta = spark.sql(
+      "SELECT id, _commit_version FROM graft_table_changes('graft.default.ddl_cdc', 1)")
+      .as[(Long, Long)].collect().toSeq
+    assert(delta == Seq((3L, 2L)))
+    // full range from table creation; bounded ranges honor `to`
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table_changes('graft.default.ddl_cdc', 0)")
+      .as[Long].head() == 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table_changes('graft.default.ddl_cdc', 0, 1)")
+      .as[Long].head() == 2L)
+    // joins compose like any table source
+    assert(spark.sql(
+      """SELECT count(*) FROM graft_table_changes('graft.default.ddl_cdc', 0) c
+        |JOIN graft.default.ddl_cdc t ON c.id = t.id""".stripMargin)
+      .as[Long].head() == 3L)
+    spark.sql("DROP TABLE graft.default.ddl_cdc")
+  }
+
   test("SQL MERGE: conditioned clauses, DELETE action, NOT MATCHED BY SOURCE") {
     spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sql2")
     spark.sql("""CREATE TABLE graft.default.ddl_sql2
