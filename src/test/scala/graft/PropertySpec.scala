@@ -162,4 +162,51 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect, s"seed=$seed edges=$edges")
     }
   }
+
+  test("text kernels equal their HOF forms on adversarial random strings") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Decontamination, Dedup, Scrubbing, TextAnalysis}
+    // strings that stress tokenization: mixed whitespace runs, unicode,
+    // empties, repeats, punctuation — the places a hand-rolled split or
+    // substring loop would drift from Spark's semantics
+    val token = Gen.oneOf("a", "bb", "Ccc", "δοκ", "x7", "!?", "—", "a.b",
+      "", " ", "\t", "\n", "longtokenlongtoken", "ümlaut", "日本語")
+    val textGen = Gen.listOfN(20, token).map(_.mkString(" "))
+    val docGen = Gen.listOfN(60, textGen)
+    for (seed <- 1L to 3L) {
+      val texts = docGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def same(a: DataFrame, b: DataFrame, what: String): Unit =
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$what diverged at seed=$seed")
+      same(Dedup.minhashSignatures(docs, "doc_id", "text", 8).withColumnRenamed("id", "doc_id"),
+        Dedup.perRowSignaturesExpr(docs, "doc_id", "text", 8), "minhash")
+      same(Dedup.simhashTable(docs, "doc_id", "text"),
+        Dedup.simhashTableExpr(docs, "doc_id", "text"), "simhash")
+      same(Scrubbing.repetitionStats(docs, "doc_id", "text"),
+        Scrubbing.repetitionStatsExpr(docs, "doc_id", "text"), "repetition")
+      same(docs.select(TextAnalysis.fingerprint(col("text"))),
+        docs.select(TextAnalysis.fingerprintExpr(col("text"))), "fingerprint")
+      same(
+        docs.select(col("doc_id"),
+          explode(graft.functions.TextKernelFunctions.shingleHashes(col("text")))),
+        docs.select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")),
+        "shingle hashes")
+      same(
+        docs.select(col("doc_id"),
+          explode(graft.functions.TextKernelFunctions.charNgrams(col("text"), 3))),
+        docs.select(col("doc_id"), explode(Dedup.charNgrams(col("text"), 3))),
+        "char ngrams")
+      same(
+        docs.select(col("doc_id"),
+          explode(Decontamination.wordNgramHashes(col("text"), 5))),
+        docs.select(col("doc_id"),
+          explode(Decontamination.wordNgramHashesExpr(col("text"), 5))),
+        "gram hashes")
+    }
+  }
 }
