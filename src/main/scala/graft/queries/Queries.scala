@@ -1143,6 +1143,36 @@ object Queries {
              |UNION ALL
              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, 'UPDATED'
              |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
+
+    // distributed Lloyd's k-means over embeddings — the trained coarse
+    // quantizer for IVF and the clustering step of semantic-dedup /
+    // diversity-sampling pipelines. Every float step is quantized
+    // (floor(d*1e6) distances, lowest-cid tiebreak, round(mean, 6)
+    // between iterations), so DuckDB replays the full iteration
+    // bit-for-bit — see Clustering's determinism notes.
+    "q60_kmeans" -> QueryDef(
+      (s, d) => Clustering.kmeansAssignments(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2),
+      Some {
+        def dot(t: String) = (1 to 64).map(i => s"e.v[$i] * $t.c[$i]").mkString(" + ")
+        def n2(t: String) = (1 to 64).map(i => s"$t.c[$i] * $t.c[$i]").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS c
+           |  FROM e ORDER BY vec_id LIMIT 4),
+           |d1 AS (SELECT e.vec_id, e.v, c0.cid,
+           |  CAST(floor(((${n2("c0")}) - 2 * (${dot("c0")})) * 1000000) AS BIGINT) AS qd FROM e, c0),
+           |a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn FROM d1) WHERE rn = 1),
+           |m1 AS (SELECT cid, d.dim, round(avg(a1.v[d.dim]), 6) AS m
+           |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS dim) d GROUP BY cid, d.dim),
+           |cm AS (SELECT cid, array_agg(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+           |c1 AS (SELECT c0.cid, COALESCE(cm.c, c0.c) AS c FROM c0 LEFT JOIN cm USING (cid)),
+           |d2 AS (SELECT e.vec_id, c1.cid,
+           |  CAST(floor(((${n2("c1")}) - 2 * (${dot("c1")})) * 1000000) AS BIGINT) AS qd FROM e, c1)
+           |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn FROM d2)
+           |WHERE rn = 1""".stripMargin
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

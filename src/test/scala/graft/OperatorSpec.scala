@@ -466,6 +466,32 @@ class OperatorSpec extends AnyFunSuite {
       "compact overlap must not shuffle")
   }
 
+  test("k-means: deterministic labels, populated clusters, cost decreases with iterations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a2 = Clustering.kmeansAssignments(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    // deterministic: a rerun labels identically
+    val a2b = Clustering.kmeansAssignments(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(a2 == a2b)
+    assert(a2.values.toSet.subsetOf(Set(0, 1, 2, 3)) && a2.values.toSet.size >= 2)
+    // Lloyd's improves (or holds) the clustering objective round over round
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cost(assign: Map[Long, Int], cents: Array[Seq[Double]]): Double =
+      assign.map { case (id, c) =>
+        vecs(id).zip(cents(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    val c1 = Clustering.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val c2 = Clustering.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val a1 = Clustering.kmeansAssignments(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(cost(a2, c2) <= cost(a1, c1) + 1e-6,
+      s"cost went up: ${cost(a1, c1)} -> ${cost(a2, c2)}")
+    // centroid shape: k vectors of the embedding dimensionality
+    assert(c2.length == 4 && c2.forall(_.length == 64))
+  }
+
   test("repetition stats: top-word share exposes boilerplate") {
     val t = Seq(
       (1L, "spam spam spam spam ham"),
