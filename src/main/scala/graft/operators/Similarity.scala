@@ -94,16 +94,20 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      trainedCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
     val spark = emb.sparkSession
     // Coarse quantizer: nCentroids vectors collected to the driver
     // (metadata-scale) and embedded as literals, so list assignment is
     // a pure map-side expression — no shuffle touches the corpus until
-    // the final per-probe top-k. A production build would load trained
-    // k-means centroids here instead of the id-prefix seed.
-    val centroids: Array[Seq[Double]] = emb.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0))
+    // the final per-probe top-k. Pass `trainedCentroids` (e.g.
+    // Clustering.kmeansCentroids) for a real quantizer; the default
+    // id-prefix seed keeps the operator self-contained and
+    // oracle-replayable.
+    val centroids: Array[Seq[Double]] = trainedCentroids.getOrElse(
+      emb.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)))
 
     /** top-`n` nearest centroid ids for a vector, as an array column:
       * sort a tiny struct array of (-dot, id) — map-side only.

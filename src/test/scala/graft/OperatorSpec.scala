@@ -207,6 +207,14 @@ class OperatorSpec extends AnyFunSuite {
     val bfSet = bf.map(r => (r._1, r._2)).toSet
     val hits = ivf.map(r => (r._1, r._2)).count(bfSet)
     assert(hits >= bf.length / 4, s"IVF recall too low: $hits/${bf.length}")
+    // a TRAINED quantizer (k-means centroids) slots into the same index
+    // and must not lose recall vs the id-prefix seed
+    val trained = Clustering.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val ivfT = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+      nCentroids = 8, nProbe = 4, trainedCentroids = Some(trained))
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect()
+    val hitsT = ivfT.count(bfSet)
+    assert(hitsT >= hits, s"trained quantizer lost recall: $hitsT < $hits")
   }
 
   test("theta-sketch distinct: within 2% of exact, merges across groups") {
