@@ -58,7 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextKernelFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[graft.functions.MinhashSignatureExpr].getName, name),
+        new ExpressionInfo(GraftExtensions.implClass(name), name),
         b))
     }
     // theta sketch family (distinct / build / union / union_sketch) —
@@ -66,7 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.SketchFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[graft.functions.ThetaSketchBuild].getName, name),
+        new ExpressionInfo(GraftExtensions.implClass(name), name),
         b))
     }
     // opt-in approximate COUNT(DISTINCT) via theta sketches
@@ -90,6 +90,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Implementing expression class per function name — what DESCRIBE
+    * FUNCTION reports; keep in sync with the registered builders.
+    */
+  private[graft] def implClass(name: String): String = name match {
+    case "graft_theta_distinct" => classOf[graft.functions.ThetaSketchDistinct].getName
+    case "graft_theta_sketch" => classOf[graft.functions.ThetaSketchBuild].getName
+    case "graft_theta_union" | "graft_theta_union_sketch" =>
+      classOf[graft.functions.ThetaSketchMerge].getName
+    case "graft_minhash_signature" => classOf[graft.functions.MinhashSignatureExpr].getName
+    case "graft_shingle_hashes" => classOf[graft.functions.ShingleHashesExpr].getName
+    case "graft_char_ngrams" => classOf[graft.functions.CharNgramsExpr].getName
+    case "graft_simhash" => classOf[graft.functions.SimHashExpr].getName
+    case "graft_fingerprint" => classOf[graft.functions.FingerprintExpr].getName
+    case "graft_repetition_stats" => classOf[graft.functions.RepetitionStatsExpr].getName
+    case "graft_word_tf" => classOf[graft.functions.WordTfExpr].getName
+    case other => other // unknown name: leave as-is rather than lie
+  }
+
   private[graft] def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n)
       throw new org.apache.spark.sql.AnalysisException(

@@ -145,7 +145,10 @@ object GramHashFunctions {
       case e if e.foldable && Seq(org.apache.spark.sql.types.ByteType,
           org.apache.spark.sql.types.ShortType, IntegerType,
           LongType).contains(e.dataType) =>
-        Literal.create(e.eval(), e.dataType).value.asInstanceOf[Number].intValue()
+        Option(Literal.create(e.eval(), e.dataType).value)
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(
+            throw new IllegalArgumentException(
+              "graft_word_ngram_hashes: n must not be NULL"))
       case other => throw new IllegalArgumentException(
         s"graft_word_ngram_hashes: n must be a foldable integer, got $other")
     }

@@ -335,7 +335,8 @@ object TextKernelFunctions {
     case x if x.foldable && Seq[DataType](org.apache.spark.sql.types.ByteType,
         org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
         LongType).contains(x.dataType) =>
-      x.eval().asInstanceOf[Number].intValue()
+      Option(x.eval()).map(_.asInstanceOf[Number].intValue()).getOrElse(
+        throw new IllegalArgumentException(s"$name: argument must not be NULL"))
     case other => throw new IllegalArgumentException(
       s"$name: expected a foldable integer argument, got $other")
   }

@@ -823,8 +823,23 @@ final class LakeTable(spark: SparkSession, val path: Path) {
               "MERGE: a target row matched multiple source rows; " +
                 "deduplicate the source on the merge keys first")
           }
-          val sMarked = src.withColumn("__graft_s", lit(true))
-          val joined = affected.join(sMarked, spec.condition, "left_outer")
+          val joined =
+            if (spec.matched.isEmpty) {
+              // Only NOT-MATCHED-BY-SOURCE clauses: the left_outer
+              // below would fan a target row out once per matching
+              // source row and, with no matched clause to claim it,
+              // keep EVERY copy (the cardinality check above is
+              // rightly skipped — nothing is ambiguous). Semi/anti
+              // split keeps target cardinality exact: each row once,
+              // flagged by whether any source row matches.
+              affected.join(src, spec.condition, "left_semi")
+                .withColumn("__graft_s", lit(true))
+                .unionByName(
+                  affected.join(src, spec.condition, "left_anti")
+                    .withColumn("__graft_s", lit(false)))
+            } else
+              affected.join(src.withColumn("__graft_s", lit(true)),
+                spec.condition, "left_outer")
           val sPresent = coalesce(col("__graft_s"), lit(false))
           // first applicable clause, SQL WHEN order; -1 = keep unchanged
           val clauses: Seq[(Column, MergeClause)] =
@@ -1083,10 +1098,18 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   /** Deletes unreferenced data files (VACUUM, retention ignored —
     * local dev semantics).
     */
+  /** Files.walk fully drained with the stream CLOSED (a bare walk
+    * leaks a descriptor per call until GC).
+    */
+  private def walkClosed(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def vacuum(): Int = {
     val live = snapshot(path).files.map(f => resolvePath(path, f.path).normalize).toSet
     var removed = 0
-    Files.walk(path).iterator().asScala
+    walkClosed(path)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filterNot(p => p.startsWith(logDir(path)))
       .filterNot(p => live.contains(p.normalize))
@@ -1169,9 +1192,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(stage.toString)
 
-    val files = Files.walk(stage).iterator().asScala
+    val files = walkClosed(stage)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
     val adds = files.map { f =>
       // Under a bucketed write (input repartitioned on the bucket
       // keys), the task index in the part-file name is the bucket id;
@@ -1196,7 +1218,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         stats = FileStats.forFile(dest))
     }
     // best-effort cleanup of the stage scaffolding (_SUCCESS, dirs)
-    Files.walk(stage).iterator().asScala.toSeq.reverse.foreach { p =>
+    walkClosed(stage).reverse.foreach { p =>
       try Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
     adds

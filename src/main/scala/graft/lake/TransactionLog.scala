@@ -80,11 +80,18 @@ object TransactionLog {
   def latestVersion(table: Path): Long = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return -1L
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(dir)
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
+  }
+
+  /** File names of a directory with the listing stream CLOSED (a bare
+    * Files.list leaks one descriptor per call until GC).
+    */
+  private def listNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
   }
 
   /** Atomic put-if-absent commit. Writes actions to a temp file then
@@ -204,8 +211,7 @@ object TransactionLog {
     advertised.filter(v => v <= maxVersion && Files.exists(checkpointFile(table, v)))
       .orElse {
         if (!Files.isDirectory(logDir(table))) None
-        else Files.list(logDir(table)).iterator().asScala
-          .map(_.getFileName.toString)
+        else listNames(logDir(table)).iterator
           .filter(_.endsWith(".checkpoint.json"))
           .map(_.stripSuffix(".checkpoint.json").toLong)
           .filter(_ <= maxVersion)

@@ -112,10 +112,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (namespace.sameElements(defaultNamespace())) return Array.empty
       throw new NoSuchNamespaceException(namespace)
     }
-    Files.list(dir).iterator().asScala
-      .filter(p => TransactionLog.tableExists(p))
+    withListing(dir)(_.filter(p => TransactionLog.tableExists(p))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def createTable(
@@ -192,7 +191,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!TransactionLog.tableExists(dir)) return false
     // local warehouse: a recursive delete IS the drop (an object-store
     // deployment would tombstone the log head instead)
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    deleteRecursively(dir)
     true
   }
 
@@ -213,9 +212,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val top =
       if (!Files.isDirectory(warehouse)) Seq.empty
-      else Files.list(warehouse).iterator().asScala
-        .filter(p => Files.isDirectory(p) && !TransactionLog.tableExists(p))
-        .map(p => Array(p.getFileName.toString)).toSeq
+      else withListing(warehouse)(
+        _.filter(p => Files.isDirectory(p) && !TransactionLog.tableExists(p))
+          .map(p => Array(p.getFileName.toString)).toSeq)
     (top :+ defaultNamespace()).distinctBy(_.toSeq).toArray
   }
 
@@ -241,9 +240,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(warehouse)(_ resolve _)
     if (!Files.isDirectory(dir)) return false
-    val nonEmpty = Files.list(dir).iterator().asScala.nonEmpty
+    val nonEmpty = withListing(dir)(_.nonEmpty)
     if (nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    deleteRecursively(dir)
     true
+  }
+
+  /** Directory listing with the stream CLOSED (Files.list leaks a
+    * descriptor per call otherwise — SHOW TABLES in a long-lived
+    * session would exhaust the ulimit).
+    */
+  private def withListing[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(p => Files.deleteIfExists(p))
   }
 }

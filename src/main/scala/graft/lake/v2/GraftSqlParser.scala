@@ -126,7 +126,9 @@ object GraftTableChanges {
   }
   private def foldableLong(e: Expression): Long = e match {
     case x if x.foldable && (x.dataType == SqlLongType || x.dataType == IntegerType) =>
-      Literal.create(x.eval(), x.dataType).value.asInstanceOf[Number].longValue()
+      Option(Literal.create(x.eval(), x.dataType).value)
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(
+          throw UserException("graft_table_changes: version must not be NULL"))
     case other => throw UserException(
       s"graft_table_changes: version must be an integer literal, got $other")
   }

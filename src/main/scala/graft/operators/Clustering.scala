@@ -49,6 +49,37 @@ object Clustering {
     element_at(array_sort(scored), 1).getField("cid")
   }
 
+  /** One Lloyd update: per-(cluster, dim) means of the assignment
+    * against `centroids`, rounded, with an EMPTY cluster keeping its
+    * previous centroid (the rule the oracle's COALESCE replays).
+    * Partial aggregation keeps the shuffle at partitions × k × dim
+    * rows; the k × dim collect is metadata.
+    */
+  private def updateOnce(spark: org.apache.spark.sql.SparkSession,
+      vecs: DataFrame, centroids: Array[Seq[Double]]): Array[Seq[Double]] = {
+    val means = vecs.withColumn("cluster", assignExpr(spark, col("v"), centroids))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq
+      }
+    centroids.indices.map(j => means.getOrElse(j, centroids(j))).toArray
+  }
+
+  private def trainedAfter(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int): (DataFrame, Array[Seq[Double]]) = {
+    require(k >= 1 && updates >= 0, "k must be positive, updates non-negative")
+    val spark = emb.sparkSession
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // seed: first k vectors by id — deterministic, engine-portable
+    var centroids: Array[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    for (_ <- 1 to updates) centroids = updateOnce(spark, vecs, centroids)
+    (vecs, centroids)
+  }
+
   /** Per-row cluster assignment after `iters` Lloyd rounds (the
     * returned labels come from round `iters`, i.e. centroids updated
     * iters − 1 times). Output: (idCol, cluster).
@@ -59,34 +90,15 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 1, "k and iters must be positive")
-    val spark = emb.sparkSession
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-
-    // seed: first k vectors by id — deterministic, engine-portable
-    var centroids: Array[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-
-    for (_ <- 1 until iters) {
-      val assigned = vecs.withColumn("cluster", assignExpr(spark, col("v"), centroids))
-      // per-(cluster, dim) means: partial aggregation keeps the shuffle
-      // at partitions × k × dim rows; the k × dim collect is metadata
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq
-        }
-      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j))).toArray
-    }
+    require(iters >= 1, "iters must be positive")
+    val (vecs, centroids) = trainedAfter(emb, idCol, vecCol, k, iters - 1)
     vecs.select(col("id").as(idCol),
-      assignExpr(spark, col("v"), centroids).as("cluster"))
+      assignExpr(emb.sparkSession, col("v"), centroids).as("cluster"))
   }
 
-  /** The trained centroids themselves (rounded like the iteration
-    * ones) — feed these to Similarity.ivfTopK as a real quantizer.
+  /** The trained centroids themselves: `iters` full Lloyd updates from
+    * the seed, empty clusters keeping their previous centroid at every
+    * round — feed these to Similarity.ivfTopK as a real quantizer.
     */
   def kmeansCentroids(
       emb: DataFrame,
@@ -94,18 +106,8 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int): Array[Seq[Double]] = {
-    val spark = emb.sparkSession
-    val assigned = kmeansAssignments(emb, idCol, vecCol, k, iters)
-    val vecs = emb.select(col(idCol).as(idCol), col(vecCol).cast("array<double>").as("v"))
-    val means = vecs.join(assigned, idCol)
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq
-      }
-    (0 until k).map(j => means.getOrElse(j, Seq.empty[Double])).toArray
+    require(iters >= 1, "iters must be positive")
+    trainedAfter(emb, idCol, vecCol, k, iters)._2
   }
 
   /** HALF_UP at 6 decimals — DuckDB's round(x, 6) semantics. */

@@ -98,6 +98,12 @@ object Decontamination {
 
   /** The distinct n-gram hash set of a benchmark corpus — build once,
     * reuse across corpus scans (callers may persist or write it out).
+    * COMPATIBILITY: the gram hash is the packed double polynomial fold
+    * over per-word 30-bit md5 values (this file's constants). A gram
+    * table persisted under any other scheme (e.g. the pre-r5 md5
+    * prefix of the gram STRING) matches nothing — rebuild persisted
+    * gram tables when the hash definition changes, and keep both sides
+    * of a decontamination run on the same library version.
     */
   def benchmarkGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
     Dedup.rebalance(bench.select(col(textCol).as("t")))

@@ -196,14 +196,39 @@ object Dedup {
           conv(substring(md5(concat((b * r until (b + 1) * r)
             .map(j => col(s"mh$j")): _*)), 1, 15), 16, 10).cast("long"))): _*))
         .as("bucket"))
+    // Memory posture: collect_list holds ONE bucket's id array in its
+    // aggregation buffer — bounded for real LSH workloads (bucket size
+    // concentrates near the near-dup cluster size), but a degenerate
+    // corpus (millions of byte-identical boilerplate docs in one
+    // bucket) would balloon that buffer where the old bucket SELF-JOIN
+    // streamed. Guard it: a bucket past `MaxBucketSize` fails loudly
+    // with the bucket id, instead of OOMing an executor — run exact
+    // dedup first (the canonical pipeline order, CorpusPipeline) to
+    // collapse byte-identical docs.
+    // array_distinct: duplicate ids in one bucket (malformed input —
+    // ids are contractually unique) would otherwise emit (x,x)
+    // self-pairs the old `a.id < b.id` self-join structurally excluded.
     buckets.groupBy("bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(sort_array(array_distinct(collect_list(col("id")))).as("ids0"))
+      .where(size(col("ids0")) > 1)
+      // the guard lives INSIDE the ids column (a side column would be
+      // pruned away unevaluated)
+      .select(when(size(col("ids0")) > MaxBucketSize,
+          raise_error(concat(
+            lit(s"LSH bucket exceeds $MaxBucketSize ids (bucket "),
+            col("bucket").cast("string"),
+            lit("): run exact dedup before near-dup candidate generation"))))
+        .otherwise(col("ids0")).as("ids"))
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
   }
+
+  /** Largest candidate bucket bandingPairs will expand (beyond it the
+    * quadratic pair OUTPUT is the problem no matter the plan).
+    */
+  val MaxBucketSize: Int = 1 << 20
 
   /** 32-bit SimHash: bit i set iff Σ_words (±1 by bit i of the word
     * value) > 0. One integer sketch per document.

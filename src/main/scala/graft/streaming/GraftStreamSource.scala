@@ -47,6 +47,17 @@ class GraftStreamSource(sqlContext: SQLContext, tablePath: Path) extends Source 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(versionOf).getOrElse(-1L)
     val batch = lake.changes(sinceVersion = since, toVersion = versionOf(end))
+    // A mid-stream ALTER TABLE changes the snapshot schema; rows are
+    // read ordinally, so wrapping them in the stream's stale schema
+    // would silently misalign columns. Fail loudly instead — the
+    // restarted stream picks up the new schema (Delta's behavior).
+    val got = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (got != want)
+      throw graft.core.UserException(
+        s"Schema of $tablePath changed while streaming (stream started with " +
+          s"${want.map(_._1).mkString(",")}; table now has ${got.map(_._1).mkString(",")}). " +
+          "Restart the stream to adopt the new schema.")
     // V1 contract: the returned frame must be flagged streaming
     SparkBridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
   }

@@ -303,6 +303,21 @@ class SchemaDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ddl_maint")
   }
 
+  test("MERGE with only NOT MATCHED BY SOURCE never duplicates multi-matched target rows") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_nmbs")
+    spark.sql("CREATE TABLE graft.default.ddl_nmbs (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.default.ddl_nmbs VALUES (1, 'keep'), (2, 'drop')")
+    // source matches id=1 TWICE — the kept row must still appear once
+    Seq(1L, 1L).toDF("id").createOrReplaceTempView("nmbs_src")
+    spark.sql("""MERGE INTO graft.default.ddl_nmbs AS t USING nmbs_src AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = spark.sql("SELECT id, v FROM graft.default.ddl_nmbs")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "keep")), s"got $rows")
+    spark.sql("DROP TABLE graft.default.ddl_nmbs")
+  }
+
   test("graft_table_changes TVF: incremental CDC from pure SQL") {
     spark.sql("DROP TABLE IF EXISTS graft.default.ddl_cdc")
     spark.sql("CREATE TABLE graft.default.ddl_cdc (id BIGINT) USING graft")
