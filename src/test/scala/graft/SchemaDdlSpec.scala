@@ -318,6 +318,19 @@ class SchemaDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ddl_nmbs")
   }
 
+  test("maintenance parser never hijacks ordinary statements") {
+    // a table literally named `history`: DESCRIBE history must reach
+    // the delegate parser (our regex requires an identifier AFTER the
+    // HISTORY keyword), and quoted literals containing keywords parse
+    // untouched
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("history")
+    val desc = spark.sql("DESCRIBE history").collect()
+    assert(desc.map(_.getString(0)).contains("id"))
+    assert(spark.sql("SELECT 'OPTIMIZE t' AS s").as[String].head() == "OPTIMIZE t")
+    assert(spark.sql("SELECT 1 AS vacuum").columns.toSeq == Seq("vacuum"))
+    spark.catalog.dropTempView("history")
+  }
+
   test("graft_table_changes TVF: incremental CDC from pure SQL") {
     spark.sql("DROP TABLE IF EXISTS graft.default.ddl_cdc")
     spark.sql("CREATE TABLE graft.default.ddl_cdc (id BIGINT) USING graft")
