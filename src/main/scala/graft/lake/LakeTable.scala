@@ -1095,9 +1095,6 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     toCompact.size
   }
 
-  /** Deletes unreferenced data files (VACUUM, retention ignored —
-    * local dev semantics).
-    */
   /** Files.walk fully drained with the stream CLOSED (a bare walk
     * leaks a descriptor per call until GC).
     */
@@ -1106,13 +1103,21 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  def vacuum(): Int = {
+  /** Deletes data files unreferenced by the current snapshot (VACUUM).
+    * `retainMillis` keeps unreferenced files younger than the window
+    * (by mtime) — Delta's `RETAIN n HOURS` guard for readers still
+    * holding a just-superseded version; 0 deletes immediately (local
+    * dev semantics).
+    */
+  def vacuum(retainMillis: Long = 0L): Int = {
     val live = snapshot(path).files.map(f => resolvePath(path, f.path).normalize).toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
     var removed = 0
     walkClosed(path)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filterNot(p => p.startsWith(logDir(path)))
       .filterNot(p => live.contains(p.normalize))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach { p => Files.delete(p); removed += 1 }
     removed
   }

@@ -34,11 +34,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       GraftUpdateCommand(t.tablePath.toString, assignments,
         condition.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
 
+    // WITH SCHEMA EVOLUTION needs no handling here: GraftTableV2
+    // advertises AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
+    // ResolveMergeIntoSchemaEvolution has already widened the table
+    // (catalog alterTable) and re-resolved the clauses against the new
+    // schema by the time this rule sees the resolved MergeIntoTable.
     case m: MergeIntoTable if m.resolved && GraftRel.unapply(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution)
-        throw UserException(
-          "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
-            "ALTER TABLE ADD COLUMN first")
       val t = GraftRel.unapply(m.targetTable).get
       GraftMergeCommand(t.tablePath.toString, m.targetTable.output,
         m.sourceTable, m.mergeCondition,

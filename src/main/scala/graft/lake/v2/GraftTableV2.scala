@@ -50,12 +50,23 @@ final class GraftTableV2(spark: SparkSession, val tablePath: Path, ident: String
   override def properties(): java.util.Map[String, String] =
     snap.metadata.configuration.asJava
 
+  /** `AUTOMATIC_SCHEMA_EVOLUTION` opts into Spark's own
+    * `ResolveMergeIntoSchemaEvolution`: `MERGE WITH SCHEMA EVOLUTION`
+    * computes the new-column `TableChange`s at analysis time and routes
+    * them through `GraftCatalog.alterTable` (→ `LakeTable
+    * .alterAddColumn`, a metadata-only commit) before clause
+    * resolution — the same write-path evolution `schema_mode="merge"`
+    * gives every reference write (component.py:97,109), now symmetric
+    * on the SQL MERGE path. Like Delta, the widening commits even if
+    * the merge itself later fails (analysis-time DDL).
+    */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(lake, snap.schema, asOfVersion)

@@ -188,4 +188,75 @@ class RunnerSpec extends AnyFunSuite {
     assert(Actions.listTableColumns(td).map(_.label) ==
       Seq("a (INTEGER)", "b (STRING)"))
   }
+
+  test("native path as literal generated SQL: stage CREATE → COPY INTO → INSERT/MERGE → DROP") {
+    // the reference's warehouse flow emits five statement shapes
+    // (/root/reference/src/component.py:135-258); this runs the full
+    // lifecycle — an append run then an upsert run — as the LITERAL
+    // emitted text, every step spark.sql. Slices are headerless CSV
+    // basenames under one staging dir, exactly the S3 layout the
+    // generated FROM/FILES clauses address.
+    val dd = tmp()
+    val stage = dd.resolve("staging"); Files.createDirectories(stage)
+    Files.writeString(stage.resolve("slice00.csv"), "1,10.5\n2,20.25\n")
+    Files.writeString(stage.resolve("slice01.csv"), "2,99.0\n3,30.0\n")
+    val stg = "graft.default.stg_9000_repl01"
+    val dest = "graft.default.runner_copy_dest"
+    spark.sql(s"DROP TABLE IF EXISTS $dest")
+
+    def run(mode: String, files: String): Unit = {
+      // _build_query_create_stage (component.py:135-144)
+      spark.sql(s"""
+    CREATE OR REPLACE TABLE $stg (_c0 STRING, _c1 STRING);
+    """)
+      // _build_query_load_stage (component.py:150-172) — CREDENTIAL
+      // clause included verbatim; harmless for a local staging dir
+      val loaded = spark.sql(s"""
+        COPY INTO $stg
+        FROM '$stage/' WITH (
+          CREDENTIAL (AWS_ACCESS_KEY = 'AKTEST',
+                      AWS_SECRET_KEY = 'secret',
+                      AWS_SESSION_TOKEN = 'token')
+        )
+        FILEFORMAT = CSV
+        FILES = ($files)
+        FORMAT_OPTIONS (
+          'header' = 'false',
+          'inferSchema' = 'false',
+          'mergeSchema' = 'false'
+        );
+        """)
+      assert(loaded.columns.toSeq ==
+        Seq("num_affected_rows", "num_inserted_rows"))
+      assert(loaded.as[(Long, Long)].head() == ((2L, 2L)))
+      // CREATE TABLE IF NOT EXISTS … PRIMARY KEY (component.py:221-224)
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $dest (id BIGINT, amount DOUBLE , PRIMARY KEY (id)) USING graft ;""")
+      mode match {
+        case "append" => // component.py:231-236
+          spark.sql(s"""INSERT INTO $dest SELECT CAST(_c0 AS BIGINT) AS id, CAST(_c1 AS DOUBLE) AS amount FROM $stg;""")
+        case "upsert" => // component.py:249-258
+          spark.sql(s"""
+                MERGE INTO $dest AS target
+                USING $stg AS source
+                ON target.id = CAST(source._c0 AS BIGINT)
+                WHEN MATCHED THEN
+                  UPDATE SET target.id = CAST(source._c0 AS BIGINT), target.amount = CAST(source._c1 AS DOUBLE)
+                WHEN NOT MATCHED THEN
+                  INSERT (id, amount)
+                  VALUES (CAST(source._c0 AS BIGINT), CAST(source._c1 AS DOUBLE));
+                """)
+      }
+      // _drop_stage_table (component.py:147-148)
+      spark.sql(s"DROP TABLE IF EXISTS $stg;")
+    }
+
+    run("append", "'slice00.csv'")
+    run("upsert", "'slice01.csv'")
+    val got = spark.sql(s"SELECT id, amount FROM $dest ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.5), (2L, 99.0), (3L, 30.0)))
+    // the stage is gone, not lingering
+    assert(!spark.catalog.tableExists(stg))
+    spark.sql(s"DROP TABLE $dest")
+  }
 }

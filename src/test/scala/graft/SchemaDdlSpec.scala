@@ -318,6 +318,53 @@ class SchemaDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ddl_nmbs")
   }
 
+  test("COPY INTO: malformed and unsupported shapes fail loudly") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_cpneg")
+    spark.sql("CREATE TABLE graft.default.ddl_cpneg (_c0 STRING) USING graft")
+    // non-CSV file formats are rejected (the reference only emits CSV)
+    val e1 = intercept[graft.core.UserException](spark.sql(
+      "COPY INTO graft.default.ddl_cpneg FROM '/tmp/nowhere/' FILEFORMAT = PARQUET"))
+    assert(e1.getMessage.contains("FILEFORMAT = CSV"))
+    // inference would bypass the authoritative stage schema
+    val e2 = intercept[graft.core.UserException](spark.sql(
+      """COPY INTO graft.default.ddl_cpneg FROM '/tmp/nowhere/'
+         FILEFORMAT = CSV FORMAT_OPTIONS ('inferSchema' = 'true')"""))
+    assert(e2.getMessage.contains("inferSchema"))
+    // a missing target is a user error, not a silent create
+    val e3 = intercept[graft.core.UserException](spark.sql(
+      "COPY INTO graft.default.ddl_cp_missing FROM '/tmp/nowhere/' FILEFORMAT = CSV"))
+    assert(e3.getMessage.contains("does not exist"))
+    // text that misses the shape (no FROM) falls through to the
+    // delegate parser and dies there as a syntax error
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("COPY INTO graft.default.ddl_cpneg FILEFORMAT = CSV"))
+    spark.sql("DROP TABLE graft.default.ddl_cpneg")
+  }
+
+  test("VACUUM RETAIN keeps young unreferenced files; maintenance on non-graft names delegates") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_retain")
+    spark.sql("CREATE TABLE graft.default.ddl_retain (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.default.ddl_retain VALUES (1)")
+    spark.sql("INSERT OVERWRITE graft.default.ddl_retain VALUES (2)")
+    // the overwritten file is unreferenced but younger than the window
+    assert(spark.sql("VACUUM graft.default.ddl_retain RETAIN 168 HOURS")
+      .as[Long].head() == 0L)
+    // zero retention deletes it (the Delta-default shape still parses)
+    assert(spark.sql("VACUUM graft.default.ddl_retain RETAIN 0 HOURS")
+      .as[Long].head() >= 1L)
+    assert(spark.sql("SELECT id FROM graft.default.ddl_retain")
+      .as[Long].head() == 2L)
+    spark.sql("DROP TABLE graft.default.ddl_retain")
+    // a maintenance-shaped statement whose identifier does NOT address
+    // a graft catalog is not claimed: the delegate parser (which has no
+    // VACUUM/OPTIMIZE grammar) raises a parse error instead of our
+    // runtime "requires a graft catalog table"
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("OPTIMIZE spark_catalog.default.not_ours"))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("VACUUM not_ours RETAIN 168 HOURS"))
+  }
+
   test("maintenance parser never hijacks ordinary statements") {
     // a table literally named `history`: DESCRIBE history must reach
     // the delegate parser (our regex requires an identifier AFTER the
@@ -379,18 +426,40 @@ class SchemaDdlSpec extends AnyFunSuite {
     // source n=3 → kept as-is, 4 → conditioned NMBS update, 5 → insert
     assert(got == Seq((1L, "a2", 1L), (3L, "c", 3L),
       (4L, "untouched", 4L), (5L, "e", 0L)))
-    // WITH SCHEMA EVOLUTION is an explicit error, not silent drift.
-    // (A same-schema source resolves, so OUR guard fires; a source
-    // with genuinely new columns never resolves and Spark's own
-    // analyzer rejects it upstream — both fail loudly.)
-    val e = intercept[graft.core.UserException](spark.sql("""
-      MERGE WITH SCHEMA EVOLUTION INTO graft.default.ddl_sql2 AS t
-      USING (SELECT 1 AS id, 'x' AS v, 9 AS n) AS s
+    spark.sql("DROP TABLE graft.default.ddl_sql2")
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds source-only columns") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_sqlev")
+    spark.sql("""CREATE TABLE graft.default.ddl_sqlev
+      (id BIGINT, v STRING) USING graft""")
+    spark.sql("INSERT INTO graft.default.ddl_sqlev VALUES (1, 'a'), (2, 'b')")
+    // source carries a column the target lacks; WITH SCHEMA EVOLUTION
+    // widens the table (nulls for pre-existing rows) before the clauses
+    // bind — same semantics as the write path's mergeSchema append
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO graft.default.ddl_sqlev AS t
+      USING (SELECT * FROM VALUES (2L, 'b2', 20L), (3L, 'c', 30L) AS s(id, v, extra)) AS s
       ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val got = spark.sql(
+      "SELECT id, v, extra FROM graft.default.ddl_sqlev ORDER BY id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got == Seq((1L, "a", None), (2L, "b2", Some(20L)), (3L, "c", Some(30L))))
+    // WITHOUT the keyword the same merge must NOT silently evolve:
+    // Spark refuses the unresolvable source-only column upstream
+    intercept[Exception](spark.sql("""
+      MERGE INTO graft.default.ddl_sqlev AS t
+      USING (SELECT 4L AS id, 'd' AS v, 40L AS extra2) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
     """))
-    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
-    spark.sql("DROP TABLE graft.default.ddl_sql2")
+    assert(!spark.table("graft.default.ddl_sqlev").columns.contains("extra2"))
+    spark.sql("DROP TABLE graft.default.ddl_sqlev")
   }
 
   test("SQL CHECK constraints on catalog tables are enforced on write") {
