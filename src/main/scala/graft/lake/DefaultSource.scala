@@ -72,7 +72,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       schema: Option[org.apache.spark.sql.types.StructType],
       providerName: String,
       parameters: Map[String, String]): (String, org.apache.spark.sql.types.StructType) =
-    graft.streaming.GraftStreamSource.sourceSchema(parameters)
+    graft.streaming.GraftStreamSource.sourceSchema(parameters, schema)
 
   override def createSource(
       sqlContext: org.apache.spark.sql.SQLContext,
@@ -80,7 +80,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       schema: Option[org.apache.spark.sql.types.StructType],
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    graft.streaming.GraftStreamSource.createSource(sqlContext, parameters)
+    graft.streaming.GraftStreamSource.createSource(sqlContext, parameters, schema)
 
   override def shortName(): String = "graft"
 

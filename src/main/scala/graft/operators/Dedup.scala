@@ -92,6 +92,18 @@ object Dedup {
     * EITHER engine, supporting k up to 64). Computed map-only by the
     * compiled kernel (see perRowSignatures): no explode, no shuffle —
     * shingles never leave their scan task.
+    *
+    * Id contract: emits exactly ONE signature row PER INPUT ROW — ids
+    * are expected unique (document ids are). A duplicated id yields
+    * one row per duplicate, NOT a merged union signature; callers
+    * with coarse/repeating keys must use [[minhashSignaturesByKey]],
+    * which merges by elementwise min. The contract is deliberately
+    * not asserted: an eager uniqueness check is a full extra
+    * shuffle-and-scan job over the corpus (~16 B × rows at 100 TB
+    * scale), which Spark's own key-contracted APIs never spend either;
+    * downstream, bandingPairs array_distincts bucket ids so duplicate
+    * ids can never emit (x,x) self-pairs (OperatorSpec pins both
+    * behaviors).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     perRowSignatures(docs, idCol, textCol, k).withColumnRenamed(idCol, "id")
@@ -414,12 +426,24 @@ object Dedup {
     * (ReuseExchange dedups the two identical broadcast subplans), and
     * compute each pair's intersection with `array_intersect` on the
     * two arrays — ZERO shuffles, no eager materialization, one
-    * map-side pass over the pairs. Counts are identical to the
-    * exploded plan (both intersect the distinct element sets).
+    * map-side pass over the pairs.
+    *
+    * Collision fine print: the two plans agree exactly unless two
+    * DISTINCT grams of one document collide to the same 60-bit hash
+    * (probability ≈ |doc grams|²·2⁻⁶¹ per doc). `array_intersect`
+    * dedups element values, so this plan counts a collided hash once;
+    * the exploded plan keeps the duplicate rows, counting it with
+    * multiplicity (and its intersection equi-join fans out on it).
+    * Neither is "exact gram counts" under a collision — hashing set
+    * membership is collision-bounded by construction — so the
+    * divergence is collision-level noise, not a semantics difference
+    * (OperatorSpec asserts plan equality on real corpora).
     *
     * Use `setOverlap` (the exploded-hash plan) when the pair set is
     * beyond broadcast size — its shuffle is bounded by set
     * cardinality × 16 B and never materializes an array per pair.
+    * `shingleOverlap`/`charNgramOverlap` auto-select by pair count
+    * ([[CompactVerifyMaxPairs]]).
     */
   def setOverlapCompact(sets: DataFrame, pairs: DataFrame): DataFrame = {
     // no .distinct() — the left-semi probe dedups, and skipping it
@@ -443,18 +467,22 @@ object Dedup {
     * its 60-bit digest — choose it when elements are short and fixed
     * (char n-grams): less CPU, exact equality, same shuffle width.
     */
-  def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame = {
+  def setOverlap(sets: DataFrame, pairs: DataFrame, hashElements: Boolean = true): DataFrame =
     // pairs feeds five subplans (the id prune, both hash-join sides,
-    // and the count joins) and the exploded-hash table feeds three —
-    // without sharing, each consumer recomputes its input from scratch
-    // (the analyzer's attribute dedup defeats ReuseExchange — same
-    // story as the LSH signatures). Both are shared via eager
-    // materialization with a lineage cut rather than Dataset.cache():
-    // checkpointed blocks are reclaimed by the ContextCleaner when the
-    // returned frame is dropped, so there is no CacheManager entry to
-    // own, no unpersist obligation, and the RESULT can stay lazy — the
-    // caller's single consumption is the only pass over it.
-    val p = materialize(pairs)
+    // and the count joins) — shared via eager materialization with a
+    // lineage cut rather than Dataset.cache(): checkpointed blocks are
+    // reclaimed by the ContextCleaner when the returned frame is
+    // dropped, so there is no CacheManager entry to own, no unpersist
+    // obligation, and the RESULT can stay lazy — the caller's single
+    // consumption is the only pass over it.
+    setOverlapOn(sets, materialize(pairs), hashElements)
+
+  /** setOverlap over an ALREADY-materialized pair frame (the exploded
+    * -hash table still materializes here: it feeds three subplans, and
+    * the analyzer's attribute dedup defeats ReuseExchange — same story
+    * as the LSH signatures).
+    */
+  private def setOverlapOn(sets: DataFrame, p: DataFrame, hashElements: Boolean): DataFrame = {
     // Only ids that appear in some pair matter — semi-join the element
     // sets against them before exploding, so a sparse pair sample over
     // a huge corpus never explodes (or materializes) the whole corpus.
@@ -464,6 +492,32 @@ object Dedup {
     val ex = materialize(
       explodedHashes(sets.join(ids, Seq("id"), "left_semi"), hashElements))
     setOverlapPlan(ex, p)
+  }
+
+  /** Pair-count ceiling for the broadcast verify path. Past it the
+    * compact plan's broadcast (the pruned per-doc element arrays for
+    * up to 2·|pairs| ids, ~KBs per doc) stops being "small": 2¹⁶ pairs
+    * ≈ 130k docs ≈ low hundreds of MB — comfortably broadcastable;
+    * 2²⁰ pairs would be multi-GB against driver memory and the 8 GB
+    * broadcast hard cap. Beyond the ceiling the exploded-hash plan
+    * streams the same verification through bounded shuffles.
+    */
+  val CompactVerifyMaxPairs: Long = 1L << 16
+
+  /** Verification-plan selection shared by shingleOverlap /
+    * charNgramOverlap: the pair frame is materialized once (it feeds
+    * 3–5 subplans in EITHER plan, so the lineage cut pays for itself)
+    * and its now-cheap count picks the compact broadcast path only
+    * when the pairs are genuinely broadcast-sized — LSH/blocking
+    * candidate sets are, but nothing forces a caller's hand-built
+    * pair frame to be (bandingPairs alone admits buckets up to 2²⁰
+    * ids).
+    */
+  private def overlapAuto(
+      sets: DataFrame, pairs: DataFrame, compact: Boolean): DataFrame = {
+    val p = materialize(pairs)
+    if (compact && p.count() <= CompactVerifyMaxPairs) setOverlapCompact(sets, p)
+    else setOverlapOn(sets, p, hashElements = false)
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
@@ -487,10 +541,11 @@ object Dedup {
     val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"),
         graft.functions.TextKernelFunctions.shingleHashes(col("t")).as("elems"))
-    // compact: candidate pairs from LSH/blocking/sampling are tiny
-    // relative to the corpus — broadcast-verify them. Flip to the
-    // exploded plan only for pair sets beyond broadcast size.
-    if (compact) setOverlapCompact(sets, pairs)
+    // compact asks for the broadcast verify; granted only while the
+    // pair count stays broadcast-sized (overlapAuto), so an oversized
+    // candidate set degrades to the streaming exploded plan instead of
+    // blowing the driver
+    if (compact) overlapAuto(sets, pairs, compact = true)
     else setOverlap(sets, pairs, hashElements = false)
   }
 
@@ -511,7 +566,7 @@ object Dedup {
     val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"),
         graft.functions.TextKernelFunctions.charNgrams(col("t"), n).as("elems"))
-    if (compact) setOverlapCompact(sets, pairs)
+    if (compact) overlapAuto(sets, pairs, compact = true)
     else setOverlap(sets, pairs, hashElements = false)
   }
 

@@ -70,15 +70,44 @@ class GraftStreamSource(sqlContext: SQLContext, tablePath: Path) extends Source 
 object GraftStreamSource {
   /** Provider hooks shared with DefaultSource (kept here so the lake
     * package stays stream-agnostic).
+    *
+    * `userSchema` is `readStream.schema(...)`: the log is the one
+    * authority on a graft table's schema, so a user schema is either
+    * redundant (exact match, accepted) or wrong (rejected loudly) —
+    * the same fail-loud posture the mid-stream schema-change check
+    * takes, instead of silently discarding what the caller declared.
     */
-  def sourceSchema(parameters: Map[String, String]): (String, StructType) = {
+  def sourceSchema(
+      parameters: Map[String, String],
+      userSchema: Option[StructType]): (String, StructType) = {
     val p = pathOf(parameters)
-    ("graft", StructType(TransactionLog.snapshot(p).schema.fields :+
-      StructField("_commit_version", LongType, nullable = false)))
+    val snap = StructType(TransactionLog.snapshot(p).schema.fields :+
+      StructField("_commit_version", LongType, nullable = false))
+    userSchema.foreach { u =>
+      val got = u.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = snap.fields.map(f => (f.name, f.dataType)).toSeq
+      // _commit_version is stamped by the source; a user schema
+      // without it is compared against the table's own columns
+      val wantBare = want.dropRight(1)
+      if (got != want && got != wantBare)
+        throw graft.core.UserException(
+          s"User-specified schema (${got.map(_._1).mkString(",")}) does not " +
+            s"match the table schema of $p (${want.map(_._1).mkString(",")}); " +
+            "the graft streaming source reads the transaction log's schema — " +
+            "drop .schema(...) or make it match")
+    }
+    ("graft", snap)
   }
 
-  def createSource(sqlContext: SQLContext, parameters: Map[String, String]): Source =
+  def createSource(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      userSchema: Option[StructType]): Source = {
+    // re-validate (cheap metadata): Spark passes the user schema to
+    // both hooks, and this keeps the seam safe under direct calls too
+    sourceSchema(parameters, userSchema)
     new GraftStreamSource(sqlContext, pathOf(parameters))
+  }
 
   private def pathOf(parameters: Map[String, String]): Path =
     Paths.get(parameters.getOrElse("path",

@@ -57,6 +57,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash duplicate-id contract: one signature row per input row; banding never self-pairs") {
+    // the per-row kernel form emits exactly one row per INPUT row —
+    // duplicated ids are NOT merged (that is minhashSignaturesByKey's
+    // job); both behaviors are part of the documented contract
+    val dup = docs.unionAll(docs.where($"doc_id" === 1L))
+    val sigs = Dedup.minhashSignatures(dup, "doc_id", "text", 8)
+    assert(sigs.count() == docs.count() + 1)
+    assert(sigs.where($"id" === 1L).count() == 2)
+    // ByKey merges the duplicates back to one (elementwise-min union)
+    val merged = Dedup.minhashSignaturesByKey(dup, "doc_id", "text", 8)
+    assert(merged.where($"doc_id" === 1L).count() == 1)
+    // downstream guard: duplicate ids inside one LSH bucket are
+    // array_distinct'd away, so no (x,x) self-pair can ever emit
+    val pairs = Dedup.bandingPairs(sigs, 8, 4).as[(Long, Long)].collect()
+    assert(pairs.forall(p => p._1 != p._2))
+  }
+
+  test("overlap verification auto-degrades past CompactVerifyMaxPairs: exploded, not broadcast") {
+    // 500 docs → 124,750 ordered pairs > 2^16: the compact request is
+    // overruled and the streaming exploded-hash plan (with its bounded
+    // shuffles) runs instead of a multi-GB-at-scale broadcast
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val all = corpus.select($"doc_id".as("id_a"))
+      .crossJoin(corpus.select($"doc_id".as("id_b")))
+      .where($"id_a" < $"id_b")
+    val out = Dedup.shingleOverlap(corpus, "doc_id", "text", all)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange") || plan.contains("Shuffle"),
+      "oversized pair set must take the exploded plan")
+    // and it still verifies correctly (spot-check a known total)
+    assert(out.count() == 124750L)
+  }
+
   test("lshCandidatePairs owns its cache: CacheManager empty after the call") {
     spark.sharedState.cacheManager.clearCache()
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)

@@ -98,6 +98,29 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the post-restart append in the new versions, got $resumedIds")
   }
 
+  test("lake streaming source rejects a mismatched user schema, accepts an exact one") {
+    val root = Files.createTempDirectory("graft-stream-schema")
+    val lakeDir = root.resolve("lk")
+    new LakeTable(spark, lakeDir)
+      .write(spark.range(0, 3).select($"id", lit("a").as("v")).toDF(), mode = "append")
+    // a schema that contradicts the log must fail loudly, not be
+    // silently discarded for the snapshot schema
+    val e = intercept[graft.core.UserException] {
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wrong",
+            org.apache.spark.sql.types.LongType))))
+        .format("graft").load(lakeDir.toString)
+    }
+    assert(e.getMessage.contains("does not match the table schema"))
+    // the exact table schema (sans the source-stamped _commit_version)
+    // is redundant but legal
+    val tableSchema = new LakeTable(spark, lakeDir).read().schema
+    val ok = spark.readStream.schema(tableSchema)
+      .format("graft").load(lakeDir.toString)
+    assert(ok.columns.contains("_commit_version"))
+  }
+
   test("watermarked windowed aggregation over a memory sink") {
     val root = Files.createTempDirectory("graft-stream-w")
     val in = root.resolve("in"); Files.createDirectories(in)
