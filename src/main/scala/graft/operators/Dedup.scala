@@ -25,21 +25,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Below this optimizer size estimate, rebalance is a net LOSS: the
+    * exchange's fixed cost (~0.4 s measured at local[32]) exceeds the
+    * whole serial kernel pass (the compiled text kernels chew ~25 MB/s
+    * of stats-bytes per core, so ≤1 MB serializes in ≲0.15 s).
+    * Measured at sf0.1 (5k docs, 0.25 MB stats): signatures 0.54 s
+    * rebalanced vs 0.14 s serial; the full LSH pipeline 2.5× faster
+    * without the exchange.
+    */
+  private[operators] val RebalanceMinBytes: Long = 1L << 20
+
   /** Rebalances a narrow input ahead of a CPU-heavy map stage. A
     * small table often scans as ONE partition (a single parquet row
     * group cannot be split), which would serialize the per-shingle
     * hashing on one core no matter how many the session has. When the
-    * scan's parallelism is far below the session default, pay one
-    * shuffle of the raw rows to unlock it; on a real multi-file table
-    * (100 TB: thousands of scan partitions) the condition is false and
-    * this is a no-op — no extra shuffle at scale.
+    * scan's parallelism is far below the session default AND the input
+    * is big enough for the exchange to pay for itself
+    * ([[RebalanceMinBytes]]), pay one shuffle of the raw rows to
+    * unlock it; on a real multi-file table (100 TB: thousands of scan
+    * partitions) the partition condition is false and this is a
+    * no-op — no extra shuffle at scale. Unknown/huge size estimates
+    * (in-memory frames report conservatively large) fail open into
+    * the rebalance, the safe direction.
     */
   private[operators] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= RebalanceMinBytes) df
     // queryExecution.toRdd reuses the frame's own physical planning
     // (`.rdd` would plan a SECOND copy with row conversion — measurable
     // driver time on wide plans, and the planning work is discarded)
-    if (df.queryExecution.toRdd.getNumPartitions * 4 < target) df.repartition(target) else df
+    else if (df.queryExecution.toRdd.getNumPartitions * 4 < target) df.repartition(target)
+    else df
   }
 
   /** Eager materialization with a lineage cut. Reliable checkpoint
