@@ -813,8 +813,13 @@ object Queries {
              |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
-    // mergeable sketch distinct (approximate ⇒ rows-only check; the
-    // ±2% accuracy contract is spec-tested against exact counts)
+    // PERMANENTLY rows-only (like q52/q58): the result column is a
+    // DataSketches Theta binary, and DuckDB cannot replay DataSketches'
+    // internal hashing/sampling to reproduce the bytes — no SQL
+    // restatement exists even in principle. The correctness proof
+    // lives elsewhere: OperatorSpec pins the ±2% accuracy
+    // contract against exact counts and the union-mergeability law
+    // (OperatorSpec's theta cases), and ExtensionsCheck proves the pure-SQL path in a forked JVM.
     "q40_theta_distinct" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
@@ -981,9 +986,10 @@ object Queries {
 
     // incremental-distinct maintenance shape: per-day theta sketches
     // (the storable summary an ingest job appends) unioned per event
-    // type — distinct users over any slice without rescanning raw data
-    // (approximate ⇒ rows-only; accuracy and mergeability are
-    // spec-tested against exact counts)
+    // type — distinct users over any slice without rescanning raw data.
+    // PERMANENTLY rows-only (see q40): DataSketches binaries cannot be
+    // replayed by DuckDB; accuracy and mergeability are spec-tested
+    // against exact counts (OperatorSpec's theta cases)
     "q52_sketch_rollup" -> QueryDef(
       (s, d) => {
         val ev = tbl(s, d, "events")
@@ -1000,8 +1006,10 @@ object Queries {
 
     // mergeable quantile maintenance: per-day KLL sketches rolled up
     // per event type — any quantile over any slice from KB summaries,
-    // no raw-data rescan (approximate ⇒ rows-only; rank accuracy and
-    // mergeability are spec-tested against exact quantiles)
+    // no raw-data rescan. PERMANENTLY rows-only (see q40): KLL's
+    // random compaction state cannot be replayed by DuckDB; rank
+    // accuracy and mergeability are spec-tested against exact
+    // quantiles (OperatorSpec's KLL cases)
     "q58_kll_rollup" -> QueryDef(
       (s, d) => {
         val ev = tbl(s, d, "events")
