@@ -209,4 +209,90 @@ class PropertySpec extends AnyFunSuite {
         "gram hashes")
     }
   }
+
+  test("concurrent writers: racing appenders + compactor lose no rows, log stays linear") {
+    // The OCC design under real thread interleaving: N appenders
+    // optimistically retry into successive versions while a compactor
+    // repeatedly rewrites from pinned snapshots (losing compactions
+    // surface as ConcurrentModificationException and retry). The log
+    // must come out linear — contiguous versions, every historical
+    // snapshot readable — and the final table must hold EXACTLY the
+    // union of the appended batches: no lost rows, no duplicates.
+    import graft.lake.{LakeTable, TransactionLog}
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").resolve("t")
+    val lake = new LakeTable(spark, dir)
+    // CREATE first (version 0), like every real flow: a concurrent
+    // first-commit is a metadata race and fails loudly BY DESIGN
+    // (the "created concurrently" guard) — only appends onto an
+    // existing table are retryable
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, writer STRING) USING graft")
+
+    val writers = 4
+    val batches = 4
+    val rowsPerBatch = 10
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try {
+            (0 until batches).foreach { b =>
+              val base = (w * batches + b) * rowsPerBatch
+              lake.write(
+                spark.range(base, base + rowsPerBatch)
+                  .selectExpr("id", s"'w$w' AS writer").toDF(),
+                mode = "append")
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try {
+          var compactions = 0
+          var attempts = 0
+          // keep compacting while the appenders churn; a lost race is
+          // the EXPECTED loud outcome, retried like a real maintenance
+          // job would
+          while (compactions < 3 && attempts < 60) {
+            attempts += 1
+            try {
+              if (TransactionLog.tableExists(dir) && lake.compact(minFilesPerPartition = 2) > 0)
+                compactions += 1
+            } catch { case _: java.util.ConcurrentModificationException => () }
+            Thread.sleep(20)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writer race timed out")
+    assert(failures.isEmpty, s"unexpected writer failure: ${failures.peek()}")
+
+    // no lost rows, no duplicates: exactly the union of all batches
+    val got = lake.read().select("id").as[Long].collect().sorted.toSeq
+    val want = (0L until (writers * batches * rowsPerBatch).toLong)
+    assert(got == want, s"expected ${want.size} distinct rows, got ${got.size}")
+
+    // log linearizability: versions contiguous from 0, every snapshot
+    // readable, and row counts never decrease across appends (compaction
+    // preserves count)
+    val hist = TransactionLog.history(dir).sortBy(_.version)
+    assert(hist.map(_.version) == (0L until hist.size.toLong))
+    var prevCount = -1L
+    hist.foreach { ci =>
+      val n = lake.read(versionAsOf = ci.version).count()
+      assert(n >= prevCount,
+        s"row count shrank at version ${ci.version}: $prevCount -> $n")
+      prevCount = n
+    }
+    assert(prevCount == want.size.toLong)
+  }
 }
