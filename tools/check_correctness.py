@@ -12,9 +12,21 @@ Python repr() collapses (DuckDB SUM(BIGINT) -> HUGEINT/int128 vs
 Spark's int64 — the r1-q03 / r2-q53 failure class), so we compare the
 DuckDB-declared column types of both relations and fail on any
 physical-type divergence, making local green as strong as driver green.
+
+Results above FAST_ROWS rows are compared by an order-insensitive
+multiset digest computed inside DuckDB (count + sum + xor of per-row
+hashes over a canonical VARCHAR encoding) instead of fetchall + Python
+sort: at sf1 a 6M-row query costs seconds this way versus the better
+part of an hour materializing and sorting tuples in Python. Both sides
+of the digest go through the same DuckDB cast, and column types were
+already proven identical, so equal digests mean equal multisets up to
+64-bit hash collisions — fine for a local stand-in. Small results keep
+the exact Python path for its first-differing-row diagnostics.
 """
 import sys, os, json, glob
 import duckdb
+
+FAST_ROWS = 100_000
 
 def canon(rows, ncols):
     def norm(v):
@@ -22,6 +34,13 @@ def canon(rows, ncols):
             return repr(v)
         return repr(v)
     return sorted(tuple(norm(v) for v in r) for r in rows)
+
+def digest(con, view, cols):
+    sel = ', '.join(f'COALESCE(CAST("{c}" AS VARCHAR), chr(1))' for c in cols)
+    row = f"hash(concat_ws(chr(2), {sel}))"
+    return con.sql(
+        f"SELECT count(*), sum({row}::HUGEINT), bit_xor({row}) FROM {view}"
+    ).fetchone()
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -39,18 +58,17 @@ def main(sf_dir, out_dir):
         sel = ', '.join(f'"{c}"' for c in spark_cols)
         spark_sorted = con.sql(f"SELECT {sel} FROM spark_rel")
         spark_types = [str(t) for t in spark_sorted.types]
-        spark_rows = spark_sorted.fetchall()
+        n_spark = con.sql("SELECT count(*) FROM spark_sorted").fetchone()[0]
         if q not in oracle:
-            results[q] = f"NO-ORACLE rows={len(spark_rows)}"
+            results[q] = f"NO-ORACLE rows={n_spark}"
             continue
         try:
             ora_rel = con.sql(oracle[q])
             ora_cols = sorted(ora_rel.columns)
-            con.register('ora_view', ora_rel)
             osel = ', '.join(f'"{c}"' for c in ora_cols)
             ora_sorted = con.sql(f"SELECT {osel} FROM ora_rel")
             ora_types = [str(t) for t in ora_sorted.types]
-            ora_rows = ora_sorted.fetchall()
+            n_ora = con.sql("SELECT count(*) FROM ora_sorted").fetchone()[0]
         except Exception as e:
             results[q] = f"ORACLE-ERROR {str(e)[:160]}"
             continue
@@ -61,10 +79,20 @@ def main(sf_dir, out_dir):
             bad = [(c, s, o) for c, s, o in zip(spark_cols, spark_types, ora_types) if s != o]
             results[q] = f"TYPES-MISMATCH {bad}"
             continue
-        a, b = canon(spark_rows, len(spark_cols)), canon(ora_rows, len(ora_cols))
-        if len(a) != len(b):
-            results[q] = f"ROWCOUNT spark={len(a)} oracle={len(b)}"
-        elif a != b:
+        if n_spark != n_ora:
+            results[q] = f"ROWCOUNT spark={n_spark} oracle={n_ora}"
+            continue
+        if n_spark > FAST_ROWS:
+            con.register('spark_view', spark_sorted)
+            con.register('ora_view', ora_sorted)
+            if digest(con, 'spark_view', spark_cols) == digest(con, 'ora_view', ora_cols):
+                results[q] = f"OK rows={n_spark} (digest)"
+            else:
+                results[q] = f"DIGEST-MISMATCH rows={n_spark}"
+            continue
+        a = canon(spark_sorted.fetchall(), len(spark_cols))
+        b = canon(ora_sorted.fetchall(), len(ora_cols))
+        if a != b:
             diff = next(i for i in range(len(a)) if a[i] != b[i])
             results[q] = f"VALUES-DIFFER at sorted row {diff}: spark={a[diff][:4]} oracle={b[diff][:4]}"
         else:
