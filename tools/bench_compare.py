@@ -8,7 +8,9 @@ running each oracle at the same scale factor is the closest thing to
   python3 tools/bench_compare.py <sfDir> <bench_json> [out_md]
 
 bench_json = the one-line JSON printed by graft.Bench at the same sfDir.
-DuckDB timings are min-of-2 (same protocol as Bench).
+DuckDB timings are min-of-2 (same protocol as Bench); set RUNS=1 for
+scale factors where the heavy oracles (all-pairs cosine, recursive
+CTEs) make a second run cost more than the extra precision is worth.
 """
 import sys, os, json, glob, time
 import duckdb
@@ -34,7 +36,7 @@ def main(sf_dir, bench_json_path, out_md=None):
             rows.append((q, st, None, None))
             continue
         times = []
-        for _ in range(2):
+        for _ in range(int(os.environ.get('RUNS', '2'))):
             t0 = time.time()
             try:
                 con.sql(oracle[q]).fetchall()
