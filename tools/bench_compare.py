@@ -12,8 +12,15 @@ DuckDB timings are min-of-2 (same protocol as Bench); set RUNS=1 for
 scale factors where the heavy oracles (all-pairs cosine, recursive
 CTEs) make a second run cost more than the extra precision is worth.
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, time, threading
 import duckdb
+
+# Per-query wall-clock cap (seconds) on the DuckDB side; 0 = no cap.
+# At sf1 a handful of oracles (all-pairs cosine, char-5-gram explode)
+# run for upwards of an hour — a capped row reports ">TIMEOUTs" and
+# the aggregate excludes it, which is the honest form of "the oracle
+# engine did not finish in competitive time at this scale".
+TIMEOUT = float(os.environ.get('TIMEOUT', '0'))
 
 def main(sf_dir, bench_json_path, out_md=None):
     bench = json.loads(open(bench_json_path).read())
@@ -33,25 +40,35 @@ def main(sf_dir, bench_json_path, out_md=None):
     for q in sorted(spark_times):
         st = spark_times[q]
         if q not in oracle:
-            rows.append((q, st, None, None))
+            rows.append((q, st, None, None, False))
             continue
         times = []
+        timed_out = False
         for _ in range(int(os.environ.get('RUNS', '2'))):
             t0 = time.time()
+            timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT else None
+            if timer:
+                timer.start()
             try:
                 con.sql(oracle[q]).fetchall()
                 times.append(time.time() - t0)
             except Exception:
+                timed_out = TIMEOUT and time.time() - t0 >= TIMEOUT
                 times.append(None)
                 break
+            finally:
+                if timer:
+                    timer.cancel()
         dt = min([t for t in times if t is not None], default=None)
-        rows.append((q, st, dt, (st / dt) if dt else None))
+        rows.append((q, st, dt, (st / dt) if dt else None, timed_out))
     lines = ["| query | spark s | duckdb s | spark/duckdb |", "|---|---|---|---|"]
     tot_s = tot_d = 0.0
-    for q, st, dt, ratio in rows:
+    for q, st, dt, ratio, timed_out in rows:
         if dt is not None:
             tot_s += st; tot_d += dt
             lines.append(f"| {q} | {st:.2f} | {dt:.2f} | {ratio:.1f}x |")
+        elif timed_out:
+            lines.append(f"| {q} | {st:.2f} | >{TIMEOUT:.0f} (capped) | <{st/TIMEOUT:.3f}x |")
         else:
             lines.append(f"| {q} | {st:.2f} | — | — |")
     lines.append(f"| **total (oracle-comparable)** | **{tot_s:.2f}** | **{tot_d:.2f}** | **{tot_s/tot_d:.1f}x** |")
