@@ -28,8 +28,11 @@ object SparkEntry {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.ansi.enabled", "false")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects;
-    // read as raw nanos (LongType) and do integer time math on it.
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across testdata generations. Spark 4 rejects
+    // NANOS outright unless read as raw-nanos LongType — keep the
+    // legacy flag so ns files stay readable; query logic adapts to
+    // whichever physical type is bound (functions.TimeFunctions).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

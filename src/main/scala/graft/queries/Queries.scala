@@ -288,11 +288,12 @@ object Queries {
     // sessionization: gap > 30 min starts a new session (lag + running sum)
     "q17_sessionize" -> QueryDef(
       (s, d) => {
-        // ts is raw nanos (LongType — see SparkEntry.configure); integer
-        // division keeps exactness (ns epoch values exceed 2^53).
-        val ev = tbl(s, d, "events")
+        // epochMs adapts to the testdata's physical ts encoding
+        // (raw-nanos LongType vs TIMESTAMP_NTZ — TimeFunctions).
+        val ev0 = tbl(s, d, "events")
+        val ev = ev0
           .select(col("user_id"), col("event_id"),
-            expr("ts DIV 1000000").as("ms"), col("value"))
+            graft.functions.TimeFunctions.epochMs(ev0).as("ms"), col("value"))
         val wo = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
         ev.withColumn("is_new",
             when(col("ms") - lag(col("ms"), 1).over(wo) > 1800000L, 1L)
@@ -344,9 +345,11 @@ object Queries {
     // as-of join: each purchase matched to the user's most recent view
     "q18_asof_join" -> QueryDef(
       (s, d) => {
-        val ev = tbl(s, d, "events").select(
+        val ev0 = tbl(s, d, "events")
+        val ev = ev0.select(
           col("user_id"), col("event_id"),
-          expr("ts DIV 1000000").as("ms"), col("event_type"), col("value"))
+          graft.functions.TimeFunctions.epochMs(ev0).as("ms"),
+          col("event_type"), col("value"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ms"))
         val views = ev.where(col("event_type") === "view")
@@ -570,8 +573,10 @@ object Queries {
     // range join: purchase paired with same-user errors within ±5 min
     "q32_range_join" -> QueryDef(
       (s, d) => {
-        val ev = tbl(s, d, "events").select(
-          col("user_id"), col("event_id"), expr("ts DIV 1000000").as("ms"),
+        val ev0 = tbl(s, d, "events")
+        val ev = ev0.select(
+          col("user_id"), col("event_id"),
+          graft.functions.TimeFunctions.epochMs(ev0).as("ms"),
           col("event_type"))
         val p = ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("pms"))
@@ -992,8 +997,9 @@ object Queries {
     // against exact counts (OperatorSpec's theta cases)
     "q52_sketch_rollup" -> QueryDef(
       (s, d) => {
-        val ev = tbl(s, d, "events")
-          .withColumn("day", to_date(col("ts")))
+        val ev0 = tbl(s, d, "events")
+        val ev = ev0
+          .withColumn("day", graft.functions.TimeFunctions.utcDay(ev0))
         val daily = ev.groupBy("event_type", "day").agg(
           graft.functions.SketchFunctions
             .thetaSketch(s, col("user_id")).as("sk"))
@@ -1012,8 +1018,9 @@ object Queries {
     // quantiles (OperatorSpec's KLL cases)
     "q58_kll_rollup" -> QueryDef(
       (s, d) => {
-        val ev = tbl(s, d, "events")
-          .withColumn("day", to_date(col("ts")))
+        val ev0 = tbl(s, d, "events")
+        val ev = ev0
+          .withColumn("day", graft.functions.TimeFunctions.utcDay(ev0))
         val daily = ev.groupBy("event_type", "day").agg(
           graft.functions.KllFunctions.kllSketch(s, col("value")).as("sk"))
         daily.groupBy("event_type").agg(

@@ -173,8 +173,9 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id").agg(max($"session_id").as("n"))
       .as[(Long, Long)].collect().toMap
     // streaming: same events through mapGroupsWithState (single batch)
-    val evs = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", expr("ts DIV 1000000").as("ms"), $"value")
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val evs = evRaw
+      .select($"user_id", graft.functions.TimeFunctions.epochMs(evRaw).as("ms"), $"value")
       .as[SessionEvent].collect()
     val mem = MemoryStream[SessionEvent]
     val q = EventStreams.sessionize(mem.toDS(), gapMs = 1800000L)

@@ -10,8 +10,9 @@ Byte-identity with the driver's generator is NOT claimed (its script is
 not in the repo); correctness at any sf stays rigorous because
 check_correctness.py replays the DuckDB oracles over the SAME generated
 input. Parquet physical types mirror the shipped files exactly
-(timestamp[ms] for orders/lineitem dates, timestamp[ns] for events.ts —
-the Spark nanosAsLong path must stay exercised).
+(timestamp[us] for orders/lineitem dates and events.ts — the current
+testdata generation; the engine also still reads the earlier
+timestamp[ns] events encoding via nanosAsLong + TimeFunctions).
 """
 import json
 import os
@@ -34,8 +35,7 @@ PART_NOUN = ["ring", "bolt", "screw", "washer", "gear", "cog", "pin", "cap"]
 PART_TYPE = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO"]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
-MS = pa.timestamp("ms")
-NS = pa.timestamp("ns")
+US = pa.timestamp("us")
 
 
 def write(outdir, name, table):
@@ -43,11 +43,11 @@ def write(outdir, name, table):
     print(f"{name:12s} {table.num_rows:>10,} rows")
 
 
-def day_ms(rng, n, start_year=1995, end_year=2001):
+def day_us(rng, n, start_year=1995, end_year=2001):
     start = np.datetime64(f"{start_year}-01-01").astype("datetime64[D]").astype(int)
     end = np.datetime64(f"{end_year}-08-01").astype("datetime64[D]").astype(int)
     days = rng.integers(start, end + 1, n)
-    return days.astype("int64") * 86_400_000
+    return days.astype("int64") * 86_400_000_000
 
 
 def main(sf, outdir):
@@ -101,7 +101,7 @@ def main(sf, outdir):
         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
         "o_orderstatus": np.array(["O", "F", "P"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000.0, 500_000.0, n_ord), 2),
-        "o_orderdate": pa.array(day_ms(rng, n_ord), MS),
+        "o_orderdate": pa.array(day_us(rng, n_ord), US),
         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]}))
 
     write(outdir, "lineitem", pa.table({
@@ -115,15 +115,15 @@ def main(sf, outdir):
         "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
         "l_returnflag": np.array(["R", "A", "N"])[rng.integers(0, 3, n_li)],
         "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": pa.array(day_ms(rng, n_li), MS)}))
+        "l_shipdate": pa.array(day_us(rng, n_li), US)}))
 
-    # events: ~30 days of monotonically increasing ns timestamps
-    gaps = rng.exponential(30 * 86_400e9 / n_ev, n_ev)
-    ts = (np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
+    # events: ~30 days of monotonically increasing us timestamps
+    gaps = rng.exponential(30 * 86_400e6 / n_ev, n_ev)
+    ts = (np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
           + np.cumsum(gaps)).astype(np.int64)
     write(outdir, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": pa.array(ts, NS),
+        "ts": pa.array(ts, US),
         "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.exponential(60.0, n_ev).clip(0, 560.21), 2),
