@@ -48,7 +48,7 @@ object Dedup {
     * (in-memory frames report conservatively large) fail open into
     * the rebalance, the safe direction.
     */
-  private[operators] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= RebalanceMinBytes) df
     // queryExecution.toRdd reuses the frame's own physical planning
@@ -610,8 +610,12 @@ object Dedup {
     val spark = emb.sparkSession
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val all = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-    probes.join(all, col("probe_id") < col("cand_id"))
+    // the corpus side streams past the broadcast probes; rebalance so
+    // a single-row-group embedding file doesn't serialize the
+    // |probes|×|corpus| cosine loop on one core (no-op at multi-split
+    // scale — see rebalance)
+    val all = rebalance(emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+    all.join(broadcast(probes), col("probe_id") < col("cand_id"))
       .where(graft.functions.VectorFunctions
         .cosine(spark, col("probe_vec"), col("cand_vec")) > threshold)
       .select(col("probe_id"), col("cand_id"))

@@ -74,11 +74,16 @@ object Scrubbing {
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
 
-  /** Per-document PII inventory + redacted digest: map-only scan, no
-    * shuffle — a scrub of 100 TB is embarrassingly parallel.
+  /** Per-document PII inventory + redacted digest: map-only, no
+    * shuffle at real scale — a scrub of 100 TB is embarrassingly
+    * parallel. Six regex passes per document are compute-dense enough
+    * that a single-row-group file must not serialize them
+    * ([[Dedup.rebalance]] — no-op on multi-split tables and byte-tiny
+    * inputs).
     */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    Dedup.rebalance(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),

@@ -40,7 +40,11 @@ object Similarity {
       k: Int): DataFrame = {
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    // rebalance: a single-row-group embedding file scans as ONE task,
+    // which would serialize the |probes|×|corpus| cosine loop on one
+    // core; no-op on multi-split tables (Dedup.rebalance)
+    val corpus = Dedup.rebalance(
+      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
     val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
@@ -120,7 +124,10 @@ object Similarity {
       slice(transform(array_sort(scored), s => s.getField("id")), 1, n)
     }
 
-    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    // rebalance before the per-row nCentroids×dims assignment dots —
+    // a single-row-group corpus file must not serialize them
+    val corpus = Dedup.rebalance(
+      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
       .withColumn("list_id", element_at(nearestLists(emb, col("cand_vec"), 1), 1))
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
@@ -146,7 +153,8 @@ object Similarity {
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
-    val cands = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val cands = Dedup.rebalance(
+      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
       .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
     val scored = cands.join(broadcast(probes), Seq("sig"))
       .where(col("probe_id") =!= col("cand_id"))

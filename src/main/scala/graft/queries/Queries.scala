@@ -272,7 +272,10 @@ object Queries {
 
     // semi-structured: JSON extraction + aggregate
     "q16_events_json" -> QueryDef(
-      (s, d) => tbl(s, d, "events")
+      // rebalance ahead of the JSON parse: per-row get_json_object is
+      // compute-dense, and a single-row-group events file would run it
+      // serially in the scan task (no-op on multi-split tables)
+      (s, d) => Dedup.rebalance(tbl(s, d, "events"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type").agg(
           count(lit(1)).as("n_events"),
