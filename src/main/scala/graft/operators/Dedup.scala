@@ -458,8 +458,8 @@ object Dedup {
     * Use `setOverlap` (the exploded-hash plan) when the pair set is
     * beyond broadcast size — its shuffle is bounded by set
     * cardinality × 16 B and never materializes an array per pair.
-    * `shingleOverlap`/`charNgramOverlap` auto-select by pair count
-    * ([[CompactVerifyMaxPairs]]).
+    * `shingleOverlap`/`charNgramOverlap` auto-select by the pairs'
+    * distinct-id count ([[CompactVerifyMaxIds]]).
     */
   def setOverlapCompact(sets: DataFrame, pairs: DataFrame): DataFrame = {
     // no .distinct() — the left-semi probe dedups, and skipping it
@@ -510,29 +510,41 @@ object Dedup {
     setOverlapPlan(ex, p)
   }
 
-  /** Pair-count ceiling for the broadcast verify path. Past it the
-    * compact plan's broadcast (the pruned per-doc element arrays for
-    * up to 2·|pairs| ids, ~KBs per doc) stops being "small": 2¹⁶ pairs
-    * ≈ 130k docs ≈ low hundreds of MB — comfortably broadcastable;
-    * 2²⁰ pairs would be multi-GB against driver memory and the 8 GB
-    * broadcast hard cap. Beyond the ceiling the exploded-hash plan
-    * streams the same verification through bounded shuffles.
+  /** Distinct-id ceiling for the broadcast verify path. What the
+    * compact plan broadcasts is the pruned per-doc element arrays, so
+    * its size is driven by how many DISTINCT ids the pairs touch —
+    * NOT by the pair count: a cross-join-shaped pair sample reuses a
+    * few hundred ids across hundreds of thousands of pairs and is
+    * still trivially broadcastable. 2¹⁷ ids ≈ 130k docs ≈ low
+    * hundreds of MB — comfortable (the same worst case the previous
+    * 2¹⁶-pair gate admitted at 2 ids/pair); past it the broadcast
+    * heads for driver memory and the 8 GB hard cap, and the
+    * exploded-hash plan streams the same verification through
+    * bounded shuffles instead.
     */
-  val CompactVerifyMaxPairs: Long = 1L << 16
+  val CompactVerifyMaxIds: Long = 1L << 17
 
   /** Verification-plan selection shared by shingleOverlap /
     * charNgramOverlap: the pair frame is materialized once (it feeds
-    * 3–5 subplans in EITHER plan, so the lineage cut pays for itself)
-    * and its now-cheap count picks the compact broadcast path only
-    * when the pairs are genuinely broadcast-sized — LSH/blocking
-    * candidate sets are, but nothing forces a caller's hand-built
+    * 3–5 subplans in EITHER plan, so the lineage cut pays for itself),
+    * a cheap distinct-count over its two id columns sizes the
+    * would-be broadcast, and the compact path runs only when that is
+    * genuinely broadcast-sized — LSH/blocking candidate sets and
+    * cross-join samples are; nothing forces a caller's hand-built
     * pair frame to be (bandingPairs alone admits buckets up to 2²⁰
-    * ids).
+    * ids). The pair frame is rebalanced into the compact plan: its
+    * per-pair array_intersect is the compute-dense stage, and a pair
+    * frame built from single-split inputs would otherwise run it on
+    * one core (no-op on already-parallel pair frames).
     */
   private def overlapAuto(
       sets: DataFrame, pairs: DataFrame, compact: Boolean): DataFrame = {
     val p = materialize(pairs)
-    if (compact && p.count() <= CompactVerifyMaxPairs) setOverlapCompact(sets, p)
+    val nIds = if (compact)
+      p.select(col("id_a").as("id"))
+        .union(p.select(col("id_b").as("id"))).distinct().count()
+    else Long.MaxValue
+    if (compact && nIds <= CompactVerifyMaxIds) setOverlapCompact(sets, rebalance(p))
     else setOverlapOn(sets, p, hashElements = false)
   }
 

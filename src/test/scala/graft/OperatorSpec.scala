@@ -74,20 +74,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 != p._2))
   }
 
-  test("overlap verification auto-degrades past CompactVerifyMaxPairs: exploded, not broadcast") {
-    // 500 docs → 124,750 ordered pairs > 2^16: the compact request is
-    // overruled and the streaming exploded-hash plan (with its bounded
-    // shuffles) runs instead of a multi-GB-at-scale broadcast
+  test("overlap verification gates on DISTINCT ids, not pair count") {
+    // 500 docs → 124,750 ordered pairs but only 500 distinct ids: the
+    // would-be broadcast (500 pruned element arrays) is tiny, so the
+    // compact exchange-free plan must run — the pair COUNT alone is
+    // not what sizes the broadcast
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val all = corpus.select($"doc_id".as("id_a"))
       .crossJoin(corpus.select($"doc_id".as("id_b")))
       .where($"id_a" < $"id_b")
     val out = Dedup.shingleOverlap(corpus, "doc_id", "text", all)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange") || plan.contains("Shuffle"),
-      "oversized pair set must take the exploded plan")
+    assert(out.queryExecution.executedPlan.toString.contains("array_intersect"),
+      "broadcast-sized id set must take the compact plan regardless of pair count")
     // and it still verifies correctly (spot-check a known total)
     assert(out.count() == 124750L)
+  }
+
+  test("overlap verification auto-degrades past CompactVerifyMaxIds: exploded, not broadcast") {
+    // >2^17 distinct ids touched by the pairs: broadcasting that many
+    // per-doc element arrays would be multi-GB at real document sizes,
+    // so the compact request is overruled and the streaming
+    // exploded-hash plan (with its bounded shuffles) runs instead
+    val n = (Dedup.CompactVerifyMaxIds / 2 + 8).toInt
+    val synth = spark.range(n.toLong * 2).select(
+      $"id", concat(lit("synthetic words for doc "), $"id", lit(" end")).as("text"))
+    val pairs = spark.range(n.toLong)
+      .select($"id".as("id_a"), ($"id" + n.toLong).as("id_b"))
+    val out = Dedup.shingleOverlap(synth, "id", "text", pairs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_intersect"),
+      "oversized id set must take the exploded plan, not the broadcast-array one")
+    assert(plan.contains("Exchange"), "exploded plan shuffles hashes")
   }
 
   test("lshCandidatePairs owns its cache: CacheManager empty after the call") {
