@@ -195,6 +195,64 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** The five q27 text statistics in one split + one code-point scan —
+    * the compiled form of the five-expression HOF/regex projection in
+    * graft.queries (which stays there as the executable spec;
+    * OperatorSpec + PropertySpec assert agreement):
+    *
+    *   n_words      = size(split(text, "\\s+"))
+    *   n_uniq       = size(array_distinct(split(text, "\\s+")))
+    *   n_tokens     = regex matches of [a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]
+    *   n_punct      = regex matches of [^a-zA-Z0-9\s]
+    *   longest_word = array_max(transform(words, length))  (code points)
+    *
+    * The token/punct regexes are pure character classes, so the scan
+    * reproduces them exactly: a token is a maximal same-class
+    * [a-z]/[A-Z]/[0-9] run or one non-space-non-alnum code POINT
+    * (Java regex matches classes per code point — a surrogate pair is
+    * ONE punct), and \s is Java's ASCII [ \t\n\x0B\f\r].
+    */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val words = s.split("\\s+", -1)
+    val uniq = new java.util.HashSet[String]()
+    var longest = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      uniq.add(w)
+      val cp = w.codePointCount(0, w.length).toLong
+      if (cp > longest) longest = cp
+      wi += 1
+    }
+    var nTokens = 0L
+    var nPunct = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        nTokens += 1; i += 1
+        while (i < len && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
+      } else if (c >= 'A' && c <= 'Z') {
+        nTokens += 1; i += 1
+        while (i < len && s.charAt(i) >= 'A' && s.charAt(i) <= 'Z') i += 1
+      } else if (c >= '0' && c <= '9') {
+        nTokens += 1; i += 1
+        while (i < len && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        nTokens += 1; nPunct += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words.length.toLong, uniq.size.toLong, nTokens, nPunct, longest))
+  }
+
   /** 32-bit SimHash: per word, the 32-bit value is the first 8 md5
     * hex chars (= first 4 digest bytes); sketch bit i is set iff
     * 2·(count of words with bit i set) > word count — the Σ±1 > 0
@@ -311,6 +369,21 @@ case class WordTfExpr(child: Expression) extends TextKernelExpr {
     copy(child = newChild)
 }
 
+/** `TextStatsExpr(text)` →
+  * struct<n_words,n_uniq,n_tokens,n_punct,longest_word>. */
+case class TextStatsExpr(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "n_uniq", "n_tokens", "n_punct", "longest_word").map(
+      org.apache.spark.sql.types.StructField(_, LongType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
 /** `SimHashExpr(text)` → long 32-bit simhash sketch. */
 case class SimHashExpr(child: Expression) extends TextKernelExpr {
   override def dataType: DataType = LongType
@@ -369,6 +442,10 @@ object TextKernelFunctions {
     "graft_word_tf" -> { exprs =>
       graft.GraftExtensions.requireArity("graft_word_tf", exprs, 1)
       WordTfExpr(exprs.head)
+    },
+    "graft_text_stats" -> { exprs =>
+      graft.GraftExtensions.requireArity("graft_text_stats", exprs, 1)
+      TextStatsExpr(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =
@@ -403,5 +480,9 @@ object TextKernelFunctions {
   def wordTf(text: Column): Column = {
     register(SparkSession.active)
     call_function("graft_word_tf", text)
+  }
+  def textStats(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_text_stats", text)
   }
 }

@@ -79,6 +79,28 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** All five per-document quality statistics in one compiled pass
+    * (TextKernels.textStats): n_words, n_uniq, n_tokens, n_punct,
+    * longest_word. The column functions above are the executable
+    * spec the kernel is agreement-tested against (OperatorSpec;
+    * adversarial strings in PropertySpec) — and the form the DuckDB
+    * oracle replays. Prefer this for full-stat scans: the five
+    * interpreted HOF/regex expressions cost ~5 passes per document
+    * and resist parallel speedup (allocation-bound), while the kernel
+    * is one JIT'd loop inside whole-stage codegen.
+    */
+  def textStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.TextKernelFunctions.textStats(col(textCol))
+    docs.select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st.n_words").as("n_words"),
+        col("st.n_uniq").as("n_uniq"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_punct").as("n_punct"),
+        col("st.longest_word").as("longest_word"))
+  }
+
   def longestWordLen(text: Column): Column =
     array_max(transform(words(text), w => length(w)))
 

@@ -483,13 +483,10 @@ object Queries {
 
     // text quality stats
     "q27_text_stats" -> QueryDef(
-      (s, d) => tbl(s, d, "documents").select(
-        col("doc_id"),
-        TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
-        TextAnalysis.uniqueWordCount(col("text")).cast("long").as("n_uniq"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
-        TextAnalysis.longestWordLen(col("text")).cast("long").as("longest_word")),
+      // one compiled pass for all five stats; the HOF/regex column
+      // forms (TextAnalysis.wordCount & co) are the agreement-tested
+      // spec, and what the oracle below replays
+      (s, d) => TextAnalysis.textStats(tbl(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT doc_id,
              |len(string_split_regex(text, '\s+')) AS n_words,
              |len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
@@ -506,7 +503,7 @@ object Queries {
           lang -> TextAnalysis.langScore(t, ms).cast("long")
         }
         val Seq(en, fr, de, es) = scores.map(_._2)
-        tbl(s, d, "documents").select(
+        Dedup.rebalance(tbl(s, d, "documents")).select(
           col("doc_id"),
           en.as("s_en"), fr.as("s_fr"), de.as("s_de"), es.as("s_es"),
           when(en >= fr && en >= de && en >= es, "en")
@@ -694,13 +691,14 @@ object Queries {
     // composite document quality score (integer-exact filtering signal)
     "q33_quality_score" -> QueryDef(
       (s, d) => {
-        val t = col("text")
-        val words = TextAnalysis.wordCount(t).cast("long")
-        val uniq = TextAnalysis.uniqueWordCount(t).cast("long")
-        val punct = TextAnalysis.punctCount(t).cast("long")
-        val score = uniq * 3 - punct * 2 + least(words, lit(100L))
-        tbl(s, d, "documents").select(col("doc_id"), score.as("quality"),
-          (score >= 150L).as("keep"))
+        // the three ingredients come from the single-pass textStats
+        // kernel (the HOF forms are its agreement-tested spec)
+        val st = graft.functions.TextKernelFunctions.textStats(col("text"))
+        val score = col("st.n_uniq") * 3 - col("st.n_punct") * 2 +
+          least(col("st.n_words"), lit(100L))
+        tbl(s, d, "documents").select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"), score.as("quality"),
+            (score >= 150L).as("keep"))
       },
       Some("""WITH m AS (SELECT doc_id,
              |  len(string_split_regex(text, '\s+')) AS words,

@@ -207,6 +207,14 @@ class PropertySpec extends AnyFunSuite {
         docs.select(col("doc_id"),
           explode(Decontamination.wordNgramHashesExpr(col("text"), 5))),
         "gram hashes")
+      same(TextAnalysis.textStats(docs, "doc_id", "text"),
+        docs.select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.uniqueWordCount(col("text")).cast("long").as("n_uniq"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+          TextAnalysis.longestWordLen(col("text")).cast("long").as("longest_word")),
+        "text stats")
     }
   }
 
