@@ -30,6 +30,12 @@ object Bench {
     // optional comma-separated subset for focused local iteration
     // (the driver never sets this; absent ⇒ full inventory)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // host-load stamp taken BEFORE any query runs: the bench's own
+    // 32-thread work drives the 1-min loadavg to 3-5 by the end even
+    // on an idle start, so an end-of-run stamp can't distinguish
+    // "started idle" (valid run) from "co-tenant loaded" (noise) —
+    // the r5 adjudication hinged on exactly this signal
+    val loadavgStart = readLoadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -50,20 +56,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
-    // host-load stamp: a co-tenant-loaded run reads very differently
-    // from an idle one (r3's 3.0x-vs-1.4x lesson) — make the JSON
-    // self-describing
-    val loadavg =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).mkString("[", ",", "]")
-      catch { case _: Exception =>
-        val l = java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage
-        // getSystemLoadAverage returns -1.0 when unsupported; emit null
-        // so unknown load is distinguishable from a measured near-idle one
-        if (l < 0) "null" else s"[$l]"
-      }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavg,"sf":"$sfDir"}""")
+    // `loadavg` = the START stamp (the run-validity signal: a
+    // co-tenant-loaded run reads very differently from an idle one —
+    // r3's 3.0x-vs-1.4x lesson); `loadavg_end` recorded too so a
+    // burst ARRIVING mid-run is still visible
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavgStart,"loadavg_end":${readLoadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private def readLoadavg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).mkString("[", ",", "]")
+    catch { case _: Exception =>
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      // getSystemLoadAverage returns -1.0 when unsupported; emit null
+      // so unknown load is distinguishable from a measured near-idle one
+      if (l < 0) "null" else s"[$l]"
+    }
 }
