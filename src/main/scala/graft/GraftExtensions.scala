@@ -105,6 +105,7 @@ object GraftExtensions {
     case "graft_fingerprint" => classOf[graft.functions.FingerprintExpr].getName
     case "graft_repetition_stats" => classOf[graft.functions.RepetitionStatsExpr].getName
     case "graft_word_tf" => classOf[graft.functions.WordTfExpr].getName
+    case "graft_text_stats" => classOf[graft.functions.TextStatsExpr].getName
     case other => other // unknown name: leave as-is rather than lie
   }
 

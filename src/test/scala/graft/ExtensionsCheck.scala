@@ -49,12 +49,16 @@ object ExtensionsCheck {
           |       graft_fingerprint('a b c') AS fp,
           |       graft_repetition_stats('x x y').top_count AS top,
           |       size(graft_word_tf('x x y')) AS tfn,
-          |       size(graft_word_ngram_hashes('a b c d e', 3)) AS g
+          |       size(graft_word_ngram_hashes('a b c d e', 3)) AS g,
+          |       graft_text_stats('Ab, cd7 cd7').n_tokens AS tok,
+          |       graft_text_stats('Ab, cd7 cd7').n_uniq AS unq
           |""".stripMargin).head()
       require(tk.getInt(0) == 8 && tk.getInt(1) == 3 && tk.getInt(2) == 3,
         "kernel array sizes off")
       require(tk.getLong(5) == 2L && tk.getInt(6) == 2 && tk.getInt(7) == 3,
         "kernel counts off")
+      // 'Ab, cd7 cd7': tokens A|b|,|cd|7|cd|7 = 7; uniq words Ab,/cd7 = 2
+      require(tk.getLong(8) == 7L && tk.getLong(9) == 2L, "text stats off")
       // the injected parser + catalog pair: maintenance SQL end to end
       spark.sql("CREATE TABLE graft.default.ext_m (id BIGINT) USING graft")
       spark.sql("INSERT INTO graft.default.ext_m VALUES (1)")
