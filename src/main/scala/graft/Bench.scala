@@ -35,6 +35,26 @@ object Bench {
     // on an idle start, so an end-of-run stamp can't distinguish
     // "started idle" (valid run) from "co-tenant loaded" (noise) —
     // the r5 adjudication hinged on exactly this signal
+    // Self-gate on host load (r6 judge item): a bench started on a warm
+    // or co-tenant-loaded host reports noise, and the "start below 0.5"
+    // protocol previously lived only in BENCHNOTES discipline. Wait for
+    // the 1-min loadavg to drop below the gate (default 0.5, up to
+    // load_wait_s, default 120 s); if it never does, run anyway but
+    // stamp "load_gated":false into the JSON so the reader can see the
+    // protocol was violated rather than silently trusting the numbers.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5").toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "120").toInt
+    val gateDeadline = System.nanoTime() + loadWaitS * 1000000000L
+    var gatePassed = currentLoad1m().forall(_ < loadGate)
+    while (!gatePassed && System.nanoTime() < gateDeadline) {
+      System.err.println(s"[bench] 1-min loadavg ${currentLoad1m().getOrElse(-1.0)} " +
+        s">= $loadGate; waiting for the host to go idle")
+      Thread.sleep(5000)
+      gatePassed = currentLoad1m().forall(_ < loadGate)
+    }
+    if (!gatePassed)
+      System.err.println(s"[bench] WARNING: loadavg still >= $loadGate after " +
+        s"$loadWaitS s; timings below include co-tenant noise")
     val loadavgStart = readLoadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -60,9 +80,19 @@ object Bench {
     // co-tenant-loaded run reads very differently from an idle one —
     // r3's 3.0x-vs-1.4x lesson); `loadavg_end` recorded too so a
     // burst ARRIVING mid-run is still visible
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavgStart,"loadavg_end":${readLoadavg()},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavgStart,"load_gated":$gatePassed,"loadavg_end":${readLoadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** 1-min loadavg, None when the platform cannot report one. */
+  private def currentLoad1m(): Option[Double] =
+    try Some(java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble)
+    catch { case _: Exception =>
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) None else Some(l)
+    }
 
   private def readLoadavg(): String =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))

@@ -69,6 +69,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(GraftExtensions.implClass(name), name),
         b))
     }
+    // exact int128 decimal sum / sum-of-products (the star-aggregate
+    // fast path replacing Spark's boxed-BigDecimal accumulator)
+    e.injectFunction((
+      FunctionIdentifier("graft_decimal_sum"),
+      new ExpressionInfo(classOf[graft.functions.DecimalSum128].getName,
+        "graft_decimal_sum"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_decimal_sum", exprs, 1)
+        graft.functions.DecimalFunctions.sumBuilder(exprs)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_decimal_sum_product"),
+      new ExpressionInfo(classOf[graft.functions.DecimalSumProduct128].getName,
+        "graft_decimal_sum_product"),
+      graft.functions.DecimalFunctions.sumProductBuilder))
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)

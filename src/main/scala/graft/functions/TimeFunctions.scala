@@ -31,13 +31,34 @@ object TimeFunctions {
   def epochMs(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
       case LongType           => expr(s"$tsCol DIV 1000000")
-      case TimestampNTZType   => unix_millis(col(tsCol).cast(TimestampType))
+      case TimestampNTZType   =>
+        // NTZ wall clocks are UTC instants by contract, but the
+        // TimestampType cast interprets them in the SESSION zone — a
+        // session built without SparkEntry.configure would silently
+        // zone-shift every epoch while this function still says
+        // "utc". Fail loudly at plan time instead.
+        requireUtcSession(df)
+        unix_millis(col(tsCol).cast(TimestampType))
       case _                  => unix_millis(col(tsCol))
     }
+
+  private def requireUtcSession(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    val isUtc = tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00"
+    require(isUtc,
+      s"TimeFunctions interprets TIMESTAMP_NTZ wall clocks as UTC instants, " +
+        s"but spark.sql.session.timeZone=$tz would zone-shift the cast. " +
+        "Build the session through SparkEntry.configure (which pins UTC) " +
+        "or set the session time zone to UTC.")
+  }
 
   /** UTC calendar day of `tsCol`, robust the same way (a raw-nanos
     * LongType would silently `to_date` to NULL otherwise).
     */
-  def utcDay(df: DataFrame, tsCol: String = "ts"): Column =
+  def utcDay(df: DataFrame, tsCol: String = "ts"): Column = {
+    // to_date renders the instant in the SESSION zone on every branch
+    // (not just NTZ) — "utc day" is only true under a UTC session
+    requireUtcSession(df)
     to_date(timestamp_millis(epochMs(df, tsCol)))
+  }
 }

@@ -540,10 +540,18 @@ object Dedup {
   private def overlapAuto(
       sets: DataFrame, pairs: DataFrame, compact: Boolean): DataFrame = {
     val p = materialize(pairs)
-    val nIds = if (compact)
-      p.select(col("id_a").as("id"))
+    // Plan-pick in two stages, cheapest first: a bare count() over the
+    // materialized pair frame costs one metadata-ish job, and since
+    // distinct ids <= 2 * pairs, a pair count <= maxIds/2 already
+    // proves the id bound with no distinct job at all. Only an
+    // inconclusive pair count (huge pair frame that MIGHT still reuse
+    // few ids — the cross-join-sample shape) pays for the
+    // union+distinct+count sizing job.
+    lazy val nPairs = p.count()
+    lazy val nIds =
+      if (nPairs * 2 <= CompactVerifyMaxIds) nPairs * 2
+      else p.select(col("id_a").as("id"))
         .union(p.select(col("id_b").as("id"))).distinct().count()
-    else Long.MaxValue
     if (compact && nIds <= CompactVerifyMaxIds) setOverlapCompact(sets, rebalance(p))
     else setOverlapOn(sets, p, hashElements = false)
   }

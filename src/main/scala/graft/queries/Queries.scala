@@ -32,6 +32,15 @@ object Queries {
 
   /** decimal money helpers shared by the TPC-H-ish queries */
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  // exact int128 sum / sum-of-products (graft.functions.DecimalFunctions):
+  // value-identical to the built-in sum (DecimalSumSpec pins agreement,
+  // overflow boundary included) but with a two-long primitive
+  // accumulator instead of Spark's boxed DECIMAL(p+10) path — the
+  // measured ~3x arithmetic tax on every star aggregate (BENCHNOTES_r6)
+  private def decSum(c: org.apache.spark.sql.Column) =
+    graft.functions.DecimalFunctions.decimalSum(c)
+  private def decSumProduct(cs: org.apache.spark.sql.Column*) =
+    graft.functions.DecimalFunctions.decimalSumProduct(cs: _*)
   private def dec82(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
   private val one = lit(1).cast("decimal(8,2)")
 
@@ -146,11 +155,11 @@ object Queries {
         .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).as("dq"),
-          sum(dec2(col("l_extendedprice"))).as("dp"),
-          sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("ddp"),
-          sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount"))) *
-            (one + dec82(col("l_tax")))).as("dc"),
+          decSum(dec2(col("l_quantity"))).as("dq"),
+          decSum(dec2(col("l_extendedprice"))).as("dp"),
+          decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("ddp"),
+          decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount")),
+            one + dec82(col("l_tax"))).as("dc"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("dq").cast("double").as("sum_qty"),
@@ -180,7 +189,7 @@ object Queries {
         broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderkey", "o_orderdate")
-          .agg(sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("rev"))
+          .agg(decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("rev"))
           .orderBy(col("rev").desc, col("o_orderkey"))
           .limit(10)
           .select(col("o_orderkey"), col("o_orderdate"),
@@ -214,7 +223,7 @@ object Queries {
           .join(supp, col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
           .groupBy("n_name")
-          .agg(sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("rev"),
+          .agg(decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("rev"),
             count(lit(1)).as("n_items"))
           .select(col("n_name"), round(col("rev"), 2).cast("double").as("revenue"),
             col("n_items"))
@@ -280,7 +289,7 @@ object Queries {
         .groupBy("event_type").agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec2(col("value"))).cast("double").as("sum_value"),
+          decSum(dec2(col("value"))).cast("double").as("sum_value"),
           max(col("k")).as("max_k")),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |COUNT(DISTINCT user_id) AS n_users,
@@ -305,7 +314,7 @@ object Queries {
             sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id").agg(
             count(lit(1)).as("n_events"),
-            sum(dec2(col("value"))).cast("double").as("sum_value"),
+            decSum(dec2(col("value"))).cast("double").as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("dur_ms"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
@@ -340,7 +349,7 @@ object Queries {
       (s, d) => tbl(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
+          decSum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
@@ -798,7 +807,7 @@ object Queries {
       (s, d) => tbl(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("total")),
+          decSum(dec2(col("o_totalprice"))).cast("double").as("total")),
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -808,7 +817,7 @@ object Queries {
       (s, d) => tbl(s, d, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(dec2(col("o_totalprice"))))
+        .agg(decSum(dec2(col("o_totalprice"))))
         .select(col("o_orderpriority"),
           col("F").cast("double").as("F"),
           col("O").cast("double").as("O"),

@@ -32,7 +32,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("aggregations are partial (map-side combine) and hash-based") {
     val p = plan("q10_pricing_summary")
-    assert(p.contains("partial_sum"))
+    // the decimal sums run through the int128 kernel (DecimalSum128 /
+    // DecimalSumProduct128) — still partial-aggregated map-side
+    assert(p.contains("partial_graft_decimal_sum"))
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
     // minhash signatures are computed MAP-SIDE by the compiled kernel
     // (no signature aggregation exists at all); the banding pipeline's

@@ -28,6 +28,42 @@ import duckdb
 
 FAST_ROWS = 100_000
 
+def guarded_timer(con):
+    """TIMEOUT timer whose interrupt can neither (a) fire on an idle
+    connection after the guarded query already finished — poisoning the
+    NEXT statement with a spurious cancel — nor (b) be mistaken for a
+    DNF by a wall-clock test when something else was slow. The 'done'
+    flag is flipped under a lock before cancel(); 'fired' records that
+    the interrupt really was delivered for THIS window."""
+    lock = threading.Lock()
+    state = {'done': False, 'fired': False}
+    def cb():
+        with lock:
+            if state['done']:
+                return
+            state['fired'] = True
+        con.interrupt()
+    timer = threading.Timer(TIMEOUT, cb) if TIMEOUT else None
+    if timer:
+        timer.start()
+    return timer, state, lock
+
+def end_timer(con, timer, state, lock):
+    with lock:
+        state['done'] = True
+    if timer:
+        timer.cancel()
+    if state['fired']:
+        # the interrupt was delivered; if the guarded query had already
+        # completed it is now pending against the idle connection —
+        # absorb it so it cannot cancel an unrelated later statement
+        try:
+            con.sql('SELECT 1').fetchone()
+        except Exception:
+            pass
+
+
+
 # Optional per-query wall-clock cap (seconds) on the ORACLE side;
 # 0 = no cap. At sf1 a couple of oracles (the recursive-CTE connected
 # components) need hours in DuckDB while Spark finishes in ~1.5 s — a
@@ -70,10 +106,7 @@ def main(sf_dir, out_dir):
         if q not in oracle:
             results[q] = f"NO-ORACLE rows={n_spark}"
             continue
-        t0 = time.time()
-        timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT else None
-        if timer:
-            timer.start()
+        timer, tstate, tlock = guarded_timer(con)
         try:
             ora_rel = con.sql(oracle[q])
             ora_cols = sorted(ora_rel.columns)
@@ -82,14 +115,13 @@ def main(sf_dir, out_dir):
             ora_types = [str(t) for t in ora_sorted.types]
             n_ora = con.sql("SELECT count(*) FROM ora_sorted").fetchone()[0]
         except Exception as e:
-            if TIMEOUT and time.time() - t0 >= TIMEOUT:
+            if tstate['fired']:
                 results[q] = f"ORACLE-DNF (>{int(TIMEOUT)}s)"
             else:
                 results[q] = f"ORACLE-ERROR {str(e)[:160]}"
+            end_timer(con, timer, tstate, tlock)
             continue
-        finally:
-            if timer:
-                timer.cancel()
+        end_timer(con, timer, tstate, tlock)
         if spark_cols != ora_cols:
             results[q] = f"COLS-MISMATCH spark={spark_cols} oracle={ora_cols}"
             continue
@@ -101,31 +133,37 @@ def main(sf_dir, out_dir):
             results[q] = f"ROWCOUNT spark={n_spark} oracle={n_ora}"
             continue
         # the value-compare phases lazily RE-execute the oracle
-        # relation, so they get their own cap
-        t0 = time.time()
-        timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT else None
-        if timer:
-            timer.start()
+        # relation, so the ORACLE side gets its own cap — the spark-side
+        # materialization runs untimed first (a slow Spark-side digest or
+        # fetch is our problem, never an "oracle DNF")
         try:
             if n_spark > FAST_ROWS:
                 con.register('spark_view', spark_sorted)
                 con.register('ora_view', ora_sorted)
-                if digest(con, 'spark_view', spark_cols) == digest(con, 'ora_view', ora_cols):
+                spark_digest = digest(con, 'spark_view', spark_cols)
+            else:
+                a = canon(spark_sorted.fetchall(), len(spark_cols))
+        except Exception as e:
+            results[q] = f"SPARK-SIDE-ERROR {str(e)[:160]}"
+            continue
+        timer, tstate, tlock = guarded_timer(con)
+        try:
+            if n_spark > FAST_ROWS:
+                if spark_digest == digest(con, 'ora_view', ora_cols):
                     results[q] = f"OK rows={n_spark} (digest)"
                 else:
                     results[q] = f"DIGEST-MISMATCH rows={n_spark}"
+                end_timer(con, timer, tstate, tlock)
                 continue
-            a = canon(spark_sorted.fetchall(), len(spark_cols))
             b = canon(ora_sorted.fetchall(), len(ora_cols))
         except Exception as e:
-            if TIMEOUT and time.time() - t0 >= TIMEOUT:
+            if tstate['fired']:
                 results[q] = f"ORACLE-DNF (>{int(TIMEOUT)}s)"
             else:
                 results[q] = f"ORACLE-ERROR {str(e)[:160]}"
+            end_timer(con, timer, tstate, tlock)
             continue
-        finally:
-            if timer:
-                timer.cancel()
+        end_timer(con, timer, tstate, tlock)
         if a != b:
             diff = next(i for i in range(len(a)) if a[i] != b[i])
             results[q] = f"VALUES-DIFFER at sorted row {diff}: spark={a[diff][:4]} oracle={b[diff][:4]}"
