@@ -153,13 +153,20 @@ object Queries {
     "q10_pricing_summary" -> QueryDef(
       (s, d) => tbl(s, d, "lineitem")
         .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        // casts hoisted into a projection: inside the aggregate they are
+        // (re-)evaluated per update expression; projected, each runs
+        // once per row in the same codegen pass (4x at sf1, BENCHNOTES_r7)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec2(col("l_quantity")).as("d_qty"),
+          dec2(col("l_extendedprice")).as("d_price"),
+          (one - dec82(col("l_discount"))).as("d_disc"),
+          (one + dec82(col("l_tax"))).as("d_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          decSum(dec2(col("l_quantity"))).as("dq"),
-          decSum(dec2(col("l_extendedprice"))).as("dp"),
-          decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("ddp"),
-          decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount")),
-            one + dec82(col("l_tax"))).as("dc"),
+          decSum(col("d_qty")).as("dq"),
+          decSum(col("d_price")).as("dp"),
+          decSumProduct(col("d_price"), col("d_disc")).as("ddp"),
+          decSumProduct(col("d_price"), col("d_disc"), col("d_tax")).as("dc"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("dq").cast("double").as("sum_qty"),
@@ -184,12 +191,18 @@ object Queries {
         val c = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
         val o = tbl(s, d, "orders")
           .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        // money casts hoisted before the join: evaluated once per
+        // surviving lineitem row, and the join carries two decimals
+        // instead of two doubles it would re-cast per update expression
         val l = tbl(s, d, "lineitem")
           .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"),
+            dec2(col("l_extendedprice")).as("d_price"),
+            (one - dec82(col("l_discount"))).as("d_disc"))
         broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderkey", "o_orderdate")
-          .agg(decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("rev"))
+          .agg(decSumProduct(col("d_price"), col("d_disc")).as("rev"))
           .orderBy(col("rev").desc, col("o_orderkey"))
           .limit(10)
           .select(col("o_orderkey"), col("o_orderdate"),
@@ -214,6 +227,9 @@ object Queries {
           .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         val li = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            dec2(col("l_extendedprice")).as("d_price"),
+            (one - dec82(col("l_discount"))).as("d_disc"))
         val supp = tbl(s, d, "supplier")
         broadcast(region)
           .join(broadcast(nation), col("r_regionkey") === col("n_regionkey"))
@@ -223,7 +239,7 @@ object Queries {
           .join(supp, col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
           .groupBy("n_name")
-          .agg(decSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))).as("rev"),
+          .agg(decSumProduct(col("d_price"), col("d_disc")).as("rev"),
             count(lit(1)).as("n_items"))
           .select(col("n_name"), round(col("rev"), 2).cast("double").as("revenue"),
             col("n_items"))
@@ -285,11 +301,13 @@ object Queries {
       // compute-dense, and a single-row-group events file would run it
       // serially in the scan task (no-op on multi-split tables)
       (s, d) => Dedup.rebalance(tbl(s, d, "events"))
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_type"), col("user_id"),
+          dec2(col("value")).as("d_value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type").agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          decSum(dec2(col("value"))).cast("double").as("sum_value"),
+          decSum(col("d_value")).cast("double").as("sum_value"),
           max(col("k")).as("max_k")),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |COUNT(DISTINCT user_id) AS n_users,
@@ -305,7 +323,8 @@ object Queries {
         val ev0 = tbl(s, d, "events")
         val ev = ev0
           .select(col("user_id"), col("event_id"),
-            graft.functions.TimeFunctions.epochMs(ev0).as("ms"), col("value"))
+            graft.functions.TimeFunctions.epochMs(ev0).as("ms"),
+            dec2(col("value")).as("d_value"))
         val wo = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
         ev.withColumn("is_new",
             when(col("ms") - lag(col("ms"), 1).over(wo) > 1800000L, 1L)
@@ -314,7 +333,7 @@ object Queries {
             sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id").agg(
             count(lit(1)).as("n_events"),
-            decSum(dec2(col("value"))).cast("double").as("sum_value"),
+            decSum(col("d_value")).cast("double").as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("dur_ms"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
@@ -347,9 +366,11 @@ object Queries {
     // grouping sets: ROLLUP with deterministic decimal sums
     "q19_rollup" -> QueryDef(
       (s, d) => tbl(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec2(col("l_quantity")).as("d_qty"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          decSum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
+          decSum(col("d_qty")).cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
@@ -805,9 +826,11 @@ object Queries {
     // CUBE grouping sets
     "q43_cube" -> QueryDef(
       (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          dec2(col("o_totalprice")).as("d_total"))
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          decSum(dec2(col("o_totalprice"))).cast("double").as("total")),
+          decSum(col("d_total")).cast("double").as("total")),
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -815,9 +838,11 @@ object Queries {
     // pivot (wide conditional aggregation)
     "q44_pivot" -> QueryDef(
       (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("d_total"))
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(decSum(dec2(col("o_totalprice"))))
+        .agg(decSum(col("d_total")))
         .select(col("o_orderpriority"),
           col("F").cast("double").as("F"),
           col("O").cast("double").as("O"),
