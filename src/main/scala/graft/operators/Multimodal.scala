@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads plus typed metadata, processed by
   * per-partition batch operators.
   *
-  * The decode step is STUBBED (no codec libraries in this container):
-  * `decodeStub` derives deterministic fake features from the raw
-  * bytes. Everything around it — the schema contract, the
+  * Image decode is REAL (`decodeImages`: bounded `javax.imageio`
+  * header parse + raster stats, corrupt-safe); `decodeStub` remains as
+  * the codec-free featurizer shape for media kinds the JDK cannot
+  * decode (audio/video), where only the schema contract, the
   * `mapPartitions` batch shape (one iterator pass, constant memory per
   * partition, no driver involvement), and the partition-preserving
-  * plumbing — is real and is what carries over to a 100 TB run where
-  * the stub body is replaced by an actual decoder call.
+  * plumbing carry over to a 100 TB run with a production decoder
+  * dropped into the body.
   */
 object Multimodal {
 
@@ -77,6 +78,131 @@ object Multimodal {
             i += 1
           }
           Row(id, r.getString(2), r.getLong(3), feat.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Output schema of the real image decoder. */
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("error", StringType)))
+
+  /** REAL bounded image decode over partitions (`javax.imageio`,
+    * in-JDK — no external codec dependency).
+    *
+    * Two-tier by design, mirroring what a production 100 TB pass does:
+    *  - dimensions come from the format HEADER via an `ImageReader`
+    *    (`getWidth/getHeight(0)` parse the PNG IHDR / JPEG SOF marker
+    *    without decoding pixel data) — O(header) per payload no matter
+    *    how large the image;
+    *  - channel statistics require pixels, so the full decode runs
+    *    only for payloads within `maxDecodeBytes`; larger ones keep
+    *    their header dims and report `error = "too_large"` instead of
+    *    OOMing an executor on a decompression bomb.
+    * Corrupt or non-image payloads never throw: they surface as a
+    * null-dim row with a reason in `error`, so one bad object in a
+    * billion can't fail a stage (retries would just re-hit it).
+    *
+    * Same `mapPartitions` batch shape as `decodeStub` (iterator in,
+    * iterator out, constant memory, partition-preserving).
+    */
+  def decodeImages(media: DataFrame, maxDecodeBytes: Int = 1 << 24): DataFrame = {
+    val enc = RowEncoder.encoderFor(ImageFeatureSchema)
+    media.select("media_id", "payload", "format", "n_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = r.getString(2)
+          decodeOne(id, payload, fmt, maxDecodeBytes)
+        }
+      }(enc)
+  }
+
+  private def decodeOne(
+      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int): Row = {
+    import javax.imageio.ImageIO
+    val nullRow = (err: String) =>
+      Row(id, fmt, null, null, null, null, null, null, err)
+    if (payload == null || payload.length == 0) return nullRow("empty_payload")
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return nullRow("unsupported_format")
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, true, true)
+        // header-only: IHDR/SOF parse, no pixel decode
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (payload.length > maxDecodeBytes)
+          return Row(id, fmt, w, h, null, null, null, null, "too_large")
+        val img = reader.read(0)
+        val bands = img.getRaster.getNumBands
+        // channel means in one raster pass (RGB; gray maps to band 0)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sr += raster.getSample(x, y, 0)
+            sg += raster.getSample(x, y, math.min(1, bands - 1))
+            sb += raster.getSample(x, y, math.min(2, bands - 1))
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        Row(id, fmt, w, h, bands, sr / n, sg / n, sb / n, null)
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => nullRow("decode_failed")
+    } finally {
+      if (stream != null) try stream.close() catch { case _: Exception => }
+    }
+  }
+
+  /** Deterministic synthetic PNG payloads derived from an id column —
+    * the test-data adapter for the REAL decoder (the corpus ships no
+    * images). Dimensions and fill color are pure functions of the id:
+    *   width  = 4 + id % 61,  height = 4 + id % 37,
+    *   rgb    = (id·7 % 256, id·13 % 256, id·31 % 256)
+    * so an oracle can verify the decoded output with integer
+    * arithmetic alone, while the Spark side really round-trips
+    * PNG-encode → IHDR sniff → `javax.imageio` decode → raster stats.
+    */
+  def renderSyntheticPngs(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(MediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 61).toInt
+          val h = (4 + id % 37).toInt
+          val rgb = ((id * 7 % 256) << 16 | (id * 13 % 256) << 8 |
+            (id * 31 % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          Row(id, bytes, "png", bytes.length.toLong)
         }
       }(enc)
   }

@@ -1223,6 +1223,36 @@ object Queries {
            |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn FROM d2)
            |WHERE rn = 1""".stripMargin
       }),
+
+    // REAL image decode end-to-end: deterministic synthetic PNGs are
+    // rendered from doc_id (dims + solid fill are pure integer
+    // functions of the id), PNG-encoded in-JVM, format-sniffed from
+    // the magic bytes, then decoded back through the bounded
+    // javax.imageio path (header dims + raster channel means). The
+    // oracle replays the id arithmetic alone — every decoded value is
+    // deterministic, so the hash gate proves the decoder actually ran
+    // and read the pixels it claims.
+    "q61_image_decode" -> QueryDef(
+      (s, d) => {
+        val media = graft.operators.Multimodal
+          .renderSyntheticPngs(tbl(s, d, "documents"), "doc_id")
+          // re-sniff from the payload bytes (exercises the real
+          // magic-number path rather than trusting the renderer)
+          .withColumn("format", graft.operators.Multimodal.sniffFormat(col("payload")))
+        graft.operators.Multimodal.decodeImages(media)
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("channels"), col("mean_r"), col("mean_g"), col("mean_b"),
+            col("error"))
+      },
+      Some("""SELECT doc_id AS media_id, 'png' AS format,
+             |CAST(4 + doc_id % 61 AS INT) AS width,
+             |CAST(4 + doc_id % 37 AS INT) AS height,
+             |CAST(3 AS INT) AS channels,
+             |CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_r,
+             |CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_g,
+             |CAST(doc_id * 31 % 256 AS DOUBLE) AS mean_b,
+             |CAST(NULL AS VARCHAR) AS error
+             |FROM documents""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

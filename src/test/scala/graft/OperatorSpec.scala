@@ -326,6 +326,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(frames.select("chunk_no").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
   }
 
+  test("multimodal: real imageio decode — dims, channel means, corrupt safety") {
+    // happy path: synthetic PNGs round-trip encode → decode exactly
+    val ids = Seq(5L, 100L, 367L).toDF("doc_id")
+    val media = Multimodal.renderSyntheticPngs(ids, "doc_id")
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+    assert(media.select("format").as[String].collect().forall(_ == "png"))
+    val out = Multimodal.decodeImages(media)
+      .orderBy("media_id").collect()
+    out.zip(Seq(5L, 100L, 367L)).foreach { case (r, id) =>
+      assert(r.getInt(2) == (4 + id % 61).toInt, "width")
+      assert(r.getInt(3) == (4 + id % 37).toInt, "height")
+      assert(r.getInt(4) == 3, "channels")
+      assert(r.getDouble(5) == (id * 7 % 256).toDouble, "mean_r")
+      assert(r.getDouble(6) == (id * 13 % 256).toDouble, "mean_g")
+      assert(r.getDouble(7) == (id * 31 % 256).toDouble, "mean_b")
+      assert(r.isNullAt(8), "no error")
+    }
+
+    // corrupt safety: garbage, truncated PNG, empty — null dims +
+    // reason, never a thrown stage failure
+    val goodPng = Multimodal.renderSyntheticPngs(Seq(7L).toDF("doc_id"), "doc_id")
+      .select("payload").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (1L, "not an image at all".getBytes("UTF-8")),
+      (2L, goodPng.take(20)),           // valid IHDR magic, truncated body
+      (3L, Array.empty[Byte]),
+    ).toDF("media_id", "payload")
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+      .withColumn("n_bytes", length($"payload").cast("long"))
+    val errs = Multimodal.decodeImages(corrupt)
+      .select("media_id", "error").as[(Long, String)].collect().toMap
+    assert(errs(1L) == "unsupported_format")
+    assert(errs(2L) == "decode_failed")
+    assert(errs(3L) == "empty_payload")
+    assert(Multimodal.decodeImages(corrupt).where($"width".isNotNull).count() == 0)
+
+    // bounded decode: payload over the cap keeps HEADER dims (IHDR
+    // parse only) but skips the pixel pass with error=too_large
+    val big = Multimodal.renderSyntheticPngs(Seq(50L).toDF("doc_id"), "doc_id")
+      .withColumn("format", lit("png"))
+    val capped = Multimodal.decodeImages(big, maxDecodeBytes = 10)
+      .head()
+    assert(capped.getInt(2) == (4 + 50 % 61) && capped.getInt(3) == (4 + 50 % 37))
+    assert(capped.isNullAt(4) && capped.getString(8) == "too_large")
+  }
+
   // ---- queries smoke on sf0.001 ------------------------------------------
 
   test("every registered query runs and flagship entry returns rows") {
