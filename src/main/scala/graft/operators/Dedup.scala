@@ -208,22 +208,32 @@ object Dedup {
     * bucket is inherent to LSH (the self-join had the same blowup,
     * concentrated on the same reducer).
     */
-  def bandingPairs(signed: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, bucket) band-bucket assignment of a signature frame — the
+    * map-side half of LSH banding, shared by bandingPairs (bucket
+    * groupBy) and IncrementalDedup (new-vs-store bucket join). The
+    * bucket key is a packed LONG — band index in the bits above a
+    * 60-bit md5 prefix of the band's concatenated minhashes — not a
+    * "b:<hex>" string: an 8-byte shuffle key instead of ~35 chars,
+    * and long equality downstream (the oracle packs identically; a
+    * 60-bit prefix collision only merges buckets, which both engines
+    * then see the same way).
+    */
+  def bandBuckets(signed: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     require(bands <= 8, "band index must fit the 3 bits above the 60-bit hash")
     val r = k / bands
-    // bucket key is a packed LONG — band index in the bits above a
-    // 60-bit md5 prefix of the band's concatenated minhashes — not a
-    // "b:<hex>" string: an 8-byte shuffle key instead of ~35 chars,
-    // and long equality in the bucket aggregation (the oracle packs
-    // identically; a 60-bit prefix collision only merges buckets,
-    // which both engines then see the same way)
-    val buckets = signed.select(col("id"),
+    signed.select(col("id"),
       explode(array((0 until bands).map(b =>
         shiftleft(lit(b.toLong), 60).bitwiseOR(
           conv(substring(md5(concat((b * r until (b + 1) * r)
             .map(j => col(s"mh$j")): _*)), 1, 15), 16, 10).cast("long"))): _*))
         .as("bucket"))
+  }
+
+  def bandingPairs(signed: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(bands <= 8, "band index must fit the 3 bits above the 60-bit hash")
+    val buckets = bandBuckets(signed, k, bands)
     // Memory posture: collect_list holds ONE bucket's id array in its
     // aggregation buffer — bounded for real LSH workloads (bucket size
     // concentrates near the near-dup cluster size), but a degenerate

@@ -301,6 +301,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("incremental dedup: sharded ingest via CDC equals full-corpus dedupCorpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the from-scratch answer over the whole corpus
+    val full = Dedup.dedupCorpus(corpus, "doc_id", "text", 8, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // same corpus arriving as three shards against fresh lake stores
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val sigStore = graft.lake.LakeTable.forPath(spark, s"$base/sigs")
+    val pairStore = graft.lake.LakeTable.forPath(spark, s"$base/pairs")
+    val shards = Seq(
+      corpus.where($"doc_id" % 3 === 0),
+      corpus.where($"doc_id" % 3 === 1),
+      corpus.where($"doc_id" % 3 === 2))
+
+    val v0 = IncrementalDedup.ingestShard(sigStore, pairStore, shards(0), "doc_id", "text")
+    // CDC transport check: the commit's changes() are exactly the
+    // shard's signature rows — not a store rescan, not the corpus
+    val cdc = sigStore.changes(-1L, v0)
+    assert(cdc.count() == shards(0).where($"text".isNotNull).count())
+    assert(cdc.columns.contains("_commit_version"))
+
+    // kept set after each arrival equals dedupCorpus over docs-so-far:
+    // every candidate pair of the union is discovered in its later
+    // doc's round, so the accumulated pair store is always complete
+    IncrementalDedup.ingestShard(sigStore, pairStore, shards(1), "doc_id", "text")
+    val partial = IncrementalDedup.keptIds(sigStore, pairStore)
+      .as[Long].collect().sorted.toSeq
+    val fullPartial = Dedup.dedupCorpus(
+      corpus.where($"doc_id" % 3 =!= 2), "doc_id", "text", 8, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(partial == fullPartial)
+
+    // final shard through dedupShard (ingest + surviving-rows join)
+    val kept3 = IncrementalDedup.dedupShard(
+      sigStore, pairStore, shards(2), "doc_id", "text")
+    val incremental = IncrementalDedup.keptIds(sigStore, pairStore)
+      .as[Long].collect().sorted.toSeq
+    assert(incremental == full)
+    // the shard's surviving rows are exactly the full answer ∩ shard
+    assert(kept3.select("doc_id").as[Long].collect().sorted.toSeq ==
+      full.filter(_ % 3 == 2))
+    // and the signature store ingested every document exactly once
+    assert(sigStore.read().count() == corpus.where($"text".isNotNull).count())
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   test("multimodal: sniff + stub decode are deterministic over bytes") {
