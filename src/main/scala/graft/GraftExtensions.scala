@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(GraftExtensions.implClass(name), name),
         b))
     }
+    // single-pass top-level JSON scalar extraction (telemetry hot loop)
+    graft.functions.JsonKernelFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.implClass(name), name),
+        b))
+    }
     // theta sketch family (distinct / build / union / union_sketch) —
     // same builders the embedded per-session register uses
     graft.functions.SketchFunctions.builders.foreach { case (name, b) =>
@@ -121,6 +128,7 @@ object GraftExtensions {
     case "graft_repetition_stats" => classOf[graft.functions.RepetitionStatsExpr].getName
     case "graft_word_tf" => classOf[graft.functions.WordTfExpr].getName
     case "graft_text_stats" => classOf[graft.functions.TextStatsExpr].getName
+    case "graft_json_long" => classOf[graft.functions.GraftJsonLongExpr].getName
     case other => other // unknown name: leave as-is rather than lie
   }
 

@@ -284,26 +284,33 @@ object Queries {
              |min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
-    // set operations
+    // set operations — (F ∩ O) \ P over custkeys of ONE table. The
+    // literal intersect/except composition costs 3 scans + 3 shuffle
+    // joins; same-source membership collapses it to one scan + one
+    // flag aggregation (SetAlgebra scaladoc; OperatorSpec pins
+    // equivalence with the intersect/except form).
     "q15_setops" -> QueryDef(
-      (s, d) => {
-        val o = tbl(s, d, "orders")
-        def keys(st: String) = o.where(col("o_orderstatus") === st).select("o_custkey")
-        keys("F").intersect(keys("O")).except(keys("P"))
-      },
+      (s, d) => SetAlgebra.sameSourceMembership(
+        tbl(s, d, "orders"), "o_custkey",
+        include = Seq(col("o_orderstatus") === "F", col("o_orderstatus") === "O"),
+        exclude = Seq(col("o_orderstatus") === "P")),
       Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus='F'
              |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin)),
 
     // semi-structured: JSON extraction + aggregate
     "q16_events_json" -> QueryDef(
-      // rebalance ahead of the JSON parse: per-row get_json_object is
+      // rebalance ahead of the JSON parse: the per-row parse is
       // compute-dense, and a single-row-group events file would run it
-      // serially in the scan task (no-op on multi-split tables)
+      // serially in the scan task (no-op on multi-split tables).
+      // graft_json_long is the compiled form of
+      // get_json_object(props,'$.k').cast("long") — one allocation-free
+      // byte pass instead of a Jackson stream + string re-parse
+      // (JsonKernelSpec pins agreement on adversarial inputs)
       (s, d) => Dedup.rebalance(tbl(s, d, "events"))
         .select(col("event_type"), col("user_id"),
           dec2(col("value")).as("d_value"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
         .groupBy("event_type").agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),

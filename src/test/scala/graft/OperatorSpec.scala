@@ -930,4 +930,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(byLang("en") / 5000.0 - 0.02) < 0.01)
     assert(math.abs(byLang("fr") / 15000.0 - 0.3) < 0.02)
   }
+
+  test("same-source membership equals intersect/except, in one exchange") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 20000).map { i =>
+      (rnd.nextInt(800).toLong, Seq("F", "O", "P", "X")(rnd.nextInt(4)))
+    }
+    val df = rows.toDF("key", "st")
+    def keys(st: String) = df.where($"st" === st).select("key")
+    val setOps = keys("F").intersect(keys("O")).except(keys("P"))
+      .as[Long].collect().toSet
+    val onePass = SetAlgebra.sameSourceMembership(
+      df, "key",
+      include = Seq($"st" === "F", $"st" === "O"),
+      exclude = Seq($"st" === "P"))
+    assert(onePass.as[Long].collect().toSet == setOps)
+    assert(setOps.nonEmpty) // the probe must exercise a non-trivial set
+    // include-only degenerates to plain intersection
+    val interOnly = SetAlgebra.sameSourceMembership(
+      df, "key", include = Seq($"st" === "F", $"st" === "P"))
+    assert(interOnly.as[Long].collect().toSet ==
+      keys("F").intersect(keys("P")).as[Long].collect().toSet)
+    // the collapsed plan carries ONE shuffle and no join at all; the
+    // set-op form pays an exchange (shuffle or broadcast) + join per
+    // set operation on top of its own distinct shuffle
+    def plan(p: org.apache.spark.sql.DataFrame) =
+      p.queryExecution.executedPlan.toString
+    assert(plan(onePass).linesIterator.count(_.contains("Exchange")) == 1)
+    assert(!plan(onePass).contains("Join"))
+    val setOpPlan = plan(keys("F").intersect(keys("O")).except(keys("P")))
+    assert(setOpPlan.linesIterator.count(_.contains("Exchange")) >= 3)
+    assert(setOpPlan.contains("Join"))
+  }
 }
