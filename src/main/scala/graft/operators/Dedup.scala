@@ -48,14 +48,31 @@ object Dedup {
     * (in-memory frames report conservatively large) fail open into
     * the rebalance, the safe direction.
     */
-  private[graft] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = rebalance(df, Nil)
+
+  /** Keyed variant: when the caller has a well-distributed column,
+    * hash-repartitioning on it beats `repartition(n)` outright —
+    * RoundRobinPartitioning must locally SORT every source partition
+    * before the exchange (spark.sql.execution.sortBeforeRepartition,
+    * kept on: round-robin assignment depends on row order, so a
+    * retried map task would otherwise route rows differently and
+    * corrupt a partially-fetched shuffle), and on the very
+    * single-split scans rebalance exists to fix, that pre-sort runs
+    * the whole table on one core. Hash assignment depends only on
+    * row CONTENT — deterministic under retry with nothing to sort
+    * (measured at sf1 on a 1.5M-row single-split window query:
+    * 0.59 s keyed vs 1.33 s round-robin vs 1.49 s serial).
+    */
+  private[graft] def rebalance(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= RebalanceMinBytes) df
     // queryExecution.toRdd reuses the frame's own physical planning
     // (`.rdd` would plan a SECOND copy with row conversion — measurable
     // driver time on wide plans, and the planning work is discarded)
-    else if (df.queryExecution.toRdd.getNumPartitions * 4 < target) df.repartition(target)
-    else df
+    else if (df.queryExecution.toRdd.getNumPartitions * 4 < target) {
+      if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
+    } else df
   }
 
   /** Eager materialization with a lineage cut. Reliable checkpoint

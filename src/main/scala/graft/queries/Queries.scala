@@ -298,16 +298,17 @@ object Queries {
              |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin)),
 
-    // semi-structured: JSON extraction + aggregate
+    // semi-structured: JSON extraction + aggregate.
+    // graft_json_long is the compiled form of
+    // get_json_object(props,'$.k').cast("long") — one allocation-free
+    // byte pass instead of a Jackson stream + string re-parse
+    // (JsonKernelSpec pins agreement on adversarial inputs). The r6
+    // rebalance that parallelized the Jackson parse is GONE: the
+    // kernel runs 6x faster than the round-robin exchange it rode on
+    // (0.15 s vs 0.71 s over 1M single-split rows, BENCHNOTES_r7),
+    // so the parse belongs back in the scan task.
     "q16_events_json" -> QueryDef(
-      // rebalance ahead of the JSON parse: the per-row parse is
-      // compute-dense, and a single-row-group events file would run it
-      // serially in the scan task (no-op on multi-split tables).
-      // graft_json_long is the compiled form of
-      // get_json_object(props,'$.k').cast("long") — one allocation-free
-      // byte pass instead of a Jackson stream + string re-parse
-      // (JsonKernelSpec pins agreement on adversarial inputs)
-      (s, d) => Dedup.rebalance(tbl(s, d, "events"))
+      (s, d) => tbl(s, d, "events")
         .select(col("event_type"), col("user_id"),
           dec2(col("value")).as("d_value"),
           graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
@@ -591,12 +592,19 @@ object Queries {
   /** Additional capability queries appended after the §7.5 block. */
   private val more: Seq[(String, QueryDef)] = Seq(
 
-    // top-k per group (window rank under total order)
+    // top-k per group (window rank under total order). The partial
+    // WindowGroupLimit runs per SCAN SPLIT (local sort + first-k per
+    // group), so a single-row-group orders file serializes a 1.5M-row
+    // local sort on one core (1.7 s at sf1); rebalanced BY KEY (hash,
+    // no round-robin pre-sort — rebalance scaladoc), each of 32 tasks
+    // sorts ~47k rows and ships <=k*groups rows to the final window
+    // (no-op on multi-split tables, i.e. at real scale; 1.73->0.59 s
+    // at sf1 — BENCHNOTES_r7 decomposition)
     "q31_topk_per_group" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy("o_orderpriority")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        tbl(s, d, "orders")
+        Dedup.rebalance(tbl(s, d, "orders"), Seq(col("o_orderkey")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .where(col("rk") <= 3)
           .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))

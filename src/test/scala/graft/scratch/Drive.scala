@@ -1,119 +1,89 @@
 package graft.scratch
 
-import graft.functions.DecimalFunctions.{decimalSum, decimalSumProduct}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Same-JVM decomposition of the q10 star-aggregate cost:
-  * built-in decimal sum vs int128 kernel vs double sum.
+/** Same-JVM decomposition of the r7 focus queries (q14 distinct-agg,
+  * q16 JSON, q31 top-k) into scan / operator / exchange components at
+  * sf1, plus min-of-5 re-times of the star-aggregate family after the
+  * int128 + cast-hoist changes.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", 32)).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val li = spark.read.parquet("/tmp/testdata/sf1/lineitem.parquet")
-      .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata/sf1")
 
-    def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-    def dec82(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
-    val one = lit(1).cast("decimal(8,2)")
-
-    def time(name: String)(df: => DataFrame): Unit = {
-      val ts = (1 to 3).map { _ =>
+    def time(name: String, n: Int = 5)(df: => DataFrame): Unit = {
+      val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-22s min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"$name%-28s min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    time("scan-only") {
-      li.select("l_returnflag", "l_linestatus", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+
+    // ---- q14 distinct agg ----
+    time("q14/scan") {
+      orders.select("o_orderpriority", "o_custkey", "o_orderdate")
     }
-    time("double-sum") {
-      li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity")).as("dq"),
-        sum(col("l_extendedprice")).as("dp"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ddp"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax"))).as("dc"),
-        count(lit(1)).as("n"))
+    time("q14/plain-agg") {
+      orders.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n"), min("o_orderdate"), max("o_orderdate"))
     }
-    time("builtin-decimal-sum") {
-      li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(dec2(col("l_quantity"))).as("dq"),
-        sum(dec2(col("l_extendedprice"))).as("dp"),
-        sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))).as("ddp"),
-        sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount"))) *
-          (one + dec82(col("l_tax")))).as("dc"),
-        count(lit(1)).as("n"))
+    time("q14/distinct-pairs-only") {
+      orders.select("o_orderpriority", "o_custkey").distinct()
     }
-    time("cast-only") {
-      li.select(dec2(col("l_quantity")).as("a"), dec2(col("l_extendedprice")).as("b"),
-        (one - dec82(col("l_discount"))).as("c"), (one + dec82(col("l_tax"))).as("d"))
+    time("q14/full") {
+      orders.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
     }
-    // pre-materialized decimal inputs isolate the ACCUMULATOR cost
-    val pre = li.select(col("l_returnflag"), col("l_linestatus"),
-      dec2(col("l_quantity")).as("q"), dec2(col("l_extendedprice")).as("p"),
-      (one - dec82(col("l_discount"))).as("dm"), (one + dec82(col("l_tax"))).as("tp"))
-      .cache()
-    pre.count()
-    time("pre+builtin-sum") {
-      pre.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("q")), sum(col("p")), sum(col("p") * col("dm")),
-        sum(col("p") * col("dm") * col("tp")), count(lit(1)))
+    // two-level manual alternative: one exchange on (prio,cust), then
+    // a tiny second agg — does it beat Expand/two-agg planning?
+    time("q14/two-level") {
+      orders.groupBy("o_orderpriority", "o_custkey").agg(
+        count(lit(1)).as("n"), min("o_orderdate").as("f"), max("o_orderdate").as("l"))
+        .groupBy("o_orderpriority").agg(
+          sum("n").as("n_orders"), count(lit(1)).as("n_cust"),
+          min("f").as("first_date"), max("l").as("last_date"))
     }
-    time("pre+int128-kernel") {
-      pre.groupBy("l_returnflag", "l_linestatus").agg(
-        decimalSum(col("q")), decimalSum(col("p")),
-        decimalSumProduct(col("p"), col("dm")),
-        decimalSumProduct(col("p"), col("dm"), col("tp")), count(lit(1)))
+
+    // ---- q16 JSON ----
+    val reb = graft.operators.Dedup.rebalance(events)
+    time("q16/scan") { events.select("event_type", "user_id", "value", "props") }
+    time("q16/jackson-project") {
+      reb.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
     }
-    // 32-way rebalanced variants: does spreading the 6-row-group scan help?
-    val reb = graft.operators.Dedup.rebalance(li)
-    time("rebal+builtin-dec") {
-      reb.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(dec2(col("l_quantity"))), sum(dec2(col("l_extendedprice"))),
-        sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount")))),
-        sum(dec2(col("l_extendedprice")) * (one - dec82(col("l_discount"))) *
-          (one + dec82(col("l_tax")))), count(lit(1)))
+    time("q16/kernel-project") {
+      reb.select(graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
     }
-    time("rebal+int128-kernel") {
-      reb.groupBy("l_returnflag", "l_linestatus").agg(
-        decimalSum(dec2(col("l_quantity"))), decimalSum(dec2(col("l_extendedprice"))),
-        decimalSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount"))),
-        decimalSumProduct(dec2(col("l_extendedprice")), one - dec82(col("l_discount")),
-          one + dec82(col("l_tax"))), count(lit(1)))
+    time("q16/kernel-project-noreb") {
+      events.select(graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
     }
-    time("int128-kernel") {
-      li.groupBy("l_returnflag", "l_linestatus").agg(
-        decimalSum(dec2(col("l_quantity"))).as("dq"),
-        decimalSum(dec2(col("l_extendedprice"))).as("dp"),
-        decimalSumProduct(dec2(col("l_extendedprice")),
-          one - dec82(col("l_discount"))).as("ddp"),
-        decimalSumProduct(dec2(col("l_extendedprice")),
-          one - dec82(col("l_discount")), one + dec82(col("l_tax"))).as("dc"),
-        count(lit(1)).as("n"))
+    time("q16/full-new") { graft.queries.Queries.queries("q16_events_json")(spark, sf) }
+
+    // ---- q31 top-k per group ----
+    import org.apache.spark.sql.expressions.Window
+    time("q31/scan") { orders.select("o_orderpriority", "o_totalprice", "o_orderkey") }
+    time("q31/full") { graft.queries.Queries.queries("q31_topk_per_group")(spark, sf) }
+    // floor: same scan + a plain 5-group agg (no per-partition top-k state)
+    time("q31/agg-floor") {
+      orders.groupBy("o_orderpriority").agg(max("o_totalprice"), max("o_orderkey"))
     }
-    // casts projected BEFORE the groupBy (no cache): does hoisting the
-    // cast out of the aggregate update expressions recover pre+kernel?
-    def proj = li.select(col("l_returnflag"), col("l_linestatus"),
-      dec2(col("l_quantity")).as("q"), dec2(col("l_extendedprice")).as("p"),
-      (one - dec82(col("l_discount"))).as("dm"), (one + dec82(col("l_tax"))).as("tp"))
-    time("proj+int128-kernel") {
-      proj.groupBy("l_returnflag", "l_linestatus").agg(
-        decimalSum(col("q")), decimalSum(col("p")),
-        decimalSumProduct(col("p"), col("dm")),
-        decimalSumProduct(col("p"), col("dm"), col("tp")), count(lit(1)))
-    }
-    time("proj+builtin-sum") {
-      proj.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("q")), sum(col("p")), sum(col("p") * col("dm")),
-        sum(col("p") * col("dm") * col("tp")), count(lit(1)))
-    }
+
+    // ---- star family re-times ----
+    for (q <- Seq("q10_pricing_summary", "q11_top_revenue", "q12_regional_revenue",
+        "q15_setops", "q19_rollup", "q43_cube", "q44_pivot", "q14_distinct_agg"))
+      time(q) { graft.queries.Queries.queries(q)(spark, sf) }
+
     spark.stop()
   }
 }
