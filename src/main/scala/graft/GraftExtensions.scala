@@ -91,6 +91,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DecimalSumProduct128].getName,
         "graft_decimal_sum_product"),
       graft.functions.DecimalFunctions.sumProductBuilder))
+    // allocation-light double→decimal money cast (exact cast semantics)
+    e.injectFunction((
+      FunctionIdentifier("graft_money"),
+      new ExpressionInfo(classOf[graft.functions.MoneyCastExpr].getName, "graft_money"),
+      (exprs: Seq[Expression]) => {
+        GraftExtensions.requireArity("graft_money", exprs, 3)
+        def foldInt(e: Expression): Int = e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_money: expected a foldable integer, got $other")
+        }
+        graft.functions.MoneyCastExpr(exprs.head, foldInt(exprs(1)), foldInt(exprs(2)))
+      }))
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)

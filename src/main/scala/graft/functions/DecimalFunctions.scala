@@ -77,6 +77,205 @@ object DecimalFunctions {
     DecimalSum128(exprs.head).toAggregateExpression()
   def sumProductBuilder(exprs: Seq[Expression]): Expression =
     DecimalSumProduct128(exprs).toAggregateExpression()
+
+  /** `CAST(double AS DECIMAL(p,s))` with the boxed path reserved for
+    * values that need it. See [[MoneyCastExpr]].
+    */
+  def moneyCast(c: Column, precision: Int, scale: Int): Column =
+    SparkBridge.column(MoneyCastExpr(SparkBridge.expression(c), precision, scale))
+
+  /** The exact built-in slow path of the double→decimal cast:
+    * Double.toString-based BigDecimal (Decimal(d) goes through
+    * java.math.BigDecimal.valueOf), HALF_UP re-scale, null on
+    * overflow/NaN/Infinity — bit-identical to non-ANSI Cast
+    * (MoneyCastSpec pins it).
+    */
+  def moneySlow(v: Double, p: Int, s: Int): Decimal = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) null
+    else {
+      val d = Decimal(v)
+      if (d.changePrecision(p, s)) d else null
+    }
+  }
+}
+
+/** `MoneyCastExpr(double, p, s)` ≡ `CAST(x AS DECIMAL(p,s))` (p ≤ 18,
+  * non-ANSI), with the allocation tower of the built-in cast paid only
+  * by values that actually need it.
+  *
+  * The built-in cast runs Double.toString → java.math.BigDecimal →
+  * setScale → Decimal for EVERY row — measured ~1.0 s of the q10 star
+  * aggregate at sf1 (4 casts × 5.9M rows; the aggregation itself is
+  * 0.30 s). But money columns are fixed-point data stored as doubles:
+  * for them `l = Math.round(v·10^s)` is the right unscaled long, and
+  * that fact is *checkable exactly*: if `(double)(l / 10^s) == v` then
+  * v is the closest double to the 2-decimal value l/10^s, the shortest
+  * decimal representation Double.toString would emit identifies the
+  * same value, and HALF_UP re-scaling reproduces l — so emitting
+  * `Decimal.createUnsafe(l, p, s)` is bit-identical to the built-in
+  * cast with zero heavy allocation. Every value the check rejects
+  * (extra decimals, NaN/Inf, magnitude past 10^p, past the 2^51
+  * uniqueness bound, or past 2^63) takes
+  * the built-in's own path via [[DecimalFunctions.moneySlow]].
+  * MoneyCastSpec pins agreement on adversarial doubles (2.675-style
+  * binary-vs-shortest-repr traps included).
+  */
+case class MoneyCastExpr(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  require(precision >= 1 && precision <= 18 && scale >= 0 && scale <= precision,
+    s"money cast needs 1 <= precision <= 18, 0 <= scale <= precision; got ($precision,$scale)")
+  private val factor: Double = math.pow(10, scale)
+  private val maxUnscaled: Long = {
+    var m = 1L; var i = 0
+    while (i < precision) { m *= 10; i += 1 }
+    // the round-trip check proves uniqueness only while the double
+    // grid is finer than the decimal grid: at |f| <= 2^51,
+    // ulp(v) <= 10^-s/2, so v's rounding interval contains at most
+    // one scale-s value and `(double) f / 10^s == v` identifies it.
+    // Past that (|money| > ~22.5 trillion at s=2) several scaled
+    // longs round-trip to the same double and shortest-repr choice
+    // takes over -> slow path.
+    math.min(m - 1, 1L << 51)
+  }
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_money"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a double column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    val f = Math.round(v * factor)
+    if ((f.toDouble) / factor == v && f <= maxUnscaled && f >= -maxUnscaled)
+      Decimal.createUnsafe(f, precision, scale)
+    else DecimalFunctions.moneySlow(v, precision, scale)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""long f = Math.round($v * ${factor}D);
+         |if (((double) f) / ${factor}D == $v && f <= ${maxUnscaled}L && f >= -${maxUnscaled}L) {
+         |  ${ev.value} = org.apache.spark.sql.types.Decimal.createUnsafe(f, $precision, $scale);
+         |} else {
+         |  org.apache.spark.sql.types.Decimal r =
+         |    graft.functions.DecimalFunctions.moneySlow($v, $precision, $scale);
+         |  if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MoneyCastExpr =
+    copy(child = newChild)
+}
+
+/** `ScaledLongExpr(double, p, s)` ≡
+  * `UnscaledValue(CAST(x AS DECIMAL(p,s)))` — the unscaled long of the
+  * money cast with no `Decimal` materialized at all. Same fast-path
+  * proof and slow-path delegation as [[MoneyCastExpr]]; null exactly
+  * when the cast nulls.
+  */
+case class ScaledLongExpr(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  require(precision >= 1 && precision <= 18 && scale >= 0 && scale <= precision,
+    s"scaled long needs 1 <= precision <= 18, 0 <= scale <= precision; got ($precision,$scale)")
+  private val factor: Double = math.pow(10, scale)
+  private val maxUnscaled: Long = {
+    var m = 1L; var i = 0
+    while (i < precision) { m *= 10; i += 1 }
+    math.min(m - 1, 1L << 51) // uniqueness bound — see MoneyCastExpr
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_scaled_long"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a double column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    val f = Math.round(v * factor)
+    if ((f.toDouble) / factor == v && f <= maxUnscaled && f >= -maxUnscaled)
+      java.lang.Long.valueOf(f)
+    else {
+      val d = DecimalFunctions.moneySlow(v, precision, scale)
+      if (d == null) null else java.lang.Long.valueOf(d.toUnscaledLong)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""long f = Math.round($v * ${factor}D);
+         |if (((double) f) / ${factor}D == $v && f <= ${maxUnscaled}L && f >= -${maxUnscaled}L) {
+         |  ${ev.value} = f;
+         |} else {
+         |  org.apache.spark.sql.types.Decimal r =
+         |    graft.functions.DecimalFunctions.moneySlow($v, $precision, $scale);
+         |  if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.toUnscaledLong(); }
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ScaledLongExpr =
+    copy(child = newChild)
+}
+
+/** Rewrites a decimal-typed aggregate input into its unscaled-long
+  * form, fusing money casts so the hot update loop is pure long
+  * arithmetic with ZERO `Decimal` objects:
+  *
+  *   unscaled(MoneyCast(x, p, s))          = ScaledLong(x, p, s)
+  *   unscaled(Cast(d, widerSameScale))     = unscaled(d)   (widening
+  *     precision at equal scale leaves the unscaled value unchanged)
+  *   unscaled(CheckOverflow(e, t))         = unscaled(e) when t is the
+  *     analyzer's exact result type for e (max(p1,p2)+1 at equal
+  *     scale), i.e. the check cannot fire
+  *   unscaled(a ± b) at equal scale        = unscaled(a) ± unscaled(b)
+  *     in longs (|values| < 10^18 each, so the long op is exact)
+  *   unscaled(decimal literal)             = its unscaled long
+  *   unscaled(anything else)               = UnscaledValue(e)
+  *
+  * Every rule preserves value AND nullability exactly (a null factor
+  * stays null through long arithmetic), so the aggregate semantics —
+  * pinned by DecimalSumSpec against the built-in `sum` — are
+  * untouched; expressions the rules don't cover simply keep the
+  * generic `UnscaledValue` path.
+  */
+private[functions] object UnscaledOf {
+  private def scaleOf(e: Expression): Option[Int] = e.dataType match {
+    case d: DecimalType => Some(d.scale)
+    case _ => None
+  }
+  private def precOf(e: Expression): Int =
+    e.dataType.asInstanceOf[DecimalType].precision
+  private def addSub(e: Expression): Option[(Expression, Expression)] = e match {
+    case Add(a, b, _) => Some((a, b))
+    case Subtract(a, b, _) => Some((a, b))
+    case _ => None
+  }
+  /** both operands decimal at equal scale, small enough that the long
+    * op is exact (|unscaled| ≤ 10^17 each → sum within long range)
+    */
+  private def fusableAddSub(a: Expression, b: Expression): Boolean =
+    scaleOf(a).isDefined && scaleOf(a) == scaleOf(b) &&
+      precOf(a) <= 17 && precOf(b) <= 17
+
+  def apply(e: Expression): Expression = e match {
+    case m: MoneyCastExpr => ScaledLongExpr(m.child, m.precision, m.scale)
+    case Cast(inner, dt: DecimalType, _, _) if scaleOf(inner).contains(dt.scale) &&
+        precOf(inner) <= dt.precision =>
+      apply(inner)
+    case co @ CheckOverflow(inner, dt, _) =>
+      addSub(inner) match {
+        case Some((a, b)) if scaleOf(a).contains(dt.scale) &&
+            scaleOf(b).contains(dt.scale) && fusableAddSub(a, b) &&
+            dt.precision >= math.max(precOf(a), precOf(b)) + 1 =>
+          apply(inner)
+        case _ => UnscaledValue(co)
+      }
+    case Add(a, b, _) if fusableAddSub(a, b) =>
+      Add(apply(a), apply(b), EvalMode.LEGACY)
+    case Subtract(a, b, _) if fusableAddSub(a, b) =>
+      Subtract(apply(a), apply(b), EvalMode.LEGACY)
+    case Literal(d: Decimal, _: DecimalType) => Literal(d.toUnscaledLong)
+    case other => UnscaledValue(other)
+  }
 }
 
 /** Shared int128 expression plumbing for the two aggregates. */
@@ -162,10 +361,12 @@ case class DecimalSum128(child: Expression)
       math.min(DecimalType.MAX_PRECISION, inType.precision + 10), inType.scale)
 
   override lazy val updateExpressions: Seq[Expression] = {
-    // null input contributes an exact zero — branch-free skip
-    val x = If(IsNull(child), Literal(0L), UnscaledValue(child))
+    // money casts fuse to pure long arithmetic (UnscaledOf); null
+    // input contributes an exact zero — branch-free skip
+    val sl = UnscaledOf(child)
+    val x = If(IsNull(sl), Literal(0L), sl)
     val (nHi, nLo, aOvf) = add128(accHi, accLo, ShiftRight(x, Literal(63)), x)
-    Seq(nHi, nLo, And(accEmpty, IsNull(child)), Or(accOvf, aOvf))
+    Seq(nHi, nLo, And(accEmpty, IsNull(sl)), Or(accOvf, aOvf))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =
@@ -220,9 +421,13 @@ case class DecimalSumProduct128(children: Seq[Expression])
     inTypes.map(_.scale).sum)
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val anyNull = children.map(IsNull).reduce[Expression](Or(_, _))
+    // money casts fuse to pure long arithmetic (UnscaledOf); the
+    // null test runs on the fused form so a cast that nulls (NaN,
+    // overflow) skips the row exactly like the decimal path did
+    val sls = children.map(UnscaledOf(_))
+    val anyNull = sls.map(IsNull).reduce[Expression](Or(_, _))
     // a null factor zeroes the whole row's contribution (skip)
-    val xs = children.map(c => If(anyNull, Literal(0L), UnscaledValue(c)))
+    val xs = sls.map(sl => If(anyNull, Literal(0L), sl))
     val pLo = mul(xs.head, xs(1))
     val pHi = MultiplyHigh(xs.head, xs(1))
     val (vHi, vLo) = if (xs.length == 2) (pHi, pLo) else {

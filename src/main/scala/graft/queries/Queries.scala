@@ -30,8 +30,16 @@ object Queries {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** decimal money helpers shared by the TPC-H-ish queries */
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  /** decimal money helpers shared by the TPC-H-ish queries. These are
+    * CAST(x AS DECIMAL(p,2)) in kernel form (MoneyCastExpr): values
+    * provably on the 2-decimal grid skip the Double.toString →
+    * BigDecimal tower the built-in cast pays per row — measured ~1.0 s
+    * of q10's 1.3 s at sf1 once the int128 sum removed the accumulator
+    * cost (BENCHNOTES_r7). MoneyCastSpec pins bit-agreement with the
+    * built-in cast, so the DuckDB oracles are unaffected.
+    */
+  private def dec2(c: org.apache.spark.sql.Column) =
+    graft.functions.DecimalFunctions.moneyCast(c, 18, 2)
   // exact int128 sum / sum-of-products (graft.functions.DecimalFunctions):
   // value-identical to the built-in sum (DecimalSumSpec pins agreement,
   // overflow boundary included) but with a two-long primitive
@@ -41,7 +49,8 @@ object Queries {
     graft.functions.DecimalFunctions.decimalSum(c)
   private def decSumProduct(cs: org.apache.spark.sql.Column*) =
     graft.functions.DecimalFunctions.decimalSumProduct(cs: _*)
-  private def dec82(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
+  private def dec82(c: org.apache.spark.sql.Column) =
+    graft.functions.DecimalFunctions.moneyCast(c, 8, 2)
   private val one = lit(1).cast("decimal(8,2)")
 
   /** DuckDB replay of Dedup.minhashSignatures' double-hashing family:
@@ -151,22 +160,20 @@ object Queries {
 
     // TPC-H Q1 shape: scan-heavy aggregate
     "q10_pricing_summary" -> QueryDef(
+      // money casts INLINE in the aggregate: the int128 sums fuse a
+      // MoneyCastExpr child into pure long arithmetic (UnscaledOf) —
+      // no Decimal object per row at all. (The r6 cast-hoist is
+      // obsolete: re-evaluating a fused cast is three long ops.)
       (s, d) => tbl(s, d, "lineitem")
         .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
-        // casts hoisted into a projection: inside the aggregate they are
-        // (re-)evaluated per update expression; projected, each runs
-        // once per row in the same codegen pass (4x at sf1, BENCHNOTES_r7)
-        .select(col("l_returnflag"), col("l_linestatus"),
-          dec2(col("l_quantity")).as("d_qty"),
-          dec2(col("l_extendedprice")).as("d_price"),
-          (one - dec82(col("l_discount"))).as("d_disc"),
-          (one + dec82(col("l_tax"))).as("d_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          decSum(col("d_qty")).as("dq"),
-          decSum(col("d_price")).as("dp"),
-          decSumProduct(col("d_price"), col("d_disc")).as("ddp"),
-          decSumProduct(col("d_price"), col("d_disc"), col("d_tax")).as("dc"),
+          decSum(dec2(col("l_quantity"))).as("dq"),
+          decSum(dec2(col("l_extendedprice"))).as("dp"),
+          decSumProduct(dec2(col("l_extendedprice")),
+            one - dec82(col("l_discount"))).as("ddp"),
+          decSumProduct(dec2(col("l_extendedprice")),
+            one - dec82(col("l_discount")), one + dec82(col("l_tax"))).as("dc"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("dq").cast("double").as("sum_qty"),
@@ -191,18 +198,17 @@ object Queries {
         val c = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
         val o = tbl(s, d, "orders")
           .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        // money casts hoisted before the join: evaluated once per
-        // surviving lineitem row, and the join carries two decimals
-        // instead of two doubles it would re-cast per update expression
+        // raw doubles ride the join (8 bytes vs 16 for a decimal);
+        // the money casts sit INLINE in the aggregate where the
+        // int128 sum fuses them to long arithmetic (UnscaledOf)
         val l = tbl(s, d, "lineitem")
           .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-          .select(col("l_orderkey"),
-            dec2(col("l_extendedprice")).as("d_price"),
-            (one - dec82(col("l_discount"))).as("d_disc"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderkey", "o_orderdate")
-          .agg(decSumProduct(col("d_price"), col("d_disc")).as("rev"))
+          .agg(decSumProduct(dec2(col("l_extendedprice")),
+            one - dec82(col("l_discount"))).as("rev"))
           .orderBy(col("rev").desc, col("o_orderkey"))
           .limit(10)
           .select(col("o_orderkey"), col("o_orderdate"),
@@ -226,10 +232,10 @@ object Queries {
         val ord = tbl(s, d, "orders")
           .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        // raw doubles through the joins; casts fuse in the aggregate
         val li = tbl(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"),
-            dec2(col("l_extendedprice")).as("d_price"),
-            (one - dec82(col("l_discount"))).as("d_disc"))
+            col("l_extendedprice"), col("l_discount"))
         val supp = tbl(s, d, "supplier")
         broadcast(region)
           .join(broadcast(nation), col("r_regionkey") === col("n_regionkey"))
@@ -239,7 +245,8 @@ object Queries {
           .join(supp, col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
           .groupBy("n_name")
-          .agg(decSumProduct(col("d_price"), col("d_disc")).as("rev"),
+          .agg(decSumProduct(dec2(col("l_extendedprice")),
+            one - dec82(col("l_discount"))).as("rev"),
             count(lit(1)).as("n_items"))
           .select(col("n_name"), round(col("rev"), 2).cast("double").as("revenue"),
             col("n_items"))
@@ -309,13 +316,12 @@ object Queries {
     // so the parse belongs back in the scan task.
     "q16_events_json" -> QueryDef(
       (s, d) => tbl(s, d, "events")
-        .select(col("event_type"), col("user_id"),
-          dec2(col("value")).as("d_value"),
+        .select(col("event_type"), col("user_id"), col("value"),
           graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
         .groupBy("event_type").agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          decSum(col("d_value")).cast("double").as("sum_value"),
+          decSum(dec2(col("value"))).cast("double").as("sum_value"),
           max(col("k")).as("max_k")),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |COUNT(DISTINCT user_id) AS n_users,
@@ -332,7 +338,7 @@ object Queries {
         val ev = ev0
           .select(col("user_id"), col("event_id"),
             graft.functions.TimeFunctions.epochMs(ev0).as("ms"),
-            dec2(col("value")).as("d_value"))
+            col("value"))
         val wo = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
         ev.withColumn("is_new",
             when(col("ms") - lag(col("ms"), 1).over(wo) > 1800000L, 1L)
@@ -341,7 +347,7 @@ object Queries {
             sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id").agg(
             count(lit(1)).as("n_events"),
-            decSum(col("d_value")).cast("double").as("sum_value"),
+            decSum(dec2(col("value"))).cast("double").as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("dur_ms"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
@@ -374,11 +380,9 @@ object Queries {
     // grouping sets: ROLLUP with deterministic decimal sums
     "q19_rollup" -> QueryDef(
       (s, d) => tbl(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus"),
-          dec2(col("l_quantity")).as("d_qty"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          decSum(col("d_qty")).cast("double").as("sum_qty")),
+          decSum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
@@ -841,11 +845,9 @@ object Queries {
     // CUBE grouping sets
     "q43_cube" -> QueryDef(
       (s, d) => tbl(s, d, "orders")
-        .select(col("o_orderstatus"), col("o_orderpriority"),
-          dec2(col("o_totalprice")).as("d_total"))
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          decSum(col("d_total")).cast("double").as("total")),
+          decSum(dec2(col("o_totalprice"))).cast("double").as("total")),
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -853,11 +855,9 @@ object Queries {
     // pivot (wide conditional aggregation)
     "q44_pivot" -> QueryDef(
       (s, d) => tbl(s, d, "orders")
-        .select(col("o_orderpriority"), col("o_orderstatus"),
-          dec2(col("o_totalprice")).as("d_total"))
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(decSum(col("d_total")))
+        .agg(decSum(dec2(col("o_totalprice"))))
         .select(col("o_orderpriority"),
           col("F").cast("double").as("F"),
           col("O").cast("double").as("O"),

@@ -173,6 +173,67 @@ class DecimalSumSpec extends AnyFunSuite {
     assert(BigDecimal(out(1).getDecimal(2)) == BigDecimal("-7.50"))
   }
 
+  test("money-cast fusion: inline casts agree with built-in sum over built-in casts") {
+    import graft.functions.DecimalFunctions.moneyCast
+    val rnd = new Random(41)
+    // clean money values plus the shapes that force the slow path
+    // (extra decimals, NaN/Inf -> null skip, huge magnitudes)
+    val rows = (1 to 8000).map { i =>
+      val v: java.lang.Double = rnd.nextInt(12) match {
+        case 0 => null
+        case 1 => Double.NaN
+        case 2 => Double.PositiveInfinity
+        case 3 => rnd.nextDouble() * 1e17 // past the uniqueness bound
+        case 4 => rnd.nextDouble() // raw fractional: slow path
+        case _ => (rnd.nextLong() % 100000000L) / 100.0
+      }
+      (i % 5, v, math.abs(rnd.nextDouble()) % 1.0)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val one82 = lit(1).cast("decimal(8,2)")
+    val got = df.groupBy("g").agg(
+      decimalSum(moneyCast($"v", 18, 2)).as("s"),
+      decimalSumProduct(moneyCast($"v", 18, 2),
+        one82 - moneyCast($"w", 8, 2)).as("p"),
+      decimalSumProduct(moneyCast($"v", 18, 2),
+        one82 - moneyCast($"w", 8, 2), one82 + moneyCast($"w", 8, 2)).as("p3"))
+      .orderBy("g").collect()
+    val want = df.groupBy("g").agg(
+      sum($"v".cast("decimal(18,2)")).as("s"),
+      sum($"v".cast("decimal(18,2)") *
+        (one82 - $"w".cast("decimal(8,2)"))).as("p"),
+      sum($"v".cast("decimal(18,2)") *
+        (one82 - $"w".cast("decimal(8,2)")) *
+        (one82 + $"w".cast("decimal(8,2)"))).as("p3"))
+      .orderBy("g").collect()
+    (got zip want).foreach { case (g, w) =>
+      assert(g.get(1) == w.get(1), s"sum: $g vs $w")
+      assert(g.getDecimal(2).compareTo(w.getDecimal(2)) == 0, s"prod: $g vs $w")
+      assert(g.getDecimal(3).compareTo(w.getDecimal(3)) == 0, s"prod3: $g vs $w")
+    }
+    // the fused update really is long arithmetic: the analyzed
+    // aggregate's update expressions use graft_scaled_long (and, for
+    // the 1-w term, long subtraction), never UnscaledValue(cast)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val optimized = df.groupBy("g")
+      .agg(decimalSum(moneyCast($"v", 18, 2)).as("s"),
+        decimalSumProduct(moneyCast($"v", 18, 2),
+          one82 - moneyCast($"w", 8, 2)).as("p"))
+      .queryExecution.optimizedPlan
+    val updates = optimized.expressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae.aggregateFunction
+    }).flatMap {
+      case s: graft.functions.DecimalSum128 => s.updateExpressions
+      case p: graft.functions.DecimalSumProduct128 => p.updateExpressions
+      case _ => Nil
+    }
+    assert(updates.nonEmpty)
+    assert(updates.exists(_.exists(_.isInstanceOf[graft.functions.ScaledLongExpr])))
+    assert(!updates.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnscaledValue])),
+      updates.mkString("\n"))
+  }
+
   test("type checks: non-decimal and over-precision inputs are rejected") {
     val df = Seq(1L).toDF("v")
     val e1 = intercept[Exception] {
