@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordNgramHashes].getName,
         "graft_word_ngram_hashes"),
       graft.functions.GramHashFunctions.builder))
+    // md5 word-gram identities (exact-substring dedup windows)
+    e.injectFunction((
+      FunctionIdentifier("graft_word_gram_md5"),
+      new ExpressionInfo(classOf[graft.functions.WordGramMd5].getName,
+        "graft_word_gram_md5"),
+      graft.functions.GramMd5Functions.builder))
     // dedup text kernels: minhash signature / shingle hashes /
     // char n-grams / simhash
     graft.functions.TextKernelFunctions.builders.foreach { case (name, b) =>

@@ -165,3 +165,111 @@ object GramHashFunctions {
     call_function("graft_word_ngram_hashes", text, lit(n))
   }
 }
+
+/** Compiled kernel for md5 word-n-gram identities (exact-substring
+  * dedup, SubstringDedup). One md5 per W-token window of the text,
+  * emitted as two longs (digest bytes 0-7 / 8-15, big-endian) — the
+  * repo's md5-as-exact-identity convention (Dedup.exactSummary) at
+  * gram granularity, 16 bytes per window through any exchange instead
+  * of the gram text. The gram string is materialized once per window
+  * into a reused byte buffer; no per-window String allocation.
+  */
+object GramMd5Kernel {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** array<struct<hi, lo>> of md5(space-joined W-gram) for every
+    * window; texts with fewer than n words yield an empty array (no
+    * window exists — the oracle's `len(toks) >= n` guard).
+    */
+  def gramMd5(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      wordBytes(i) = words(i).getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val out = new Array[Any](words.length - n + 1)
+    var p = 0
+    while (p < out.length) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(p + j))
+        j += 1
+      }
+      val d = md.digest()
+      var hi = 0L; var lo = 0L
+      var k = 0
+      while (k < 8) {
+        hi = (hi << 8) | (d(k) & 0xffL)
+        lo = (lo << 8) | (d(k + 8) & 0xffL)
+        k += 1
+      }
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(hi, lo)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `WordGramMd5(text, n)`: array<struct<hi, lo>> md5 identity per
+  * W-token window (see GramMd5Kernel).
+  */
+case class WordGramMd5(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_word_gram_md5 expects a string column, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hi", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lo", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_word_gram_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    GramMd5Kernel.gramMd5(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramMd5Kernel.gramMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramMd5 =
+    copy(child = newChild)
+}
+
+object GramMd5Functions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  private[graft] val builder: Seq[Expression] => Expression = exprs => {
+    graft.GraftExtensions.requireArity("graft_word_gram_md5", exprs, 2)
+    val n = exprs(1) match {
+      case e if e.foldable && Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType, IntegerType,
+          LongType).contains(e.dataType) =>
+        Option(Literal.create(e.eval(), e.dataType).value)
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(
+            throw new IllegalArgumentException(
+              "graft_word_gram_md5: n must not be NULL"))
+      case other => throw new IllegalArgumentException(
+        s"graft_word_gram_md5: n must be a foldable integer, got $other")
+    }
+    WordGramMd5(exprs.head, n)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_gram_md5", builder, "built-in")
+
+  /** Column form over the active session (registers on first use). */
+  def wordGramMd5(text: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_word_gram_md5", text, lit(n))
+  }
+}

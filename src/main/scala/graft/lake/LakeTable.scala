@@ -1176,6 +1176,46 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     maybeCheckpoint(path, next)
   }
 
+  /** Parallelizes a large SINGLE-SPLIT write. A staged INSERT whose
+    * source scans as one task (a single parquet row group is Spark's
+    * atomic split) would otherwise encode the whole table's parquet on
+    * one core — measured at sf1: a 1M-row INSERT took 3.9 s single-task
+    * (≈ the bare serial parquet encode) vs ~0.5 s spread over 32
+    * (BENCHNOTES_r7). Repartitioning is CONTENT-HASHED over all
+    * columns, not round-robin: round-robin assignment depends on row
+    * order, so Spark must locally pre-sort every source partition for
+    * retry-determinism — the same serialized pass in a different
+    * stage — while hash assignment depends only on row values
+    * (deterministic under retry, nothing to sort). Worst case (every
+    * row identical) degrades to today's single-writer layout, never a
+    * wrong result. Gated exactly like Dedup.rebalance: planned
+    * parallelism far below the session's AND input big enough to pay
+    * for the exchange — a no-op on multi-split inputs, i.e. at real
+    * scale. Partitioned and bucketed writes are left alone (they
+    * manage their own layout; a blind repartition would multiply
+    * files-per-partition-value or break bucket-id encoding).
+    */
+  private def spreadForWrite(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      bucketing: Option[Bucketing]): DataFrame = {
+    val cols = df.schema.fieldNames
+    if (partitionBy.nonEmpty || bucketing.nonEmpty || cols.isEmpty) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 20)) df
+      else if (df.queryExecution.toRdd.getNumPartitions * 4 < target)
+        // the hash scatter destroys whatever row clustering the source
+        // had, which costs parquet encode + compression (and file-skip
+        // stats); a per-partition sort on the leading columns restores
+        // it — 32 parallel sorts of n/32 rows each, trivial next to
+        // the encode it speeds up
+        df.repartition(target, cols.toSeq.map(col): _*)
+          .sortWithinPartitions(cols.toSeq.map(col): _*)
+      else df
+    }
+  }
+
   /** Writes `df` as parquet files inside the table directory (staged in
     * a temp subdir, then renamed — same filesystem, so moves are
     * cheap metadata ops) and returns the add actions.
@@ -1189,10 +1229,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     Files.createDirectories(path)
     val stage = path.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
     // files store PHYSICAL column names (column mapping)
-    val physical =
+    val mapped =
       if (mapping.isEmpty) df
       else df.select(df.schema.fieldNames.toSeq.map(n =>
         col(n).as(physicalOf(mapping, n))): _*)
+    val physical = spreadForWrite(mapped, partitionBy, bucketing)
     val writer = physical.write.option("compression", compression)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(stage.toString)

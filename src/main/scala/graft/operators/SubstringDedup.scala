@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.GramMd5Functions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Exact-substring (repeated-span) dedup — the training-data modality
+  * where the unit of duplication is a long verbatim PASSAGE inside
+  * otherwise-distinct documents (boilerplate, licenses, templated
+  * text), not the whole document. The standard formulation
+  * (suffix-array dedup of training corpora) reduces cleanly to fixed
+  * windows: a verbatim repeat of length L ≥ W tokens appears as
+  * L−W+1 consecutive duplicated W-token windows, so
+  *
+  *   1. hash every W-token window (md5 of the space-joined gram — the
+  *      repo's exact-identity convention, shipped as two longs, never
+  *      the text),
+  *   2. keep windows whose gram occurs at ≥ 2 (doc, pos) sites
+  *      anywhere in the corpus (cross-doc AND within-doc repeats),
+  *   3. merge overlapping/adjacent duplicated windows per document
+  *      into maximal spans (gaps-and-islands over positions),
+  *
+  * recovers exactly the union of all ≥W-token repeated regions, with
+  * spans reported as token ranges [span_start, span_end).
+  *
+  * Scale shape: the kernel emits (pos, md5hi, md5lo) map-side — the
+  * exchange carries 20 bytes per window, not grams; the occurrence
+  * count partial-aggregates; the candidate semi-join rides the SAME
+  * (hi, lo) partitioning as the count (exchange reuse — PlanSpec);
+  * the per-document window function touches only documents that have
+  * hits. No driver state, no all-pairs anything.
+  */
+object SubstringDedup {
+
+  /** Maximal repeated token spans per document: (idCol, span_start,
+    * span_end) with token positions 0-based and span_end exclusive.
+    * `windowTokens` is the minimum repeat length W (production corpora
+    * typically use ~50; the synthetic tables plant shorter repeats).
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val grams = docs
+      .select(col(idCol), posexplode(
+        GramMd5Functions.wordGramMd5(col(textCol), w)).as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("h.hi").as("hi"), col("h.lo").as("lo"))
+    val dup = grams.groupBy("hi", "lo")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .select("hi", "lo")
+    val hits = grams.join(dup, Seq("hi", "lo"), "left_semi")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("is_new",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + w, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+}

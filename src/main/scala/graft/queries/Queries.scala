@@ -1268,6 +1268,34 @@ object Queries {
              |CAST(doc_id * 31 % 256 AS DOUBLE) AS mean_b,
              |CAST(NULL AS VARCHAR) AS error
              |FROM documents""".stripMargin)),
+
+    // exact-substring dedup: maximal repeated >=W-token spans across
+    // the corpus (SubstringDedup scaladoc — verbatim-passage
+    // duplication, the suffix-array dedup modality, via fixed-window
+    // reduction + gaps-and-islands merge). W=10 here so the synthetic
+    // near-dup runs between word substitutions surface; production
+    // corpora use ~50. The oracle replays the whole construction on
+    // gram STRINGS — the Spark side's md5 gram identity must induce
+    // the identical duplicated-window set for spans to hash-match.
+    "q62_repeated_spans" -> QueryDef(
+      (s, d) => SubstringDedup.repeatedSpans(
+        tbl(s, d, "documents"), "doc_id", "text", windowTokens = 10),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS i, toks
+             |      FROM t WHERE len(toks) >= 10),
+             |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |       array_to_string(toks[i:i+9], ' ') AS gram FROM g),
+             |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1),
+             |hits AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+             |m AS (SELECT doc_id, pos,
+             |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 10
+             |       THEN 1 ELSE 0 END AS is_new
+             |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sp AS (SELECT doc_id, pos,
+             |  SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM m)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+             |FROM sp GROUP BY doc_id, island""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -931,6 +931,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(byLang("fr") / 15000.0 - 0.3) < 0.02)
   }
 
+  test("exact-substring dedup: planted repeats produce exactly the merged spans") {
+    def toks(s: String) = s.split(" ").length
+    val shared = (1 to 12).map(i => s"rep$i").mkString(" ") // 12-token planted passage
+    val docs = Seq(
+      // the shared passage sits at tokens 3..15 of A and 0..12 of B
+      (1L, "alpha beta gamma " + shared + " tail1 tail2"),
+      (2L, shared + " something else entirely here"),
+      // within-doc repetition: the same 10 tokens twice in one doc
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ") + " mid " +
+        (1 to 10).map(i => s"w$i").mkString(" ")),
+      // a 9-token shared run: BELOW the W=10 floor, must NOT surface
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 pad1 pad2"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 other padding"),
+      // short doc (< W tokens), exactly duplicated: no window exists
+      (6L, "tiny duplicated doc"),
+      (7L, "tiny duplicated doc"),
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toks(shared) == 12)
+    assert(spans == Set(
+      (1L, 3L, 15L), // 12-token repeat => windows at 3,4,5 => [3, 15)
+      (2L, 0L, 12L),
+      (3L, 0L, 10L), (3L, 11L, 21L), // within-doc repeat, both sites
+    ), spans.toString)
+  }
+
   test("same-source membership equals intersect/except, in one exchange") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 20000).map { i =>
