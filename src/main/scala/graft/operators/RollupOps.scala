@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Pre-aggregated ROLLUP / CUBE — the grouping-sets evaluation order a
+  * 100 TB fact table needs.
+  *
+  * Spark plans `df.rollup(dims).agg(...)` as `Expand` FIRST: every
+  * input row is replicated once per grouping set (3 copies for a
+  * 2-dim rollup, 4 for a 2-dim cube) and the whole multiplied stream
+  * runs through the aggregation hash table. The map-side work — the
+  * only part that grows with the fact table — is G× a plain GROUP BY,
+  * for super-aggregate rows that are pure arithmetic consequences of
+  * the finest level.
+  *
+  * For decomposable aggregates (sum/count/min/max — anything with an
+  * associative merge) the algebra factors: aggregate ONCE at the
+  * finest grouping (dims themselves; the same partial-agg + one tiny
+  * exchange as a plain GROUP BY), then run Expand + re-aggregation on
+  * the RESULT — |distinct dim combos| rows, not |fact| rows. The
+  * grouping-set lattice is identical (a data-borne NULL dim value
+  * forms its own finest-level group either way, and rolls up either
+  * way), and each re-aggregated value merges exactly the partials the
+  * direct plan would have folded row-by-row:
+  *   count → sum of partial counts, sum → sum of partial sums,
+  *   min/max → min/max of partial min/max.
+  * So the output is row-for-row identical to the direct form — pinned
+  * by OperatorSpec on data with NULL dim values, and by the unchanged
+  * q19/q43 oracles — while the fact table pays one aggregation pass
+  * instead of G.
+  *
+  * No reference analog (the reference delegates GROUP BY to DuckDB,
+  * which aggregates grouping sets in one pass natively); this is the
+  * Spark-planning counterpart of that evaluation strategy.
+  */
+object RollupOps {
+
+  /** How a finest-level partial re-aggregates across grouping sets. */
+  sealed trait ReAgg
+  /** count / sum partials: add them. */
+  case object ReSum extends ReAgg
+  case object ReMin extends ReAgg
+  case object ReMax extends ReAgg
+
+  /** One output aggregate: `partial` evaluated at the finest grouping
+    * level under `alias`, then folded across grouping sets by `re`.
+    * The output column keeps `alias`.
+    */
+  final case class PreAgg(partial: Column, alias: String, re: ReAgg)
+
+  def rollup(df: DataFrame, dims: Seq[String], aggs: Seq[PreAgg]): DataFrame =
+    grouped(df, dims, aggs, cube = false)
+
+  def cube(df: DataFrame, dims: Seq[String], aggs: Seq[PreAgg]): DataFrame =
+    grouped(df, dims, aggs, cube = true)
+
+  private def grouped(
+      df: DataFrame, dims: Seq[String], aggs: Seq[PreAgg],
+      cube: Boolean): DataFrame = {
+    require(dims.nonEmpty, "at least one grouping dimension")
+    require(aggs.nonEmpty, "at least one aggregate")
+    val partials = aggs.map(a => a.partial.as(a.alias))
+    val base = df.groupBy(dims.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val finals = aggs.map { a =>
+      val c = a.re match {
+        case ReSum => sum(col(a.alias))
+        case ReMin => min(col(a.alias))
+        case ReMax => max(col(a.alias))
+      }
+      c.as(a.alias)
+    }
+    val g = if (cube) base.cube(dims.map(col): _*)
+            else base.rollup(dims.map(col): _*)
+    g.agg(finals.head, finals.tail: _*)
+  }
+
+  /** GROUP BY with one exact COUNT(DISTINCT d) alongside decomposable
+    * aggregates, evaluated in two levels instead of Spark's Expand
+    * plan (which replicates every fact row once for the distinct
+    * branch and once for the plain branch).
+    *
+    * Level 1 groups by (groupCols, d) — one partial-agg + one
+    * exchange bounded by the DISTINCT PAIR count, the same payload
+    * the Expand plan ultimately shuffles, without the 2× row
+    * replication through the map-side hash table. Level 2 folds the
+    * pair-level partials: `count(d)` counts non-null d groups —
+    * exactly COUNT(DISTINCT d)'s null semantics — and each
+    * decomposable re-aggregates per its `re`. Rows whose d IS NULL
+    * still contribute to every non-distinct aggregate, as in the
+    * direct form (OperatorSpec pins equivalence on data with nulls).
+    */
+  def distinctAggTwoLevel(
+      df: DataFrame,
+      groupCols: Seq[String],
+      distinctCol: String,
+      distinctAlias: String,
+      aggs: Seq[PreAgg]): DataFrame = {
+    val partials = aggs.map(a => a.partial.as(a.alias))
+    val base = df.groupBy((groupCols :+ distinctCol).map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val finals = count(col(distinctCol)).as(distinctAlias) +: aggs.map { a =>
+      val c = a.re match {
+        case ReSum => sum(col(a.alias))
+        case ReMin => min(col(a.alias))
+        case ReMax => max(col(a.alias))
+      }
+      c.as(a.alias)
+    }
+    base.groupBy(groupCols.map(col): _*).agg(finals.head, finals.tail: _*)
+  }
+}

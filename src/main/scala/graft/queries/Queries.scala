@@ -280,12 +280,17 @@ object Queries {
              |FROM orders""".stripMargin)),
 
     // distinct aggregates
+    // two-level distinct aggregation (RollupOps.distinctAggTwoLevel):
+    // one (priority, custkey) partial-agg + pair-bounded exchange
+    // instead of the Expand plan's 2x row replication; the remaining
+    // cost IS the distinct-pair exchange (BENCHNOTES_r7 decomposition)
     "q14_distinct_agg" -> QueryDef(
-      (s, d) => tbl(s, d, "orders").groupBy("o_orderpriority").agg(
-        count(lit(1)).as("n_orders"),
-        countDistinct(col("o_custkey")).as("n_cust"),
-        min(col("o_orderdate")).as("first_date"),
-        max(col("o_orderdate")).as("last_date")),
+      (s, d) => RollupOps.distinctAggTwoLevel(tbl(s, d, "orders"),
+        Seq("o_orderpriority"), "o_custkey", "n_cust",
+        Seq(
+          RollupOps.PreAgg(count(lit(1)), "n_orders", RollupOps.ReSum),
+          RollupOps.PreAgg(min(col("o_orderdate")), "first_date", RollupOps.ReMin),
+          RollupOps.PreAgg(max(col("o_orderdate")), "last_date", RollupOps.ReMax))),
       Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
              |COUNT(DISTINCT o_custkey) AS n_cust,
              |min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
@@ -318,11 +323,14 @@ object Queries {
       (s, d) => tbl(s, d, "events")
         .select(col("event_type"), col("user_id"), col("value"),
           graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          decSum(dec2(col("value"))).cast("double").as("sum_value"),
-          max(col("k")).as("max_k")),
+        .transform(ev => RollupOps.distinctAggTwoLevel(ev,
+          Seq("event_type"), "user_id", "n_users",
+          Seq(
+            RollupOps.PreAgg(count(lit(1)), "n_events", RollupOps.ReSum),
+            RollupOps.PreAgg(decSum(dec2(col("value"))), "sum_value", RollupOps.ReSum),
+            RollupOps.PreAgg(max(col("k")), "max_k", RollupOps.ReMax))))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          col("sum_value").cast("double").as("sum_value"), col("max_k")),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |COUNT(DISTINCT user_id) AS n_users,
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -378,11 +386,18 @@ object Queries {
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
 
     // grouping sets: ROLLUP with deterministic decimal sums
+    // pre-aggregated rollup (RollupOps): the finest-level GROUP BY
+    // runs once over the fact table; Expand + super-aggregation run
+    // over its handful of result rows instead of 3x the fact stream
     "q19_rollup" -> QueryDef(
-      (s, d) => tbl(s, d, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          decSum(dec2(col("l_quantity"))).cast("double").as("sum_qty")),
+      (s, d) => RollupOps.rollup(tbl(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(
+            RollupOps.PreAgg(count(lit(1)), "n", RollupOps.ReSum),
+            RollupOps.PreAgg(
+              decSum(dec2(col("l_quantity"))), "sum_qty", RollupOps.ReSum)))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("sum_qty").cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
@@ -843,11 +858,17 @@ object Queries {
              |             CAST(ceil(0.75 * n) AS BIGINT), CAST(ceil(0.95 * n) AS BIGINT))""".stripMargin)),
 
     // CUBE grouping sets
+    // pre-aggregated cube (RollupOps — see q19): Expand multiplies a
+    // ~15-row pre-aggregate by 4 grouping sets, not the fact table
     "q43_cube" -> QueryDef(
-      (s, d) => tbl(s, d, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          decSum(dec2(col("o_totalprice"))).cast("double").as("total")),
+      (s, d) => RollupOps.cube(tbl(s, d, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(
+            RollupOps.PreAgg(count(lit(1)), "n", RollupOps.ReSum),
+            RollupOps.PreAgg(
+              decSum(dec2(col("o_totalprice"))), "total", RollupOps.ReSum)))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total")),
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),

@@ -989,4 +989,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(setOpPlan.linesIterator.count(_.contains("Exchange")) >= 3)
     assert(setOpPlan.contains("Join"))
   }
+
+  test("pre-aggregated rollup/cube equals the direct form, incl. NULL dims") {
+    import RollupOps._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { _ =>
+      val a = Seq("x", "y", null, "z")(rnd.nextInt(4)) // data-borne NULL dim
+      val b = Seq("p", "q")(rnd.nextInt(2))
+      (a, b, rnd.nextInt(1000).toLong, BigDecimal(rnd.nextInt(100000)) / 100)
+    }
+    val df = rows.toDF("a", "b", "v", "m")
+      .withColumn("m", $"m".cast("decimal(18,2)"))
+    def canon(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val directRollup = df.rollup("a", "b").agg(
+      count(lit(1)).as("n"), sum($"m").as("sm"),
+      min($"v").as("mn"), max($"v").as("mx"))
+    val preRollup = RollupOps.rollup(df, Seq("a", "b"), Seq(
+      PreAgg(count(lit(1)), "n", ReSum), PreAgg(sum($"m"), "sm", ReSum),
+      PreAgg(min($"v"), "mn", ReMin), PreAgg(max($"v"), "mx", ReMax)))
+      // re-summing widens the partial sum's decimal; compare values
+      .select($"a", $"b", $"n", $"sm".cast("decimal(28,2)").as("sm"), $"mn", $"mx")
+    assert(canon(preRollup) == canon(directRollup))
+    val directCube = df.cube("a", "b").agg(
+      count(lit(1)).as("n"), max($"v").as("mx"))
+    val preCube = RollupOps.cube(df, Seq("a", "b"), Seq(
+      PreAgg(count(lit(1)), "n", ReSum), PreAgg(max($"v"), "mx", ReMax)))
+    assert(canon(preCube) == canon(directCube))
+    // the win the operator exists for: the fact table feeds ONE
+    // aggregation — Expand sits ABOVE the base agg, not on the scan
+    val planStr = preRollup.queryExecution.executedPlan.toString
+    val expandLine = planStr.linesIterator.indexWhere(_.contains("Expand"))
+    val aggBelow = planStr.linesIterator.drop(expandLine + 1)
+      .count(_.contains("HashAggregate"))
+    assert(expandLine >= 0 && aggBelow >= 1) // base agg below Expand
+  }
+
+  test("two-level distinct agg equals COUNT(DISTINCT) incl. NULL keys") {
+    import RollupOps._
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 8000).map { _ =>
+      val g = Seq("g1", "g2", "g3")(rnd.nextInt(3))
+      // NULL distinct keys: COUNT(DISTINCT d) must skip them while
+      // every other aggregate still sees the row
+      val d = if (rnd.nextInt(10) == 0) null
+              else s"u${rnd.nextInt(300)}"
+      (g, d, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("g", "d", "v")
+    val direct = df.groupBy("g").agg(
+      count(lit(1)).as("n"), countDistinct($"d").as("nd"),
+      min($"v").as("mn"), sum($"v").as("sv"))
+    val twoLevel = RollupOps.distinctAggTwoLevel(df, Seq("g"), "d", "nd", Seq(
+      PreAgg(count(lit(1)), "n", ReSum),
+      PreAgg(min($"v"), "mn", ReMin),
+      PreAgg(sum($"v"), "sv", ReSum)))
+    def canon(p: org.apache.spark.sql.DataFrame) =
+      p.select("g", "n", "nd", "mn", "sv").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(canon(twoLevel) == canon(direct))
+    // and no Expand in the two-level plan (that is the point)
+    assert(!twoLevel.queryExecution.executedPlan.toString.contains("Expand"))
+  }
 }

@@ -260,6 +260,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), s"got $got")
   }
 
+  test("streaming shard dedup: stores converge to batch dedupCorpus; batch replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, IncrementalDedup}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft-streamdedup")
+    val sigPath = root.resolve("sigs"); val pairPath = root.resolve("pairs")
+    val outPath = root.resolve("out")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.dedupedIngest(
+      mem.toDF.toDF("doc_id", "text"), sigPath, pairPath, outPath,
+      root.resolve("ckpt").toString, "doc_id", "text")
+    val shards = Seq(
+      corpus.where($"doc_id" % 2 === 0),
+      corpus.where($"doc_id" % 2 === 1))
+    shards.foreach { sh =>
+      mem.addData(sh.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // retroactive kept set from the streamed stores == one batch
+    // dedupCorpus over the concatenated corpus
+    val sig = new LakeTable(spark, sigPath)
+    val pair = new LakeTable(spark, pairPath)
+    val out = new LakeTable(spark, outPath)
+    val streamedKept = IncrementalDedup.keptIds(sig, pair)
+      .as[Long].collect().sorted.toSeq
+    val batchKept = Dedup.dedupCorpus(corpus, "doc_id", "text", 8, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamedKept == batchKept)
+
+    // the appended output corpus: per-arrival survivors — every
+    // retroactively-kept doc was also kept at arrival (min-id
+    // representatives never lose their component), so out ⊇ kept,
+    // and out never contains a doc that was dominated at arrival
+    val outIds = out.read().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(outIds.containsSlice(Nil) && streamedKept.forall(outIds.contains))
+    assert(outIds.size < corpus.count()) // something was actually dropped
+
+    // exactly-once: replaying batch 0 through the identical entry
+    // point adds NO commits to any store (all three stamps found)
+    val (vS, vP, vO) = (sig.version, pair.version, out.version)
+    StreamingDedup.ingestBatch(shards(0), 0L, sigPath, pairPath, outPath,
+      "doc_id", "text", 8, 4)
+    assert((sig.version, pair.version, out.version) == ((vS, vP, vO)))
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0

@@ -79,9 +79,32 @@ object Drive {
       orders.groupBy("o_orderpriority").agg(max("o_totalprice"), max("o_orderkey"))
     }
 
+    // ---- q12 star join ----
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    time("q12/lineitem-scan") {
+      lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    }
+    time("q12/orders-side-only") {
+      val region = spark.read.parquet(s"$sf/region.parquet").where(col("r_name") === "ASIA")
+      val nation = spark.read.parquet(s"$sf/nation.parquet")
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+      val ord = orders.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      broadcast(region)
+        .join(broadcast(nation), col("r_regionkey") === col("n_regionkey"))
+        .join(cust, col("n_nationkey") === col("c_nationkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "n_name", "c_nationkey")
+    }
+
+    // ---- q15 same-source membership ----
+    time("q15/scan") { orders.select("o_custkey", "o_orderstatus") }
+    time("q15/distinct-custkeys") { orders.select("o_custkey").distinct() }
+
     // ---- star family re-times ----
     for (q <- Seq("q10_pricing_summary", "q11_top_revenue", "q12_regional_revenue",
-        "q15_setops", "q19_rollup", "q43_cube", "q44_pivot", "q14_distinct_agg"))
+        "q15_setops", "q16_events_json", "q19_rollup", "q43_cube", "q44_pivot",
+        "q14_distinct_agg", "q31_topk_per_group"))
       time(q) { graft.queries.Queries.queries(q)(spark, sf) }
 
     spark.stop()

@@ -59,6 +59,22 @@ object Retime {
         spark.sql("SELECT * FROM graft.default.q59_orders")
           .write.format("noop").mode("overwrite").save()
       }
+      // q59 commit-cost decomposition: the same INSERT source written
+      // as (a) bare parquet files (no transaction), and (b) computed
+      // only (noop sink). insert-1M minus (a) = log append + atomic
+      // rename + directory fsync; (a) minus (b) = durable parquet
+      // encode+write. That splits the statement-level number into
+      // plan / parquet / commit without instrumenting LakeTable.
+      val insertSel = spark.sql("""SELECT CAST(o_orderkey AS BIGINT) o_orderkey,
+        CAST(o_custkey AS BIGINT) o_custkey, CAST(o_orderstatus AS STRING) o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) o_totalprice, CAST(o_orderdate AS TIMESTAMP) o_orderdate,
+        CAST(o_orderpriority AS STRING) o_orderpriority FROM q59_stage_seed""")
+      timeU("insert-src-noop") {
+        insertSel.write.format("noop").mode("overwrite").save()
+      }
+      timeU("insert-src-parquet") {
+        insertSel.write.mode("overwrite").parquet("/tmp/q59_raw_parquet")
+      }
     }
     spark.stop()
   }
