@@ -35,28 +35,16 @@ object SparkEntry {
     // whichever physical type is bound (functions.TimeFunctions).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
-    // Runtime (AQE) broadcast decisions use MEASURED shuffle-stage
-    // sizes, so a higher ceiling is safe by construction: a fact-sized
-    // side never broadcasts (its observed size exceeds the ceiling and
-    // the join stays sort-merge), while a filtered/pre-joined side
-    // that MEASURES small — the orders⋈dims side of a TPC-H Q5-shape
-    // star after its date filter — flips to broadcast-hash and deletes
-    // the big fact exchange. 64 MB per executor is comfortable on any
-    // cluster this engine targets; the STATIC threshold (estimates,
-    // not measurements) stays at Spark's conservative default.
-    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
-    // Runtime bloom filters: a selective dimension/filter side of a
-    // shuffle join injects a bloom filter of its join keys into the
-    // fact side's scan, so the big exchange carries only rows that
-    // can survive the join (TPC-H Q5 shape: lineitem drops to the
-    // ~30% of rows whose order passes the date filter BEFORE its 6M-row
-    // shuffle). The filter itself is KB-scale regardless of data
-    // scale — exactly the mechanism a 100 TB star join needs. The
-    // creation-side ceiling rises with the broadcast ceiling above
-    // (Spark's 10 MB default predates the memory of any current
-    // executor).
-    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    // Defaults DELIBERATELY kept for the AQE broadcast threshold and
+    // runtime bloom filters: both were measured 2x2 at sf0.1 AND sf1
+    // (BENCHNOTES_r7) — a 64 MB runtime-broadcast ceiling made the Q5
+    // star and the MERGE join SLOWER (driver build/collect of a
+    // 10-40 MB hashed relation costs more than the shuffle it
+    // replaces at every tested width), and injected bloom filters
+    // priced in at roughly their own build cost (the exchange they
+    // prune is only ~3x reducible here). Deployments with slower
+    // interconnects than a single host can revisit; the session
+    // default follows the measurements, not the theory.
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // the cluster-deployment pair every entry point carries: native

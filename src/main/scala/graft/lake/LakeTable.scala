@@ -1200,10 +1200,28 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       partitionBy: Seq[String],
       bucketing: Option[Bucketing]): DataFrame = {
     val cols = df.schema.fieldNames
-    if (partitionBy.nonEmpty || bucketing.nonEmpty || cols.isEmpty) df
+    // join/aggregate/window-shaped sources (MERGE rewrites, INSERT
+    // SELECT ... GROUP BY) already carry shuffle parallelism — skip
+    // them on the LOGICAL plan, before the getNumPartitions probe
+    // below builds a throwaway physical plan per statement
+    def alreadyParallelShape: Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      df.queryExecution.optimizedPlan.exists {
+        case _: Join | _: Aggregate | _: Window | _: RepartitionOperation => true
+        case _ => false
+      }
+    }
+    if (partitionBy.nonEmpty || bucketing.nonEmpty || cols.isEmpty ||
+        alreadyParallelShape) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 20)) df
+      // 64 MB floor, not "bigger than tiny": below it the serial
+      // encode is cheaper than what the scatter costs the COMMIT —
+      // 32 small files ⇒ 32 fsyncs + 32 log entries per statement
+      // (measured: the sf0.1 q59 INSERT+MERGE doubled under a 1 MB
+      // gate, while the sf1 1M-row encode win needs the spread;
+      // estimates sit ~25 MB vs ~250 MB — clean separation)
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 26)) df
       else if (df.queryExecution.toRdd.getNumPartitions * 4 < target)
         // the hash scatter destroys whatever row clustering the source
         // had, which costs parquet encode + compression (and file-skip

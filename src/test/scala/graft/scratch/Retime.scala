@@ -7,7 +7,7 @@ object Retime {
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", 32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/tmp/testdata/sf1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata/sf1")
     def timeU(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body
