@@ -47,6 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "graft_kll_quantile"),
       graft.functions.KllFunctions.quantileBuilder))
+    // mergeable frequent-items (heavy hitters) family (build / union / items)
+    e.injectFunction((
+      FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchBuild].getName, "graft_freq_sketch"),
+      graft.functions.FreqFunctions.sketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_freq_union"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchMerge].getName, "graft_freq_union"),
+      graft.functions.FreqFunctions.unionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FreqItems].getName, "graft_freq_items"),
+      graft.functions.FreqFunctions.itemsBuilder))
     // word-n-gram rolling-hash kernel (decontamination's hot loop)
     e.injectFunction((
       FunctionIdentifier("graft_word_ngram_hashes"),
@@ -148,6 +161,9 @@ object GraftExtensions {
     case "graft_word_tf" => classOf[graft.functions.WordTfExpr].getName
     case "graft_text_stats" => classOf[graft.functions.TextStatsExpr].getName
     case "graft_json_long" => classOf[graft.functions.GraftJsonLongExpr].getName
+    case "graft_freq_sketch" => classOf[graft.functions.FreqSketchBuild].getName
+    case "graft_freq_union" => classOf[graft.functions.FreqSketchMerge].getName
+    case "graft_freq_items" => classOf[graft.functions.FreqItems].getName
     case other => other // unknown name: leave as-is rather than lie
   }
 

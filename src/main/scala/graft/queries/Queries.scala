@@ -1317,6 +1317,35 @@ object Queries {
              |  FROM m)
              |SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
              |FROM sp GROUP BY doc_id, island""".stripMargin)),
+
+    // frequent-items sketch (heavy hitters): per-language token
+    // frequencies through the mergeable Misra-Gries aggregate
+    // (FreqFunctions scaladoc). UNLIKE the theta/KLL queries this one
+    // carries a full GROUP BY oracle: the vocabulary (≤31 distinct
+    // words per language) sits far below the counter budget, so the
+    // sketch never purges, every estimate is the exact count, and the
+    // threshold set is deterministic — the exact regime is itself the
+    // correctness proof that the plumbing (serde, partial merges,
+    // threshold query) is faithful. The lossy regime's bounds are
+    // FreqSketchSpec's job.
+    "q63_freq_terms" -> QueryDef(
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("lang"),
+            explode(TextAnalysis.words(col("text"))).as("word"))
+          .where(length(col("word")) > 0)
+        toks.groupBy("lang")
+          .agg(graft.functions.FreqFunctions
+            .freqSketch(s, col("word")).as("sk"))
+          .select(col("lang"), explode(
+            graft.functions.FreqFunctions.freqItems(s, col("sk"), 10L)).as("f"))
+          .select(col("lang"), col("f.item").as("word"),
+            col("f.estimate").as("n"))
+      },
+      Some("""WITH w AS (SELECT lang, string_split_regex(text, '\s+') AS ws FROM documents),
+             |t AS (SELECT lang, unnest(ws) AS word FROM w)
+             |SELECT lang, word, COUNT(*) AS n FROM t WHERE len(word) > 0
+             |GROUP BY lang, word HAVING COUNT(*) >= 10""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -40,6 +40,17 @@ object ExtensionsCheck {
           |  SELECT graft_theta_sketch(id) AS sk FROM ext_check GROUP BY id % 4)
           |""".stripMargin).head().getLong(0)
       require(math.abs(dv - 1000L) <= 50L, s"theta distinct off: $dv")
+      // frequent-items family: build per-group, union binaries, read
+      // the threshold set — exact regime so the answer is pinned
+      val fr = spark.sql(
+        """SELECT f.item, f.estimate FROM (
+          |  SELECT graft_freq_union(sk) AS sk FROM (
+          |    SELECT graft_freq_sketch(CAST(id % 3 AS STRING), 64) AS sk
+          |    FROM ext_check GROUP BY id % 4))
+          |LATERAL VIEW explode(graft_freq_items(sk, 300)) AS f
+          |""".stripMargin).collect()
+      require(fr.length == 3 && fr.map(_.getLong(1)).sum == 1000L,
+        s"freq items off: ${fr.mkString(",")}")
       // text kernels resolve and compute from pure SQL
       val tk = spark.sql(
         """SELECT size(graft_minhash_signature('a b c d e', 8)) AS k,
