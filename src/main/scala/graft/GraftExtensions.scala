@@ -126,6 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approximate COUNT(DISTINCT) via theta sketches
     // (spark.graft.approxDistinct=true)
     e.injectOptimizerRule(_ => graft.functions.ApproxDistinctRewrite)
+    // exact pre-aggregated ROLLUP/CUBE/GROUPING SETS (on by default;
+    // spark.graft.preAggGroupingSets=false restores Expand-first)
+    e.injectOptimizerRule(_ => graft.plans.PreAggGroupingSets)
     // SQL MERGE/UPDATE/DELETE on graft catalog tables → lake
     // copy-on-write commands (the reference's generated DML,
     // component.py:228-258)
