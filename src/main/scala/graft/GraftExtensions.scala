@@ -129,6 +129,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exact pre-aggregated ROLLUP/CUBE/GROUPING SETS (on by default;
     // spark.graft.preAggGroupingSets=false restores Expand-first)
     e.injectOptimizerRule(_ => graft.plans.PreAggGroupingSets)
+    // NOTE deliberately absent: a matching rule for
+    // COUNT(DISTINCT)+co-aggregates was built and then DELETED in r7 —
+    // physical planning already evaluates the one-distinct case as
+    // partial-on-(keys, d) -> merge -> distinct phases with no Expand
+    // and no row replication (verified on the executed plan), so the
+    // rewrite was redundant; the multi-distinct Expand it cannot avoid
+    // without changing semantics.
     // SQL MERGE/UPDATE/DELETE on graft catalog tables → lake
     // copy-on-write commands (the reference's generated DML,
     // component.py:228-258)

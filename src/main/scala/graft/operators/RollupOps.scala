@@ -76,38 +76,13 @@ object RollupOps {
     g.agg(finals.head, finals.tail: _*)
   }
 
-  /** GROUP BY with one exact COUNT(DISTINCT d) alongside decomposable
-    * aggregates, evaluated in two levels instead of Spark's Expand
-    * plan (which replicates every fact row once for the distinct
-    * branch and once for the plain branch).
-    *
-    * Level 1 groups by (groupCols, d) — one partial-agg + one
-    * exchange bounded by the DISTINCT PAIR count, the same payload
-    * the Expand plan ultimately shuffles, without the 2× row
-    * replication through the map-side hash table. Level 2 folds the
-    * pair-level partials: `count(d)` counts non-null d groups —
-    * exactly COUNT(DISTINCT d)'s null semantics — and each
-    * decomposable re-aggregates per its `re`. Rows whose d IS NULL
-    * still contribute to every non-distinct aggregate, as in the
-    * direct form (OperatorSpec pins equivalence on data with nulls).
-    */
-  def distinctAggTwoLevel(
-      df: DataFrame,
-      groupCols: Seq[String],
-      distinctCol: String,
-      distinctAlias: String,
-      aggs: Seq[PreAgg]): DataFrame = {
-    val partials = aggs.map(a => a.partial.as(a.alias))
-    val base = df.groupBy((groupCols :+ distinctCol).map(col): _*)
-      .agg(partials.head, partials.tail: _*)
-    val finals = count(col(distinctCol)).as(distinctAlias) +: aggs.map { a =>
-      val c = a.re match {
-        case ReSum => sum(col(a.alias))
-        case ReMin => min(col(a.alias))
-        case ReMax => max(col(a.alias))
-      }
-      c.as(a.alias)
-    }
-    base.groupBy(groupCols.map(col): _*).agg(finals.head, finals.tail: _*)
-  }
+  // NOTE deliberately absent: a `distinctAggTwoLevel` helper (GROUP BY
+  // with COUNT(DISTINCT d) + decomposables hand-split into two
+  // aggregates) was built and DELETED in r7 — Spark's one-distinct
+  // physical planning already evaluates exactly that shape (partial on
+  // (keys, d) → merge → distinct phases, no Expand, no row
+  // replication; verified on the executed plan and measured equal),
+  // so the helper added moving parts for nothing. Expand appears only
+  // for aggregates over MULTIPLE different distinct children, which
+  // no two-level split can express without changing semantics.
 }

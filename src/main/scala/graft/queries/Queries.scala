@@ -280,17 +280,17 @@ object Queries {
              |FROM orders""".stripMargin)),
 
     // distinct aggregates
-    // two-level distinct aggregation (RollupOps.distinctAggTwoLevel):
-    // one (priority, custkey) partial-agg + pair-bounded exchange
-    // instead of the Expand plan's 2x row replication; the remaining
-    // cost IS the distinct-pair exchange (BENCHNOTES_r7 decomposition)
+    // Spark's one-distinct physical planning is already two-level
+    // (partial agg on (priority, custkey), merge, then the distinct
+    // count phases — NO Expand, no row replication; BENCHNOTES_r7 §3):
+    // the plain form IS the right plan, and the remaining sf1 cost is
+    // the distinct-pair exchange floor the decomposition measured
     "q14_distinct_agg" -> QueryDef(
-      (s, d) => RollupOps.distinctAggTwoLevel(tbl(s, d, "orders"),
-        Seq("o_orderpriority"), "o_custkey", "n_cust",
-        Seq(
-          RollupOps.PreAgg(count(lit(1)), "n_orders", RollupOps.ReSum),
-          RollupOps.PreAgg(min(col("o_orderdate")), "first_date", RollupOps.ReMin),
-          RollupOps.PreAgg(max(col("o_orderdate")), "last_date", RollupOps.ReMax))),
+      (s, d) => tbl(s, d, "orders").groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date")),
       Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
              |COUNT(DISTINCT o_custkey) AS n_cust,
              |min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
@@ -323,14 +323,11 @@ object Queries {
       (s, d) => tbl(s, d, "events")
         .select(col("event_type"), col("user_id"), col("value"),
           graft.functions.JsonKernelFunctions.jsonLong(col("props"), "k").as("k"))
-        .transform(ev => RollupOps.distinctAggTwoLevel(ev,
-          Seq("event_type"), "user_id", "n_users",
-          Seq(
-            RollupOps.PreAgg(count(lit(1)), "n_events", RollupOps.ReSum),
-            RollupOps.PreAgg(decSum(dec2(col("value"))), "sum_value", RollupOps.ReSum),
-            RollupOps.PreAgg(max(col("k")), "max_k", RollupOps.ReMax))))
-        .select(col("event_type"), col("n_events"), col("n_users"),
-          col("sum_value").cast("double").as("sum_value"), col("max_k")),
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          decSum(dec2(col("value"))).cast("double").as("sum_value"),
+          max(col("k")).as("max_k")),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |COUNT(DISTINCT user_id) AS n_users,
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
