@@ -10,13 +10,14 @@ import org.apache.spark.sql.types._
   * per-partition batch operators.
   *
   * Image decode is REAL (`decodeImages`: bounded `javax.imageio`
-  * header parse + raster stats, corrupt-safe); `decodeStub` remains as
-  * the codec-free featurizer shape for media kinds the JDK cannot
-  * decode (audio/video), where only the schema contract, the
-  * `mapPartitions` batch shape (one iterator pass, constant memory per
-  * partition, no driver involvement), and the partition-preserving
-  * plumbing carry over to a 100 TB run with a production decoder
-  * dropped into the body.
+  * header parse + raster stats, corrupt-safe) and so is audio decode
+  * (`decodeAudio`: `javax.sound.sampled` container parse + PCM RMS,
+  * same bounds); `decodeStub` remains as the codec-free featurizer
+  * shape for media the JDK cannot decode (video), where only the
+  * schema contract, the `mapPartitions` batch shape (one iterator
+  * pass, constant memory per partition, no driver involvement), and
+  * the partition-preserving plumbing carry over to a 100 TB run with
+  * a production decoder dropped into the body.
   */
 object Multimodal {
 
@@ -203,6 +204,132 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, "png", bos)
           val bytes = bos.toByteArray
           Row(id, bytes, "png", bytes.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Output schema of the real audio decoder. */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType),
+    StructField("error", StringType)))
+
+  /** REAL bounded audio decode over partitions (`javax.sound.sampled`,
+    * in-JDK — no external codec dependency). Same two-tier design as
+    * [[decodeImages]]:
+    *  - container header via `AudioSystem.getAudioFileFormat` (RIFF/
+    *    AIFF/AU chunk parse, no sample data read) gives sample rate,
+    *    channels, bit depth, and frame count — O(header) per payload;
+    *  - the sample-statistics pass (RMS over all channels) decodes
+    *    PCM only for payloads within `maxDecodeBytes`; larger ones
+    *    keep their header fields and report `error = "too_large"`.
+    * Non-PCM-16 encodings keep header metadata with
+    * `error = "unsupported_encoding"` (a production pass would
+    * transcode; statistics on compressed bytes would be garbage).
+    * Corrupt payloads never throw — null fields + reason, so one bad
+    * object in a billion cannot fail a stage. Same `mapPartitions`
+    * batch shape as every decoder here.
+    */
+  def decodeAudio(media: DataFrame, maxDecodeBytes: Int = 1 << 24): DataFrame = {
+    val enc = RowEncoder.encoderFor(AudioFeatureSchema)
+    media.select("media_id", "payload", "format", "n_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeOneAudio(r.getLong(0), r.getAs[Array[Byte]](1),
+            r.getString(2), maxDecodeBytes)
+        }
+      }(enc)
+  }
+
+  private def decodeOneAudio(
+      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int): Row = {
+    import javax.sound.sampled._
+    val nullRow = (err: String) =>
+      Row(id, fmt, null, null, null, null, null, err)
+    if (payload == null || payload.length == 0) return nullRow("empty_payload")
+    try {
+      val aff = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      val sr = f.getSampleRate.toInt
+      val ch = f.getChannels
+      val bits = f.getSampleSizeInBits
+      val frames = aff.getFrameLength.toLong
+      if (payload.length > maxDecodeBytes)
+        return Row(id, fmt, sr, ch, bits, frames, null, "too_large")
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || bits != 16)
+        return Row(id, fmt, sr, ch, bits, frames, null, "unsupported_encoding")
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        // RMS over every 16-bit sample of every channel; the square
+        // sum is exact in a long (2^31 per sample², 2^32 samples max)
+        var sumSq = 0L
+        var n = 0L
+        val buf = new Array[Byte](8192)
+        var read = ais.read(buf)
+        var carry = -1 // low byte of a sample split across reads
+        while (read > 0) {
+          var i = 0
+          if (carry >= 0 && read > 0) {
+            val v = ((buf(0) << 8) | carry).toShort.toLong
+            sumSq += v * v; n += 1; i = 1; carry = -1
+          }
+          while (i + 1 < read) {
+            val v = (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort.toLong
+            sumSq += v * v; n += 1
+            i += 2
+          }
+          if (i < read) carry = buf(i) & 0xff
+          read = ais.read(buf)
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+        Row(id, fmt, sr, ch, bits, frames, rms, null)
+      } finally ais.close()
+    } catch {
+      case _: Exception => nullRow("decode_failed")
+    }
+  }
+
+  /** Deterministic synthetic WAV payloads from an id column — the
+    * test-data adapter for the REAL audio decoder (the corpus ships no
+    * audio). 16-bit PCM mono at 8 kHz; sample count and every sample
+    * value are pure integer functions of the id:
+    *   n_samples = 16 + id % 64,
+    *   sample(i) = (id·31 + i·7) mod 2003 − 1001
+    * so the oracle replays the arithmetic exactly (square sums are
+    * integers; `sqrt` and the division are correctly-rounded IEEE ops
+    * in both engines) while the Spark side really round-trips
+    * WAV-encode → RIFF sniff → `javax.sound.sampled` decode → RMS.
+    */
+  def renderSyntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(MediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (16 + id % 64).toInt
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(8000).putInt(16000) // rate, byte rate
+            .putShort(2).putShort(16) // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            bb.putShort(((id * 31 + i * 7) % 2003 - 1001).toShort)
+            i += 1
+          }
+          val bytes = bb.array()
+          Row(id, bytes, "riff", bytes.length.toLong)
         }
       }(enc)
   }

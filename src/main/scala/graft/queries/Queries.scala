@@ -1343,6 +1343,34 @@ object Queries {
              |t AS (SELECT lang, unnest(ws) AS word FROM w)
              |SELECT lang, word, COUNT(*) AS n FROM t WHERE len(word) > 0
              |GROUP BY lang, word HAVING COUNT(*) >= 10""".stripMargin)),
+
+    // REAL audio decode end-to-end, the q61 pattern for sound:
+    // deterministic synthetic WAVs (16-bit PCM mono 8 kHz; sample
+    // count and values are integer functions of the id), RIFF-sniffed
+    // from the bytes, decoded through javax.sound.sampled, RMS over
+    // the PCM samples. The oracle replays the id arithmetic: square
+    // sums are exact integers in both engines and sqrt/division are
+    // correctly-rounded IEEE doubles, so the hash gate proves the
+    // decoder read the real samples.
+    "q64_audio_decode" -> QueryDef(
+      (s, d) => {
+        val media = graft.operators.Multimodal
+          .renderSyntheticWavs(tbl(s, d, "documents"), "doc_id")
+          .withColumn("format", graft.operators.Multimodal.sniffFormat(col("payload")))
+        graft.operators.Multimodal.decodeAudio(media)
+          .select(col("media_id"), col("format"), col("sample_rate"),
+            col("channels"), col("bits"), col("n_samples"), col("rms"),
+            col("error"))
+      },
+      Some("""WITH s AS (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents),
+             |g AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM s),
+             |v AS (SELECT doc_id, n, (doc_id * 31 + i * 7) % 2003 - 1001 AS x FROM g)
+             |SELECT doc_id AS media_id, 'riff' AS format,
+             |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+             |  CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_samples,
+             |  sqrt(CAST(SUM(x * x) AS DOUBLE) / n) AS rms,
+             |  CAST(NULL AS VARCHAR) AS error
+             |FROM v GROUP BY doc_id, n""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

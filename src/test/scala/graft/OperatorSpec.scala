@@ -418,6 +418,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.isNullAt(4) && capped.getString(8) == "too_large")
   }
 
+  test("multimodal: real audio decode — header fields, exact RMS, corrupt safety") {
+    // happy path: synthetic WAVs round-trip encode → decode; RMS is
+    // the exact integer-arithmetic value
+    val ids = Seq(3L, 77L, 901L).toDF("doc_id")
+    val media = Multimodal.renderSyntheticWavs(ids, "doc_id")
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+    assert(media.select("format").as[String].collect().forall(_ == "riff"))
+    val out = Multimodal.decodeAudio(media).orderBy("media_id").collect()
+    out.zip(Seq(3L, 77L, 901L)).foreach { case (r, id) =>
+      val n = (16 + id % 64).toInt
+      var sumSq = 0L
+      (0 until n).foreach { i =>
+        val x = (id * 31 + i * 7) % 2003 - 1001
+        sumSq += x * x
+      }
+      assert(r.getInt(2) == 8000 && r.getInt(3) == 1 && r.getInt(4) == 16)
+      assert(r.getLong(5) == n.toLong, "n_samples")
+      assert(r.getDouble(6) == math.sqrt(sumSq.toDouble / n), "rms")
+      assert(r.isNullAt(7), "no error")
+    }
+
+    // corrupt safety: garbage, truncated WAV, empty
+    val goodWav = Multimodal.renderSyntheticWavs(Seq(9L).toDF("doc_id"), "doc_id")
+      .select("payload").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (1L, "certainly not audio".getBytes("UTF-8")),
+      (2L, goodWav.take(12)), // RIFF/WAVE magic, no fmt chunk
+      (3L, Array.empty[Byte]),
+    ).toDF("media_id", "payload")
+      .withColumn("format", Multimodal.sniffFormat($"payload"))
+      .withColumn("n_bytes", length($"payload").cast("long"))
+    val errs = Multimodal.decodeAudio(corrupt)
+      .select("media_id", "error").as[(Long, String)].collect().toMap
+    assert(errs(1L) == "decode_failed")
+    assert(errs(2L) == "decode_failed")
+    assert(errs(3L) == "empty_payload")
+    assert(Multimodal.decodeAudio(corrupt).where($"rms".isNotNull).count() == 0)
+
+    // bounded decode: over-cap payloads keep the HEADER fields
+    // (container parse only) and skip the sample pass
+    val big = Multimodal.renderSyntheticWavs(Seq(40L).toDF("doc_id"), "doc_id")
+      .withColumn("format", lit("riff"))
+    val capped = Multimodal.decodeAudio(big, maxDecodeBytes = 30).head()
+    assert(capped.getInt(2) == 8000 && capped.getLong(5) == (16 + 40 % 64).toLong)
+    assert(capped.isNullAt(6) && capped.getString(7) == "too_large")
+  }
+
   // ---- queries smoke on sf0.001 ------------------------------------------
 
   test("every registered query runs and flagship entry returns rows") {
