@@ -4,6 +4,7 @@ import org.apache.datasketches.common.ArrayOfStringsSerDe
 import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -41,6 +42,38 @@ private[functions] object FreqSerde {
   def toBytes(s: ItemsSketch[String]): Array[Byte] = s.toByteArray(serde)
   def fromBytes(b: Array[Byte]): ItemsSketch[String] =
     ItemsSketch.getInstance(Memory.wrap(b), serde)
+
+  /** Types whose string rendering is deterministic, so counting the
+    * rendered item is counting the value. Binary/float/struct/array
+    * are rejected at ANALYSIS time: `Array[Byte].toString` is JVM
+    * identity ("[B@1a2b3c" — silently wrong counts), doubles have
+    * shortest-repr traps, InternalRow.toString is representation-
+    * dependent. Callers who want those must cast explicitly and own
+    * the rendering.
+    */
+  def countable(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType => true
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Deterministic item rendering for a `countable` type. */
+  def render(dt: DataType, v: Any): String = dt match {
+    case StringType => v.asInstanceOf[UTF8String].toString
+    case _          => v.toString // integral / boolean: stable JVM repr
+  }
+
+  def checkCountable(name: String, dt: DataType): TypeCheckResult =
+    if (countable(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name: unsupported input type ${dt.catalogString} " +
+        "(supported: string, integral, boolean; cast explicitly otherwise)")
+
+  def checkBinary(name: String, dt: DataType): TypeCheckResult = dt match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name: expected a stored sketch (binary), got ${other.catalogString}")
+  }
 }
 
 /** Aggregates raw string values into a serialized frequency sketch.
@@ -59,11 +92,13 @@ case class FreqSketchBuild(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqSerde.checkCountable(prettyName, child.dataType)
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
   override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.toString)
+    if (v != null) buffer.update(FreqSerde.render(child.dataType, v))
     buffer
   }
   override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
@@ -98,6 +133,8 @@ case class FreqSketchMerge(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqSerde.checkBinary(prettyName, child.dataType)
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
   override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
@@ -136,6 +173,8 @@ case class FreqItems(child: Expression, minCount: Long)
     extends UnaryExpression with CodegenFallback {
   require(minCount >= 1, s"minCount must be >= 1, got $minCount")
   override def prettyName: String = "graft_freq_items"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqSerde.checkBinary(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("item", StringType, nullable = false),

@@ -79,6 +79,8 @@ case class KllSketchMerge(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FreqSerde.checkBinary(prettyName, child.dataType)
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance()
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
@@ -112,6 +114,8 @@ case class KllQuantile(child: Expression, q: Double)
   override def prettyName: String = "graft_kll_quantile"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FreqSerde.checkBinary(prettyName, child.dataType)
   override def nullSafeEval(v: Any): Any = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
     if (sk.isEmpty) null else sk.getQuantile(q)

@@ -152,6 +152,8 @@ case class ThetaSketchMerge(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = if (emitBinary) BinaryType else LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FreqSerde.checkBinary(prettyName, child.dataType)
   override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)

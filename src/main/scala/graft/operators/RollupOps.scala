@@ -1,6 +1,9 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Pre-aggregated ROLLUP / CUBE — the grouping-sets evaluation order a
@@ -55,11 +58,57 @@ object RollupOps {
   def cube(df: DataFrame, dims: Seq[String], aggs: Seq[PreAgg]): DataFrame =
     grouped(df, dims, aggs, cube = true)
 
+  /** PreAgg is a CONTRACT — the partial must actually re-aggregate
+    * under the declared fold, or the super-aggregate rows are silently
+    * wrong (avg of avgs, count-distinct of counts). Unlike the
+    * [[graft.plans.PreAggGroupingSets]] rule, which inspects resolved
+    * plans and bails out, this API sees the partial before analysis —
+    * so validate the declared shape here and fail loudly on misuse.
+    * Recognized: bare `sum`/`count` (and the graft int128 decimal
+    * sums) under ReSum, bare `min` under ReMin, bare `max` under
+    * ReMax, never DISTINCT, never a wrapper around the aggregate (a
+    * cast/arith wrapper applied at the finest level does not commute
+    * with the re-fold).
+    */
+  private val reSumNames = Set("sum", "count", "graft_decimal_sum", "graft_decimal_sum_product")
+
+  private def validate(a: PreAgg): Unit = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"PreAgg '${a.alias}': $what. Only decomposable partials fold correctly " +
+        "across grouping sets (ReSum: sum/count, ReMin: min, ReMax: max); " +
+        "avg/countDistinct/etc. would return wrong super-aggregate rows.")
+    SparkBridge.convertedExpression(a.partial) match {
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        if (f.isDistinct) fail(s"DISTINCT '$name' is not decomposable")
+        val ok = a.re match {
+          case ReSum => reSumNames.contains(name)
+          case ReMin => name == "min"
+          case ReMax => name == "max"
+        }
+        if (!ok) fail(s"partial '$name' does not re-aggregate under ${a.re}")
+      case ae: AggregateExpression =>
+        if (ae.isDistinct) fail("DISTINCT aggregate is not decomposable")
+        val ok = (a.re, ae.aggregateFunction) match {
+          case (ReSum, _: Sum | _: Count) => true
+          case (ReSum, f) => reSumNames.contains(f.prettyName)
+          case (ReMin, _: Min) => true
+          case (ReMax, _: Max) => true
+          case _ => false
+        }
+        if (!ok) fail(
+          s"partial '${ae.aggregateFunction.prettyName}' does not re-aggregate under ${a.re}")
+      case other => fail(
+        s"partial is not a bare aggregate call (got ${other.getClass.getSimpleName})")
+    }
+  }
+
   private def grouped(
       df: DataFrame, dims: Seq[String], aggs: Seq[PreAgg],
       cube: Boolean): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")
     require(aggs.nonEmpty, "at least one aggregate")
+    aggs.foreach(validate)
     val partials = aggs.map(a => a.partial.as(a.alias))
     val base = df.groupBy(dims.map(col): _*)
       .agg(partials.head, partials.tail: _*)

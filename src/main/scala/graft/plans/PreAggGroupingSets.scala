@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Pre-aggregated grouping sets as an optimizer rule — the SQL-path
@@ -50,11 +50,22 @@ object PreAggGroupingSets extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.preAggGroupingSets", "true").toBoolean
 
+  // Idempotence: our own output is Aggregate-under-Expand, but another
+  // rule in the same fixpoint batch (ColumnPruning) may interpose a
+  // Project between them — strip Projects before testing, or the rule
+  // re-fires on its own output (correct but a redundant agg pass).
+  @scala.annotation.tailrec
+  private def strippedIsAggregate(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case proj: Project => strippedIsAggregate(proj.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || conf.ansiEnabled) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, expand: Expand, _)
-          if !expand.child.isInstanceOf[Aggregate] =>
+          if !strippedIsAggregate(expand.child) =>
         rewrite(agg, expand).getOrElse(agg)
     }
 

@@ -29,6 +29,19 @@ object SparkBridge {
   /** The Catalyst expression behind a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Like [[expression]], but with the lazy `ColumnNodeExpression`
+    * wrapper (public-API columns like `functions.avg` carry a
+    * ColumnNode, converted only at analysis) eagerly converted, so
+    * callers can pattern-match the Catalyst shape (e.g.
+    * `UnresolvedFunction`) before a plan exists.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c) match {
+      case classic.ColumnNodeExpression(node) =>
+        classic.ColumnNodeToExpressionConverter(node)
+      case e => e
+    }
+
   /** A DataFrame flagged isStreaming=true over an InternalRow RDD —
     * what a V1 streaming `Source.getBatch` must return
     * (MicroBatchExecution asserts the plan is streaming). Same

@@ -95,4 +95,46 @@ class FreqSketchSpec extends AnyFunSuite {
       spark.sql("SELECT graft_freq_items(NULL, w) FROM freq_in").collect()
     } // non-literal threshold
   }
+
+  test("wrong-typed inputs fail at ANALYSIS, not silently miscount") {
+    FreqFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    graft.functions.KllFunctions.register(spark)
+    Seq((Array[Byte](1, 2), 1.5, "a")).toDF("b", "d", "w")
+      .createOrReplaceTempView("freq_types")
+    // binary child would count JVM identity strings ("[B@...")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_freq_sketch(b) FROM freq_types").collect()
+    }
+    assert(e1.getMessage.contains("unsupported input type"))
+    // double child: shortest-repr rendering traps — rejected too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_freq_sketch(d) FROM freq_types").collect()
+    }
+    assert(e2.getMessage.contains("unsupported input type"))
+    // merge/items over a non-binary column: analysis error, not a
+    // runtime ClassCastException mid-job
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_freq_union(w) FROM freq_types").collect()
+    }
+    assert(e3.getMessage.contains("binary"))
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_freq_items(w, 1) FROM freq_types").collect()
+    }
+    assert(e4.getMessage.contains("binary"))
+    // same contract on the theta/kll rollup halves
+    val e5 = intercept[Exception] {
+      spark.sql("SELECT graft_theta_union(w) FROM freq_types").collect()
+    }
+    assert(e5.getMessage.contains("binary"))
+    val e6 = intercept[Exception] {
+      spark.sql("SELECT graft_kll_union(w) FROM freq_types").collect()
+    }
+    assert(e6.getMessage.contains("binary"))
+    // integral input still works and counts the decimal rendering
+    val ok = spark.sql(
+      "SELECT graft_freq_items(graft_freq_sketch(CAST(7 AS BIGINT)), 1) items FROM freq_types")
+      .select(explode($"items").as("f")).select($"f.item").as[String].collect()
+    assert(ok.toSeq == Seq("7"))
+  }
 }

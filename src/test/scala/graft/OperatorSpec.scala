@@ -1072,6 +1072,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(expandLine >= 0 && aggBelow >= 1) // base agg below Expand
   }
 
+  test("PreAgg misuse fails loudly: non-decomposable or mismatched partials rejected") {
+    import RollupOps._
+    val df = Seq(("x", 1L)).toDF("a", "v")
+    // avg of avgs would be silently wrong super-aggregates
+    val e1 = intercept[IllegalArgumentException] {
+      RollupOps.rollup(df, Seq("a"), Seq(PreAgg(avg($"v"), "av", ReSum)))
+    }
+    assert(e1.getMessage.contains("does not re-aggregate"))
+    // countDistinct partials cannot be summed across sets
+    val e2 = intercept[IllegalArgumentException] {
+      RollupOps.rollup(df, Seq("a"), Seq(PreAgg(countDistinct($"v"), "cd", ReSum)))
+    }
+    assert(e2.getMessage.toLowerCase.contains("distinct"))
+    // right aggregate, wrong fold: sum under ReMin
+    val e3 = intercept[IllegalArgumentException] {
+      RollupOps.cube(df, Seq("a"), Seq(PreAgg(sum($"v"), "s", ReMin)))
+    }
+    assert(e3.getMessage.contains("does not re-aggregate"))
+    // a wrapper around the aggregate doesn't commute with the re-fold
+    val e4 = intercept[IllegalArgumentException] {
+      RollupOps.rollup(df, Seq("a"), Seq(PreAgg(sum($"v").cast("int"), "s", ReSum)))
+    }
+    assert(e4.getMessage.contains("not a bare aggregate"))
+    // the graft int128 decimal sum IS decomposable under ReSum
+    val ok = RollupOps.rollup(
+      df.withColumn("m", $"v".cast("decimal(18,2)")), Seq("a"),
+      Seq(PreAgg(graft.functions.DecimalFunctions.decimalSum($"m"), "sm", ReSum)))
+    assert(ok.collect().length == 2) // (x) and the grand-total row
+  }
+
   test("one-distinct aggregate plans two-level natively: no Expand, no row replication") {
     // the fact that made r7 delete its hand-split two-level helper:
     // Spark's physical planning of COUNT(DISTINCT d) + decomposable

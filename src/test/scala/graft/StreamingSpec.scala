@@ -295,12 +295,24 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(streamedKept == batchKept)
 
-    // the appended output corpus: per-arrival survivors — every
-    // retroactively-kept doc was also kept at arrival (min-id
-    // representatives never lose their component), so out ⊇ kept,
-    // and out never contains a doc that was dominated at arrival
+    // the appended output corpus IS the union of per-arrival survivor
+    // sets: after shard k arrives, its docs that are min-id component
+    // representatives of the prefix corpus (shards 1..k). Recompute
+    // each prefix's kept set with the BATCH dedup and intersect with
+    // the shard — exact equality, both directions.
     val outIds = out.read().select("doc_id").as[Long].collect().sorted.toSeq
-    assert(outIds.containsSlice(Nil) && streamedKept.forall(outIds.contains))
+    val expectedArrival: Set[Long] = shards.indices.flatMap { k =>
+      val prefix = shards.take(k + 1).reduce(_ unionByName _)
+      val prefixKept = Dedup.dedupCorpus(prefix, "doc_id", "text", 8, 4)
+        .select("doc_id").as[Long].collect().toSet
+      val shardIds = shards(k).select("doc_id").as[Long].collect().toSet
+      prefixKept intersect shardIds
+    }.toSet
+    assert(outIds.toSet == expectedArrival,
+      s"out != union of arrival-time survivors: " +
+        s"extra=${outIds.toSet -- expectedArrival} missing=${expectedArrival -- outIds.toSet}")
+    // retroactively-kept ⊆ out (min-id reps never lose their component)
+    assert(streamedKept.forall(outIds.contains))
     assert(outIds.size < corpus.count()) // something was actually dropped
 
     // exactly-once: replaying batch 0 through the identical entry
