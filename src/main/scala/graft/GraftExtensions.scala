@@ -32,17 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_kll_sketch"),
       new ExpressionInfo(classOf[graft.functions.KllSketchBuild].getName, "graft_kll_sketch"),
-      (exprs: Seq[Expression]) => {
-        GraftExtensions.requireArity("graft_kll_sketch", exprs, 1)
-        graft.functions.KllSketchBuild(exprs.head).toAggregateExpression()
-      }))
+      graft.functions.KllFunctions.sketchBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_kll_union"),
       new ExpressionInfo(classOf[graft.functions.KllSketchMerge].getName, "graft_kll_union"),
-      (exprs: Seq[Expression]) => {
-        GraftExtensions.requireArity("graft_kll_union", exprs, 1)
-        graft.functions.KllSketchMerge(exprs.head).toAggregateExpression()
-      }))
+      graft.functions.KllFunctions.unionBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "graft_kll_quantile"),

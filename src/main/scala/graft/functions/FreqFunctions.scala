@@ -205,7 +205,7 @@ object FreqFunctions {
       "graft_freq_items", itemsBuilder, "built-in")
   }
 
-  private def intLit(name: String, arg: String, e: Expression): Int =
+  private[functions] def intLit(name: String, arg: String, e: Expression): Int =
     longLit(name, arg, e).toInt
 
   private def isIntegral(dt: DataType): Boolean = dt match {

@@ -37,15 +37,17 @@ private[functions] object KllUpdates {
   */
 case class KllSketchBuild(
     child: Expression,
+    k: Int = KllFunctions.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
+  KllFunctions.checkK(k)
   override def prettyName: String = "graft_kll_sketch"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+    KllDoublesSketch.newHeapInstance(k)
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null) buffer.update(KllUpdates.toDouble(child.dataType, v))
@@ -72,9 +74,11 @@ case class KllSketchBuild(
   */
 case class KllSketchMerge(
     child: Expression,
+    k: Int = KllFunctions.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
+  KllFunctions.checkK(k)
   override def prettyName: String = "graft_kll_union"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -82,7 +86,7 @@ case class KllSketchMerge(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     FreqSerde.checkBinary(prettyName, child.dataType)
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+    KllDoublesSketch.newHeapInstance(k)
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null)
@@ -125,22 +129,41 @@ case class KllQuantile(child: Expression, q: Double)
 }
 
 object KllFunctions {
+  /** DataSketches' default k (≈1.65% rank error). `k` is the
+    * accuracy/state budget AND the exactness switch: a KLL sketch
+    * retains every value while n ≤ k (no compaction has fired), so
+    * with k chosen ≥ the per-group row count the sketch IS the sorted
+    * sample and `getQuantile` returns the exact order statistic —
+    * matching DuckDB's `quantile_disc` value-for-value (both follow
+    * the inclusive convention: smallest v with #(≤v)/n ≥ rank;
+    * probed on ties/singletons/extreme ranks). That is what makes
+    * q58's rollup hash-checkable (the q63 pattern).
+    */
+  val DefaultK = 200
+  val MaxK = 65535
+  private[functions] def checkK(k: Int): Unit =
+    require(k >= 8 && k <= MaxK, s"kll k must be in [8, $MaxK], got $k")
+
+  private def kArg(name: String, exprs: Seq[Expression]): Int = {
+    if (exprs.length < 1 || exprs.length > 2)
+      throw new IllegalArgumentException(
+        s"$name takes (col[, k]), got ${exprs.length} args")
+    if (exprs.length == 2) FreqFunctions.intLit(name, "k", exprs(1))
+    else DefaultK
+  }
+
+  private[graft] def sketchBuilder(exprs: Seq[Expression]): Expression =
+    KllSketchBuild(exprs.head, kArg("graft_kll_sketch", exprs))
+      .toAggregateExpression()
+
+  private[graft] def unionBuilder(exprs: Seq[Expression]): Expression =
+    KllSketchMerge(exprs.head, kArg("graft_kll_union", exprs))
+      .toAggregateExpression()
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_kll_sketch",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_kll_sketch", exprs, 1)
-        KllSketchBuild(exprs.head).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_kll_union",
-      exprs => {
-        graft.GraftExtensions.requireArity("graft_kll_union", exprs, 1)
-        KllSketchMerge(exprs.head).toAggregateExpression()
-      },
-      "built-in")
+    reg.createOrReplaceTempFunction("graft_kll_sketch", sketchBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_kll_union", unionBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_kll_quantile", quantileBuilder, "built-in")
   }
@@ -177,14 +200,14 @@ object KllFunctions {
     KllQuantile(exprs.head, q)
   }
 
-  def kllSketch(spark: SparkSession, c: Column): Column = {
+  def kllSketch(spark: SparkSession, c: Column, k: Int = DefaultK): Column = {
     register(spark)
-    call_function("graft_kll_sketch", c)
+    call_function("graft_kll_sketch", c, org.apache.spark.sql.functions.lit(k))
   }
 
-  def kllUnion(spark: SparkSession, c: Column): Column = {
+  def kllUnion(spark: SparkSession, c: Column, k: Int = DefaultK): Column = {
     register(spark)
-    call_function("graft_kll_union", c)
+    call_function("graft_kll_union", c, org.apache.spark.sql.functions.lit(k))
   }
 
   def kllQuantile(spark: SparkSession, sketch: Column, q: Double): Column = {

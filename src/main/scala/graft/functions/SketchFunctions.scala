@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Approximate distinct count as a mergeable Theta sketch — a custom
@@ -20,36 +20,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation works), and — unlike `approx_count_distinct`'s HLL —
   * sketches can later be UNIONed across groups/days or intersected,
   * which is what corpus bookkeeping pipelines do with them.
+  *
+  * `lgK` (log2 of nominal entries, DataSketches default 12) is the
+  * accuracy/state budget, exposed because it defines TWO regimes:
+  *  - EXACT: while the number of distinct hashes stays under the
+  *    nominal capacity the sketch never samples (theta = 1), every
+  *    retained hash is kept, and the estimate IS the true distinct
+  *    count — a deterministic integer a SQL oracle can replay with
+  *    `COUNT(DISTINCT x)` (the q63 pattern; makes q40/q52
+  *    hash-checkable);
+  *  - estimation: past capacity, ±2% relative error at lgK=12,
+  *    spec-tested in OperatorSpec.
   */
+private[functions] object ThetaLg {
+  val Default = 12
+  def check(lgK: Int): Unit =
+    require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26], got $lgK")
+  def union(lgK: Int): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+}
+
 case class ThetaSketchDistinct(
     child: Expression,
+    lgK: Int = ThetaLg.Default,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
+  ThetaLg.check(lgK)
 
   override def prettyName: String = "graft_theta_distinct"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  override def createAggregationBuffer(): Union =
-    SetOperation.builder().buildUnion()
+  override def createAggregationBuffer(): Union = ThetaLg.union(lgK)
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case StringType  => buffer.update(v.asInstanceOf[UTF8String].toString)
-      case LongType    => buffer.update(v.asInstanceOf[Long])
-      case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
-      case ShortType   => buffer.update(v.asInstanceOf[Short].toLong)
-      case DoubleType  => buffer.update(v.asInstanceOf[Double])
-      case FloatType   => buffer.update(v.asInstanceOf[Float].toDouble)
-      case BinaryType  => buffer.update(v.asInstanceOf[Array[Byte]])
-      case DateType    => buffer.update(v.asInstanceOf[Int].toLong)
-      case TimestampType | TimestampNTZType => buffer.update(v.asInstanceOf[Long])
-      case other => throw new UnsupportedOperationException(
-        s"graft_theta_distinct: unsupported input type $other")
-    }
+    if (v != null) ThetaUpdates.update(buffer, child.dataType, v)
     buffer
   }
 
@@ -103,14 +111,16 @@ private[functions] object ThetaUpdates {
   */
 case class ThetaSketchBuild(
     child: Expression,
+    lgK: Int = ThetaLg.Default,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
+  ThetaLg.check(lgK)
   override def prettyName: String = "graft_theta_sketch"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
+  override def createAggregationBuffer(): Union = ThetaLg.union(lgK)
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) ThetaUpdates.update(buffer, child.dataType, v)
@@ -139,14 +149,19 @@ case class ThetaSketchBuild(
   * distinct count over any period/entity slice is a union of
   * kilobyte-sized summaries, never a rescan of the raw data.
   * `emitBinary=true` re-emits the merged sketch (multi-level rollups:
-  * day → month → year); false emits the estimate.
+  * day → month → year); false emits the estimate. The union's own
+  * `lgK` bounds the MERGED state — exactness of a rollup needs the
+  * union capacity to cover the combined distinct count, not just each
+  * input sketch's.
   */
 case class ThetaSketchMerge(
     child: Expression,
     emitBinary: Boolean,
+    lgK: Int = ThetaLg.Default,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
+  ThetaLg.check(lgK)
   override def prettyName: String =
     if (emitBinary) "graft_theta_union_sketch" else "graft_theta_union"
   override def children: Seq[Expression] = Seq(child)
@@ -154,7 +169,7 @@ case class ThetaSketchMerge(
   override def dataType: DataType = if (emitBinary) BinaryType else LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     FreqSerde.checkBinary(prettyName, child.dataType)
-  override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
+  override def createAggregationBuffer(): Union = ThetaLg.union(lgK)
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null)
@@ -185,24 +200,33 @@ case class ThetaSketchMerge(
 object SketchFunctions {
   /** name → SQL expression builder, shared by the per-session
     * `register` (embedded use) and `GraftExtensions` (cluster-wide
-    * `--conf spark.sql.extensions` deployment).
+    * `--conf spark.sql.extensions` deployment). Every function takes
+    * an optional trailing lgK int literal.
     */
+  private def arity12(name: String, exprs: Seq[Expression]): Int = {
+    if (exprs.length < 1 || exprs.length > 2)
+      throw new IllegalArgumentException(
+        s"$name takes (col[, lgK]), got ${exprs.length} args")
+    if (exprs.length == 2) FreqFunctions.intLit(name, "lgK", exprs(1))
+    else ThetaLg.Default
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_theta_distinct" -> { exprs =>
-      graft.GraftExtensions.requireArity("graft_theta_distinct", exprs, 1)
-      ThetaSketchDistinct(exprs.head).toAggregateExpression()
+      val lgK = arity12("graft_theta_distinct", exprs)
+      ThetaSketchDistinct(exprs.head, lgK).toAggregateExpression()
     },
     "graft_theta_sketch" -> { exprs =>
-      graft.GraftExtensions.requireArity("graft_theta_sketch", exprs, 1)
-      ThetaSketchBuild(exprs.head).toAggregateExpression()
+      val lgK = arity12("graft_theta_sketch", exprs)
+      ThetaSketchBuild(exprs.head, lgK).toAggregateExpression()
     },
     "graft_theta_union" -> { exprs =>
-      graft.GraftExtensions.requireArity("graft_theta_union", exprs, 1)
-      ThetaSketchMerge(exprs.head, emitBinary = false).toAggregateExpression()
+      val lgK = arity12("graft_theta_union", exprs)
+      ThetaSketchMerge(exprs.head, emitBinary = false, lgK).toAggregateExpression()
     },
     "graft_theta_union_sketch" -> { exprs =>
-      graft.GraftExtensions.requireArity("graft_theta_union_sketch", exprs, 1)
-      ThetaSketchMerge(exprs.head, emitBinary = true).toAggregateExpression()
+      val lgK = arity12("graft_theta_union_sketch", exprs)
+      ThetaSketchMerge(exprs.head, emitBinary = true, lgK).toAggregateExpression()
     },
   )
 
@@ -213,23 +237,27 @@ object SketchFunctions {
     }
   }
 
-  def thetaDistinct(spark: SparkSession, c: Column): Column = {
+  def thetaDistinct(spark: SparkSession, c: Column,
+      lgK: Int = ThetaLg.Default): Column = {
     register(spark)
-    call_function("graft_theta_distinct", c)
+    call_function("graft_theta_distinct", c, lit(lgK))
   }
 
-  def thetaSketch(spark: SparkSession, c: Column): Column = {
+  def thetaSketch(spark: SparkSession, c: Column,
+      lgK: Int = ThetaLg.Default): Column = {
     register(spark)
-    call_function("graft_theta_sketch", c)
+    call_function("graft_theta_sketch", c, lit(lgK))
   }
 
-  def thetaUnion(spark: SparkSession, c: Column): Column = {
+  def thetaUnion(spark: SparkSession, c: Column,
+      lgK: Int = ThetaLg.Default): Column = {
     register(spark)
-    call_function("graft_theta_union", c)
+    call_function("graft_theta_union", c, lit(lgK))
   }
 
-  def thetaUnionSketch(spark: SparkSession, c: Column): Column = {
+  def thetaUnionSketch(spark: SparkSession, c: Column,
+      lgK: Int = ThetaLg.Default): Column = {
     register(spark)
-    call_function("graft_theta_union_sketch", c)
+    call_function("graft_theta_union_sketch", c, lit(lgK))
   }
 }

@@ -886,21 +886,23 @@ object Queries {
              |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
-    // PERMANENTLY rows-only (like q52/q58): the result column is a
-    // DataSketches Theta binary, and DuckDB cannot replay DataSketches'
-    // internal hashing/sampling to reproduce the bytes — no SQL
-    // restatement exists even in principle. The correctness proof
-    // lives elsewhere: OperatorSpec pins the ±2% accuracy
-    // contract against exact counts and the union-mergeability law
-    // (OperatorSpec's theta cases), and ExtensionsCheck proves the pure-SQL path in a forked JVM.
+    // theta distinct in the EXACT regime (the q63 pattern): lgK=16
+    // gives 65536 nominal entries vs ≤13k distinct custkeys per
+    // priority at the verified SFs, so the sketch never samples
+    // (theta = 1), the estimate IS the true distinct count, and the
+    // query carries a plain COUNT(DISTINCT) oracle — the hash match
+    // proves the whole sketch pipeline (hash dispatch, partial
+    // unions, serde across exchanges) is faithful. The estimation
+    // regime's ±2% bound stays OperatorSpec's job.
     "q40_theta_distinct" -> QueryDef(
       (s, d) => {
         val o = tbl(s, d, "orders")
         o.groupBy("o_orderpriority").agg(
           graft.functions.SketchFunctions
-            .thetaDistinct(s, col("o_custkey")).as("approx_cust"))
+            .thetaDistinct(s, col("o_custkey"), lgK = 16).as("approx_cust"))
       },
-      None),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS approx_cust
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
     // duplicate-CLUSTER labels: transitive closure of the q21 LSH
     // candidate pairs via alternating large-star/small-star (the step
@@ -1059,10 +1061,13 @@ object Queries {
 
     // incremental-distinct maintenance shape: per-day theta sketches
     // (the storable summary an ingest job appends) unioned per event
-    // type — distinct users over any slice without rescanning raw data.
-    // PERMANENTLY rows-only (see q40): DataSketches binaries cannot be
-    // replayed by DuckDB; accuracy and mergeability are spec-tested
-    // against exact counts (OperatorSpec's theta cases)
+    // type — distinct users over any slice without rescanning raw
+    // data. EXACT regime end-to-end (see q40): ≤1.5k distinct users
+    // per type at the verified SFs vs 65536 union capacity, so both
+    // the per-day binaries and the rollup union retain every hash and
+    // DuckDB replays the estimate as COUNT(DISTINCT user_id) — the
+    // hash gate covers the store-then-merge half (binary serde on the
+    // lake row, union of stored sketches) that q40 alone does not.
     "q52_sketch_rollup" -> QueryDef(
       (s, d) => {
         val ev0 = tbl(s, d, "events")
@@ -1070,35 +1075,49 @@ object Queries {
           .withColumn("day", graft.functions.TimeFunctions.utcDay(ev0))
         val daily = ev.groupBy("event_type", "day").agg(
           graft.functions.SketchFunctions
-            .thetaSketch(s, col("user_id")).as("sk"))
+            .thetaSketch(s, col("user_id"), lgK = 16).as("sk"))
         daily.groupBy("event_type").agg(
           count(lit(1)).cast("long").as("n_days"),
           graft.functions.SketchFunctions
-            .thetaUnion(s, col("sk")).as("distinct_users_est"))
+            .thetaUnion(s, col("sk"), lgK = 16).as("distinct_users_est"))
       },
-      None),
+      Some("""WITH e AS (SELECT event_type, user_id,
+             |  CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events)
+             |SELECT event_type, COUNT(DISTINCT day) AS n_days,
+             |  COUNT(DISTINCT user_id) AS distinct_users_est
+             |FROM e GROUP BY event_type""".stripMargin)),
 
     // mergeable quantile maintenance: per-day KLL sketches rolled up
     // per event type — any quantile over any slice from KB summaries,
-    // no raw-data rescan. PERMANENTLY rows-only (see q40): KLL's
-    // random compaction state cannot be replayed by DuckDB; rank
-    // accuracy and mergeability are spec-tested against exact
-    // quantiles (OperatorSpec's KLL cases)
+    // no raw-data rescan. EXACT regime end-to-end (see q40 and the
+    // KllFunctions.DefaultK scaladoc): k=65535 ≥ the per-type row
+    // count at the verified SFs, so no compaction ever fires, the
+    // rolled-up sketch is the full sorted sample, and getQuantile's
+    // inclusive order statistic equals DuckDB's quantile_disc
+    // bit-for-bit (both pick an actual data value). Compaction-regime
+    // rank bounds stay OperatorSpec's job.
     "q58_kll_rollup" -> QueryDef(
       (s, d) => {
         val ev0 = tbl(s, d, "events")
         val ev = ev0
           .withColumn("day", graft.functions.TimeFunctions.utcDay(ev0))
         val daily = ev.groupBy("event_type", "day").agg(
-          graft.functions.KllFunctions.kllSketch(s, col("value")).as("sk"))
+          graft.functions.KllFunctions
+            .kllSketch(s, col("value"), k = 65535).as("sk"))
         daily.groupBy("event_type").agg(
           count(lit(1)).cast("long").as("n_days"),
-          graft.functions.KllFunctions.kllUnion(s, col("sk")).as("usk"))
+          graft.functions.KllFunctions
+            .kllUnion(s, col("sk"), k = 65535).as("usk"))
           .select(col("event_type"), col("n_days"),
             graft.functions.KllFunctions.kllQuantile(s, col("usk"), 0.5).as("p50_est"),
             graft.functions.KllFunctions.kllQuantile(s, col("usk"), 0.95).as("p95_est"))
       },
-      None),
+      Some("""WITH e AS (SELECT event_type, value,
+             |  CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events)
+             |SELECT event_type, COUNT(DISTINCT day) AS n_days,
+             |  quantile_disc(value, 0.5) AS p50_est,
+             |  quantile_disc(value, 0.95) AS p95_est
+             |FROM e GROUP BY event_type""".stripMargin)),
 
     // benchmark decontamination (GPT-3-style 13-gram collision): the
     // mod-101 docs stand in for a held-out eval set; the corpus side

@@ -911,6 +911,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(tiny == 3.0)
   }
 
+  test("sketch exact regime: theta == COUNT(DISTINCT), KLL == inclusive order statistic") {
+    import graft.functions.{KllFunctions, SketchFunctions}
+    // theta, lgK=16: 40k distinct < 65536 nominal — never samples, so
+    // the estimate IS the exact count, through the grouped
+    // partial-merge path AND the stored-binary union rollup (the q40/
+    // q52 regimes, pinned here independent of testdata SF)
+    val ev = (1L to 40000L).map(i => (s"t${i % 4}", i)).toDF("g", "u")
+    val perG = ev.groupBy("g").agg(
+      SketchFunctions.thetaDistinct(spark, $"u", lgK = 16).as("est"),
+      countDistinct($"u").as("exact")).as[(String, Long, Long)].collect()
+    assert(perG.nonEmpty)
+    perG.foreach { case (g, est, exact) => assert(est == exact, s"$g: $est != $exact") }
+    val viaStored = ev.groupBy("g")
+      .agg(SketchFunctions.thetaSketch(spark, $"u", lgK = 16).as("sk"))
+      .agg(SketchFunctions.thetaUnion(spark, $"sk", lgK = 16)).as[Long].head()
+    assert(viaStored == 40000L)
+
+    // KLL, k >= total n: the rolled-up sketch is the full sample and
+    // getQuantile returns the INCLUSIVE order statistic — smallest v
+    // with #(<=v)/n >= q — the convention DuckDB's quantile_disc
+    // shares (q58's oracle). Duplicates and negatives included.
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(6000)(math.floor(rnd.nextDouble() * 500) / 10.0 - 25.0)
+    val kdf = data.zipWithIndex.map { case (v, i) => (s"d${i % 3}", v) }.toDF("day", "v")
+    val usk = kdf.groupBy("day")
+      .agg(KllFunctions.kllSketch(spark, $"v", k = 8192).as("sk"))
+      .agg(KllFunctions.kllUnion(spark, $"sk", k = 8192).as("usk"))
+      .cache()
+    try {
+      val sorted = data.sorted
+      def inclusive(q: Double): Double =
+        sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+      Seq(0.0, 0.1, 0.25, 0.5, 0.77, 0.95, 1.0).foreach { q =>
+        val got = usk.select(KllFunctions.kllQuantile(spark, $"usk", q)).as[Double].head()
+        assert(got == inclusive(q), s"q=$q: $got != ${inclusive(q)}")
+      }
+    } finally usk.unpersist()
+  }
+
   test("theta sketch columns: per-day sketches union to range distincts incrementally") {
     import graft.functions.SketchFunctions
     val events = (1L to 20000L).map { i =>
