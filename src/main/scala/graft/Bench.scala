@@ -80,7 +80,19 @@ object Bench {
     // co-tenant-loaded run reads very differently from an idle one —
     // r3's 3.0x-vs-1.4x lesson); `loadavg_end` recorded too so a
     // burst ARRIVING mid-run is still visible
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavgStart,"load_gated":$gatePassed,"loadavg_end":${readLoadavg()},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"loadavg":$loadavgStart,"load_gated":$gatePassed,"loadavg_end":${readLoadavg()},"sf":"$sfDir"}"""
+    // BENCH_r07's captured stdout tail was truncated and lost four
+    // queries — the record must survive any capture window, so it is
+    // ALSO written whole to a file (path overridable, announced on
+    // stderr so a truncated capture still points at the full copy)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      System.err.println(s"[bench] full result JSON written to $outFile")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 

@@ -170,7 +170,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val snap = TransactionLog.snapshot(table, version)
     val renamed = snap.metadata.configuration.keys
       .exists(_.startsWith("graft.mapping."))
-    if (renamed) {
+    // deletion vectors are applied by LakeTable.read's row-level
+    // anti-join — a bare HadoopFsRelation would resurrect deleted rows,
+    // so DV'd snapshots go through the same PrunedFilteredScan wrapper
+    // as column-mapped tables (pushdown survives either way)
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    if (renamed || hasDv) {
       // Column-mapped tables need the logical→physical projection that
       // a HadoopFsRelation cannot express. Serve them through
       // PrunedFilteredScan: Spark hands us the required columns and

@@ -50,10 +50,36 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val mapping = mappingOf(snap)
-      spark.baseRelationToDataFrame(fsRelation(snap))
+      applyDvFilter(spark.baseRelationToDataFrame(fsRelation(snap)), snap.files)
         .select(schema.fields.map(f =>
           col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
     }
+  }
+
+  /** Like [[read]] for the latest snapshot, plus the row-provenance
+    * columns DML needs: `__graft_file` (the scan-path rendering) and
+    * `__graft_row` (parquet row index). Provenance MUST be derived
+    * below the DV anti-join — `_metadata` does not resolve through a
+    * join — which is why DML paths use this instead of reading
+    * `_metadata` off [[read]]'s result.
+    */
+  private def readWithProvenance(snap: Snapshot): DataFrame = {
+    val schema = snap.schema
+    if (snap.files.isEmpty) {
+      val withProv = StructType(schema.fields ++ Seq(
+        StructField("__graft_file", org.apache.spark.sql.types.StringType),
+        StructField("__graft_row", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withProv)
+    }
+    val mapping = mappingOf(snap)
+    val base = spark.baseRelationToDataFrame(fsRelation(snap))
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+    applyDvFilter(base, snap.files)
+      .select(schema.fields.map(f =>
+        col(physicalOf(mapping, f.name)).cast(f.dataType).as(f.name)).toSeq ++
+        Seq(col("__graft_file"), col("__graft_row")): _*)
   }
 
   /** The V1 file relation over a snapshot — the ONE place the physical
@@ -291,6 +317,165 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     f => touchedFiles.contains(scanPathOf(f))
   }
 
+  // ---- deletion vectors (merge-on-read) -----------------------------------
+  //
+  // Copy-on-write MERGE rewrites every byte of every touched file; with
+  // scattered keys that degenerates to a full-table rewrite per batch —
+  // the one plan a standing 100 TB upsert pipeline cannot run. The
+  // merge-on-read path instead records matched rows as (file, row-index)
+  // pairs in a DV parquet under `_dv/`, re-adds the touched AddFiles
+  // with a `deletionVector` descriptor (Delta-protocol shape), and
+  // appends only the new row versions: write cost is O(changed rows),
+  // not O(touched bytes). Scans subtract the DV pairs with an anti-join
+  // on parquet row provenance (`_metadata.file_path` / `row_index`);
+  // the DV side is broadcast while its descriptor-summed size stays
+  // under a threshold — bounded in steady state because OPTIMIZE
+  // materializes DVs back into clean files. Min/max file stats stay
+  // sound under DVs (deleted rows only shrink the true range, so
+  // skipping can under-prune, never wrong).
+
+  private val DvSchema = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("row", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Max summed DV bytes for which the anti-join side is force-
+    * broadcast. Above it the planner decides (a shuffle anti-join is
+    * the signal to run OPTIMIZE, not something to paper over).
+    */
+  private val DvBroadcastBytes = 64L << 20
+
+  private def readDvRows(dvPaths: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema)
+      .parquet(dvPaths.map(p => resolvePath(path, p).toString): _*)
+
+  /** Subtracts deleted rows from a scan over `files`. `scanDf` must sit
+    * directly enough over the parquet relation for `_metadata` to
+    * resolve. No-op (and no plan change) when no file carries a DV.
+    */
+  private def applyDvFilter(scanDf: DataFrame, files: Seq[AddFile]): DataFrame = {
+    val dvFiles = files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) return scanDf
+    import spark.implicits._
+    val distinctDvs = dvFiles.flatMap(_.dv).distinct
+    val dvRaw = readDvRows(distinctDvs.map(_.path).distinct)
+    val dv = if (distinctDvs.map(_.sizeInBytes).sum <= DvBroadcastBytes)
+      broadcast(dvRaw) else dvRaw
+    // scan provenance is an absolute path rendering; DV content keys on
+    // the log-relative add-path (stable across table moves/clones) —
+    // bridge with a metadata-sized broadcast lookup
+    val lookup = dvFiles.map(f => (scanPathOf(f), f.path)).toDF("__gdv_file", "__gdv_rel")
+    scanDf
+      .withColumn("__gdv_file", col("_metadata.file_path"))
+      .withColumn("__gdv_row", col("_metadata.row_index"))
+      .join(broadcast(lookup), Seq("__gdv_file"), "left")
+      .join(dv, col("__gdv_rel") === dv("file") && col("__gdv_row") === dv("row"), "left_anti")
+      .drop("__gdv_file", "__gdv_row", "__gdv_rel")
+  }
+
+  /** True when any live file carries a deletion vector. */
+  def hasDeletionVectors: Boolean =
+    exists && snapshot(path).files.exists(_.dv.isDefined)
+
+  /** ALTER TABLE SET TBLPROPERTIES analog: metadata-only commit merging
+    * `props` into the table configuration (e.g. flip
+    * `graft.merge.mode` on an existing table).
+    */
+  def alterSetProperties(props: Map[String, String]): Unit = {
+    val snap = snapshot(path)
+    commitAlter(snap.version,
+      snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
+      "ALTER.SetProperties", props)
+  }
+
+  /** MERGE strategy recorded on the table
+    * (`graft.merge.mode` ∈ copy-on-write | merge-on-read).
+    */
+  private def mergeModeOf(snap: Snapshot): String =
+    snap.metadata.configuration
+      .getOrElse(LakeTable.MergeModeKey, "copy-on-write") match {
+      case m @ ("copy-on-write" | "merge-on-read") => m
+      case other => throw UserException(
+        s"Unknown ${LakeTable.MergeModeKey}: $other " +
+          "(expected copy-on-write or merge-on-read)")
+    }
+
+  /** Writes `rows` (file, row) as one DV parquet under `_dv/` and
+    * returns (relative path, per-file cardinalities, total bytes).
+    * `rows` should be cached by the caller (it is consumed twice).
+    */
+  private def writeDvFile(rows: DataFrame): (String, Map[String, Long], Long) = {
+    val counts = rows.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // sorted, few files: a DV is read by every subsequent scan
+    val nParts = math.max(1, math.min(64, total / 4000000L)).toInt
+    val rel = s"_dv/dv-${UUID.randomUUID().toString.take(12)}"
+    val dest = path.resolve(rel)
+    rows.select(col("file").cast("string").as("file"), col("row").cast("long").as("row"))
+      .repartition(nParts, col("file"))
+      .sortWithinPartitions("file", "row")
+      .write.parquet(dest.toString)
+    val size = walkClosed(dest)
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    (rel, counts, size)
+  }
+
+  /** Shared merge-on-read commit: record `newDvRows` as deletes
+    * (cumulative per file — old DV rows of re-touched files are
+    * unioned in), append `appendDf`, one atomic commit pinned at
+    * `snap`. Returns the touched-file count.
+    */
+  private def commitMorDeletes(
+      snap: Snapshot,
+      newDvRows: DataFrame,
+      appendDf: Option[DataFrame],
+      operation: String,
+      opParams: Map[String, String]): Int = {
+    import spark.implicits._
+    val cached = newDvRows.cache()
+    try {
+      val touchedRel = cached.select("file").distinct().as[String].collect().toSet
+      val touched = snap.files.filter(f => touchedRel.contains(f.path))
+      val oldDvPaths = touched.flatMap(_.dv).map(_.path).distinct
+      val dvAll =
+        if (oldDvPaths.isEmpty) cached
+        else {
+          // carry forward: only the re-touched files' old rows; other
+          // files referencing those DV parquets keep their descriptors
+          val tdf = touchedRel.toSeq.toDF("file")
+          cached.unionByName(readDvRows(oldDvPaths).join(broadcast(tdf), "file")
+            .select(col("file"), col("row")))
+        }
+      val dvOut: Option[(String, Map[String, Long], Long)] =
+        if (touched.isEmpty) None else Some(writeDvFile(dvAll))
+      val adds = appendDf.map(df => writeDataFiles(bucketize(df, bucketingOf(snap)),
+        snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap)))
+        .getOrElse(Nil)
+      if (touched.isEmpty && adds.isEmpty) return 0
+      val ts = System.currentTimeMillis()
+      val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+      actions += commitInfoAction(operation,
+        opParams ++ Map("mergeMode" -> "merge-on-read",
+          "numDeletedRows" -> dvOut.map(_._2.values.sum).getOrElse(0L).toString), ts)
+      dvOut.foreach { case (rel, counts, size) =>
+        // re-add with the new descriptor replaces the live entry;
+        // dataChange=false keeps CDC readers from re-emitting the
+        // file's physical rows (the deletes themselves are invisible to
+        // `changes()` — same documented dedupe-on-PK contract as
+        // copy-on-write rewrites)
+        touched.foreach { f =>
+          actions += addAction(f.copy(
+            dv = Some(DvDescriptor(rel, counts(f.path), size)),
+            dataChange = false))
+        }
+      }
+      adds.foreach(a => actions += addAction(a))
+      commitPinned(snap.version, actions.result())
+      touched.size
+    } finally cached.unpersist()
+  }
+
   // ---- schema DDL ---------------------------------------------------------
   //
   // The reference drives DDL as generated SQL against a warehouse
@@ -510,9 +695,13 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .filterNot(f => partCols.contains(f.name))
       .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
     val paths = files.map(f => resolvePath(path, f.path).toString)
-    val raw = spark.read.schema(dataPhys).parquet(paths: _*)
+    // provenance derived BELOW the DV filter (_metadata does not
+    // resolve through the anti-join)
+    val raw = applyDvFilter(
+      spark.read.schema(dataPhys).parquet(paths: _*)
+        .withColumn("__file", col("_metadata.file_path")), files)
     val withPart =
-      if (partCols.isEmpty) raw
+      if (partCols.isEmpty) raw.drop("__file")
       else {
         // Partition values come from the LOG, attached via a broadcast
         // join on the scan's file provenance — not from directory-name
@@ -524,7 +713,6 @@ final class LakeTable(spark: SparkSession, val path: Path) {
           (scanPathOf(f), partCols.map(c => f.partitionValues.getOrElse(c, null)))
         }.toDF("__file", "__pv")
         raw
-          .withColumn("__file", col("_metadata.file_path"))
           .join(broadcast(lookup), "__file")
           .select(col("*") +: partCols.zipWithIndex.map { case (c, i) =>
             element_at(col("__pv"), i + 1).cast(schema(c).dataType).as(c)
@@ -723,18 +911,34 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val src = alignToSchema(source, schema).cache()
     try {
       enforceConstraints(src, snap)
+      if (mergeModeOf(snap) == "merge-on-read") {
+        // upsert ≡ delete every key-matched target row + append all
+        // source rows (MergeOps.upsert algebra); record the deletes as
+        // DV pairs instead of rewriting the touched files
+        import spark.implicits._
+        val srcK = src.select(keys.map(col): _*).dropDuplicates(keys)
+        val withProv = readWithProvenance(snap)
+        val cond = keys.map(k => withProv(k) === srcK(k)).reduce(_ && _)
+        val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
+          .toDF("__graft_file", "file")
+        val dvRows = withProv.join(srcK, cond, "left_semi")
+          .join(broadcast(scanToRel), Seq("__graft_file"))
+          .select(col("file"), col("__graft_row").as("row"))
+        commitMorDeletes(snap, dvRows, Some(src), "MERGE",
+          Map("keys" -> keys.mkString(",")))
+        return
+      }
       val srcKeys = src.select(keys.map(col): _*).dropDuplicates(keys)
 
       // File pruning: which live files contain rows whose key matches a
-      // source key? `_metadata.file_path` is Spark's per-row file
+      // source key? `__graft_file` is the scan's per-row file
       // provenance — distinct over the inner join gives exactly the
       // files MERGE must rewrite.
-      val target = read()
-      val withFile = target.withColumn("__file", col("_metadata.file_path"))
+      val withFile = readWithProvenance(snap)
       val joinCond = keys.map(k => withFile(k) === srcKeys(k)).reduce(_ && _)
       val touchedFiles: Set[String] = withFile
         .join(srcKeys, joinCond, "left_semi")
-        .select("__file").distinct()
+        .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSet
       val touched = snap.files.filter(touchedMatcher(touchedFiles))
 
@@ -784,12 +988,19 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     def tcol(df: DataFrame, c: String): Column = df(s"`${c.replace("`", "``")}`")
     val src = source.cache()
     try {
-      val probe = read()
+      // the probe carries __graft_file/__graft_row provenance (derived
+      // below any DV filter); extra columns are invisible to clause
+      // expressions, which bind by name to the schema columns
+      val probe = readWithProvenance(snap)
       val probeSpec = build(probe, src)
       probeSpec.matched.foreach {
         case _: MergeClause.Insert => throw UserException(
           "MERGE: INSERT is not a valid WHEN MATCHED action")
         case _ => ()
+      }
+      if (mergeModeOf(snap) == "merge-on-read") {
+        morMergeInto(snap, src, probe, probeSpec)
+        return
       }
 
       // -- file pruning: which live files must be rewritten? --
@@ -798,8 +1009,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         else if (probeSpec.notMatchedBySource.nonEmpty) snap.files
         else if (probeSpec.matched.isEmpty) Nil
         else {
-          val withFile = probe.withColumn("__graft_file", col("_metadata.file_path"))
-          val files = withFile.join(src, probeSpec.condition, "left_semi")
+          val files = probe.join(src, probeSpec.condition, "left_semi")
             .select("__graft_file").distinct()
             .collect().map(_.getString(0)).toSet
           snap.files.filter(touchedMatcher(files))
@@ -918,6 +1128,116 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     } finally src.unpersist()
   }
 
+  /** Merge-on-read half of [[mergeInto]]: instead of rewriting every
+    * touched file, the rows a clause ACTS on are recorded as DV pairs
+    * and only their post-clause versions (plus inserts) append — write
+    * cost O(acted rows), not O(touched bytes). `spec` was resolved
+    * against `probe`; every frame here derives from `probe`, so its
+    * expressions stay bound (same exprIds) — no re-`build` needed.
+    */
+  private def morMergeInto(
+      snap: Snapshot,
+      src: DataFrame,
+      probe: DataFrame,
+      spec: MergeSpec): Unit = {
+    import spark.implicits._
+    val schema = snap.schema
+    def tcol(df: DataFrame, c: String): Column = df(s"`${c.replace("`", "``")}`")
+
+    if (spec.matched.nonEmpty) {
+      // ANSI cardinality rule — (file, row-index) IS a target row id
+      val dupes = probe.join(src, spec.condition, "inner")
+        .groupBy(col("__graft_file"), col("__graft_row")).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dupes > 0) throw UserException(
+        "MERGE: a target row matched multiple source rows; " +
+          "deduplicate the source on the merge keys first")
+    }
+    val joined =
+      if (spec.matched.isEmpty) {
+        // NOT-MATCHED-BY-SOURCE only: semi/anti split keeps target
+        // cardinality exact (same reasoning as the copy-on-write path)
+        probe.join(src, spec.condition, "left_semi")
+          .withColumn("__graft_s", lit(true))
+          .unionByName(
+            probe.join(src, spec.condition, "left_anti")
+              .withColumn("__graft_s", lit(false)))
+      } else
+        probe.join(src.withColumn("__graft_s", lit(true)),
+          spec.condition, "left_outer")
+    val sPresent = coalesce(col("__graft_s"), lit(false))
+    val clauses: Seq[(Column, MergeClause)] =
+      spec.matched.map(c => (sPresent && c.condition.getOrElse(lit(true)), c)) ++
+        spec.notMatchedBySource.map(c =>
+          (!sPresent && c.condition.getOrElse(lit(true)), c))
+    val idx = clauses.zipWithIndex.foldRight(lit(-1)) {
+      case (((guard, _), i), acc) => when(guard, lit(i)).otherwise(acc)
+    }
+    // only rows a clause CLAIMS leave their files; everything else
+    // stays live in place — the whole point of merge-on-read
+    val acted = joined.withColumn("__graft_idx", idx)
+      .where(col("__graft_idx") >= 0).cache()
+    try {
+      val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
+        .toDF("__graft_file", "file")
+      val dvRows = acted
+        .join(broadcast(scanToRel), Seq("__graft_file"))
+        .select(col("file"), col("__graft_row").as("row"))
+      val deleteIdx = clauses.map(_._2).zipWithIndex.collect {
+        case (_: MergeClause.Delete, i) => i
+      }
+      val kept =
+        if (deleteIdx.isEmpty) acted
+        else acted.where(!col("__graft_idx").isin(deleteIdx.map(Integer.valueOf): _*))
+      val updates = clauses.map(_._2).zipWithIndex.collect {
+        case (u: MergeClause.Update, i) => (i, u.assignments)
+      }
+      val rewritten = kept.select(schema.fields.toSeq.map { f =>
+        val base = tcol(probe, f.name)
+        updates.foldRight(base) { case ((i, assigns), acc) =>
+          assigns.get(f.name) match {
+            case Some(v) => when(col("__graft_idx") === i, v).otherwise(acc)
+            case None    => acc
+          }
+        }.cast(f.dataType).as(f.name)
+      }: _*)
+
+      val inserts: Option[DataFrame] =
+        if (spec.notMatched.isEmpty) None
+        else {
+          val unmatched =
+            if (snap.files.isEmpty) src
+            else src.join(probe, spec.condition, "left_anti")
+          val ins = spec.notMatched
+          val insIdx = ins.zipWithIndex.foldRight(lit(-1)) {
+            case ((c, i), acc) =>
+              when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
+          }
+          val withIdx = unmatched.withColumn("__graft_idx", insIdx)
+            .where(col("__graft_idx") >= 0)
+          Some(withIdx.select(schema.fields.toSeq.map { f =>
+            ins.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+              case ((c, i), acc) =>
+                c.assignments.get(f.name) match {
+                  case Some(v) => when(col("__graft_idx") === i, v).otherwise(acc)
+                  case None    => acc
+                }
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+        }
+      val appendDf = inserts match {
+        case Some(i) => alignToSchema(rewritten, schema)
+          .unionByName(alignToSchema(i, schema))
+        case None => alignToSchema(rewritten, schema)
+      }
+      enforceConstraints(appendDf, snap)
+      commitMorDeletes(snap, dvRows, Some(appendDf), "MERGE",
+        Map("matchedClauses" -> spec.matched.size.toString,
+          "notMatchedClauses" -> spec.notMatched.size.toString,
+          "notMatchedBySourceClauses" -> spec.notMatchedBySource.size.toString))
+    } finally acted.unpersist()
+  }
+
   /** Metadata-only CREATE TABLE: schema + partitioning + configuration
     * committed as version 0, no data files (the DSv2 catalog's
     * `createTable`; writes bootstrap the same way when the table is
@@ -949,10 +1269,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   def delete(condition: Column): Long = {
     if (!exists) return 0L
     val snap = snapshot(path)
-    val target = read()
-    val touchedFiles: Set[String] = target
+    val touchedFiles: Set[String] = readWithProvenance(snap)
       .where(condition)
-      .select(col("_metadata.file_path")).distinct()
+      .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
     val touched = snap.files.filter(touchedMatcher(touchedFiles))
@@ -981,10 +1300,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val badCols = assignments.keySet.diff(snap.schema.fieldNames.toSet)
     if (badCols.nonEmpty)
       throw UserException(s"UPDATE of unknown columns: ${badCols.mkString(",")}")
-    val target = read()
-    val touchedFiles: Set[String] = target
+    val touchedFiles: Set[String] = readWithProvenance(snap)
       .where(condition)
-      .select(col("_metadata.file_path")).distinct()
+      .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedFiles.isEmpty) return 0L
     val touched = snap.files.filter(touchedMatcher(touchedFiles))
@@ -1059,8 +1377,13 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       throw UserException(
         "Sorted/Z-order compaction would destroy the table's hash-bucket " +
           "layout; rewrite with an unbucketed overwrite first.")
+    // a file carrying a deletion vector always qualifies: OPTIMIZE is
+    // the step that materializes merge-on-read deletes back into clean
+    // files (the DV parquet itself is vacuumed once unreferenced)
     val groups = snap.files.groupBy(_.partitionValues)
-      .filter(_._2.size >= minFilesPerPartition)
+      .filter { case (_, fs) =>
+        fs.size >= minFilesPerPartition || fs.exists(_.dv.isDefined)
+      }
     if (groups.isEmpty) return 0
     val toCompact = groups.values.flatten.toSeq
     val raw = readFiles(snap, toCompact)
@@ -1110,13 +1433,20 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * dev semantics).
     */
   def vacuum(retainMillis: Long = 0L): Int = {
-    val live = snapshot(path).files.map(f => resolvePath(path, f.path).normalize).toSet
+    val snap = snapshot(path)
+    val live = snap.files.map(f => resolvePath(path, f.path).normalize).toSet
+    // referenced DV parquets are live table state (their parts live
+    // under the DV's directory); unreferenced DV dirs vacuum like any
+    // superseded data file
+    val liveDvDirs = snap.files.flatMap(_.dv).map(_.path).distinct
+      .map(p => resolvePath(path, p).normalize)
     val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
     var removed = 0
     walkClosed(path)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .filterNot(p => p.startsWith(logDir(path)))
       .filterNot(p => live.contains(p.normalize))
+      .filterNot(p => liveDvDirs.exists(d => p.normalize.startsWith(d)))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach { p => Files.delete(p); removed += 1 }
     removed
@@ -1322,6 +1652,11 @@ final class LakeTable(spark: SparkSession, val path: Path) {
 object LakeTable {
   /** Table-config key prefix for ENFORCED CHECK constraints. */
   private[graft] val ConstraintPrefix = "graft.constraint."
+
+  /** Table-config key selecting the MERGE strategy
+    * (copy-on-write default | merge-on-read).
+    */
+  private[graft] val MergeModeKey = "graft.merge.mode"
 
   def forPath(spark: SparkSession, p: String): LakeTable =
     new LakeTable(spark, TransactionLog.pathOf(p))

@@ -27,13 +27,29 @@ import scala.util.control.NonFatal
 object TransactionLog {
   private[lake] val mapper = new ObjectMapper()
 
+  /** Deletion vector attached to a data file (merge-on-read): `path`
+    * is a table-relative parquet location holding `(file, row)` pairs —
+    * `file` the data file's add-path, `row` its parquet row index —
+    * and the file's live rows are its physical rows minus those pairs.
+    * CUMULATIVE contract: the descriptor a data file carries always
+    * references the complete delete set for that file (each new DV
+    * write unions the old rows in), so any still-referenced OLDER DV
+    * file holds a subset for it — which is what lets readers apply the
+    * union of referenced DV files with a plain anti-join, no
+    * per-file version resolution. `cardinality` = deleted rows of
+    * THIS file; `sizeInBytes` = the DV parquet's size (broadcast
+    * heuristic). Mirrors the Delta protocol's `add.deletionVector`.
+    */
+  final case class DvDescriptor(path: String, cardinality: Long, sizeInBytes: Long)
+
   final case class AddFile(
       path: String,
       partitionValues: Map[String, String],
       size: Long,
       modificationTime: Long,
       dataChange: Boolean = true,
-      stats: Option[String] = None) {
+      stats: Option[String] = None,
+      dv: Option[DvDescriptor] = None) {
     private lazy val statsNode =
       stats.flatMap(s => try Some(mapper.readTree(s)) catch { case _: Throwable => None })
     def numRecords: Option[Long] =
@@ -160,6 +176,13 @@ object TransactionLog {
     a.put("modificationTime", f.modificationTime)
     a.put("dataChange", f.dataChange)
     f.stats.foreach(st => a.put("stats", st))
+    f.dv.foreach { d =>
+      val dn = a.putObject("deletionVector")
+      dn.put("pathOrInlineDv", d.path)
+      dn.put("storageType", "p") // path-based, Delta-protocol rendering
+      dn.put("cardinality", d.cardinality)
+      dn.put("sizeInBytes", d.sizeInBytes)
+    }
     n
   }
 
@@ -307,8 +330,12 @@ object TransactionLog {
         e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
     }.getOrElse(Map.empty[String, String])
     val st = Option(a.get("stats")).filter(!_.isNull).map(_.asText)
+    val dv = Option(a.get("deletionVector")).filter(!_.isNull).map { d =>
+      DvDescriptor(d.get("pathOrInlineDv").asText,
+        d.get("cardinality").asLong, d.get("sizeInBytes").asLong)
+    }
     AddFile(a.get("path").asText, pv, a.get("size").asLong,
-      a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), st)
+      a.get("modificationTime").asLong, a.get("dataChange").asBoolean(true), st, dv)
   }
 
   /** Files added in each version of `(fromVersion..toVersion)`

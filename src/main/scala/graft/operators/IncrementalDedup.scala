@@ -94,6 +94,102 @@ object IncrementalDedup {
       .select(col("id"))
   }
 
+  /** Incremental connected-components labels: [[ingestShard]] plus a
+    * persisted LABEL STORE `(id, component)` — component = min id of
+    * the near-dup component, exactly [[ConnectedComponents.labels]]'
+    * contract — maintained per shard WITHOUT re-running CC over the
+    * ever-growing pair store ([[keptIds]]' cost profile: correct, but
+    * a daily pipeline re-pays the full closure on every arrival).
+    *
+    * The incremental step is a QUOTIENT-GRAPH contraction. Every
+    * stored component is internally connected, so for connectivity it
+    * collapses to its representative; and because the representative
+    * IS the component minimum, the min-label of a merged component
+    * over the full graph equals the min over (old reps ∪ new ids) —
+    * the quotient answer is exact, not an approximation. Per shard:
+    *  1. map the shard's new pairs' endpoints through the store
+    *     (labeled id → its rep; unseen id → itself);
+    *  2. run CC on that quotient graph — |new pairs| edges over
+    *     (reps touched by this shard ∪ new ids) vertices, i.e. work
+    *     bounded by the shard's component NEIGHBORHOOD, never corpus
+    *     size. An unbounded cascade (one shard bridging many old
+    *     components) is still just this CC — its cost scales with the
+    *     number of affected components, which is what "cascade" means;
+    *  3. upsert the store: members of re-labeled components get the
+    *     new rep (a key-scattered standing upsert — the label store is
+    *     created `merge-on-read`, so each shard writes O(changed
+    *     labels), not a store rewrite), new ids insert.
+    *
+    * OperatorSpec pins shard-incremental labels ≡ one-shot
+    * [[ConnectedComponents.labels]] over the full pair store.
+    */
+  def ingestShardLabeled(
+      sigStore: LakeTable,
+      pairStore: LakeTable,
+      labelStore: LakeTable,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4): Long = {
+    val pairsBefore = if (pairStore.exists) pairStore.version else -1L
+    val v = ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands)
+    val newPairs = pairStore.changes(pairsBefore)
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    val newIds = shard.select(col(idCol).cast("long").as("id")).distinct()
+
+    val labels =
+      if (labelStore.exists) labelStore.read()
+      else newIds.sparkSession.createDataFrame(
+        newIds.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+
+    // endpoints through the store: labeled → rep, unseen → self
+    val qEdges = newPairs
+      .join(labels.select(col("id").as("id_a"), col("component").as("ca")), Seq("id_a"), "left")
+      .join(labels.select(col("id").as("id_b"), col("component").as("cb")), Seq("id_b"), "left")
+      .select(
+        coalesce(col("ca"), col("id_a")).as("u"),
+        coalesce(col("cb"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val qVerts = qEdges.select(col("u").as("id"))
+      .unionByName(qEdges.select(col("v").as("id")))
+      .unionByName(newIds)
+      .distinct()
+    val qLabels = ConnectedComponents.labels(qVerts, "id", qEdges)
+
+    // nodes whose label moved: old reps absorbed into a smaller-min
+    // component, and new ids that are not their own component
+    val delta = qLabels.where(col("id") =!= col("component"))
+    val repRemap = delta
+      .select(col("id").as("component"), col("component").as("newComp"))
+    // members of re-labeled OLD components (bounded by affected
+    // component sizes); the rep's own row re-labels through the same join
+    val updatedOld = labels.join(repRemap, Seq("component"))
+      .select(col("id"), col("newComp").as("component"))
+    val newRows = newIds
+      .join(qLabels.withColumnRenamed("component", "qc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("qc"), col("id")).as("component"))
+    val upsert = updatedOld.unionByName(newRows)
+    if (!labelStore.exists) {
+      labelStore.write(upsert, "error")
+      // standing scattered-key upserts: merge-on-read from day one
+      labelStore.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    } else labelStore.merge(upsert, Seq("id"))
+    v
+  }
+
+  /** Kept ids straight off the incrementally-maintained label store —
+    * a metadata-cheap filter, no connected-components run at all.
+    */
+  def labeledKeptIds(labelStore: LakeTable): DataFrame =
+    labelStore.read().where(col("id") === col("component")).select(col("id"))
+
   /** Ingest `shard` and return only its rows that survive dedup
     * against everything ingested so far (including the shard itself) —
     * the per-arrival output of the standing pipeline.

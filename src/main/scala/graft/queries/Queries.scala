@@ -1207,10 +1207,15 @@ object Queries {
         val o = tbl(s, d, "orders")
         val asStage = o.columns.toSeq.map(c => col(c).cast("string").as(c))
         s.sql("DROP TABLE IF EXISTS graft.default.q59_orders")
+        // merge-on-read: the 20% scattered keys defeat matched-file
+        // pruning, so copy-on-write degenerates to a full-table rewrite
+        // per batch — the one plan a standing upsert pipeline cannot
+        // run at 100 TB. With DVs the MERGE writes O(changed rows).
         s.sql("""CREATE TABLE graft.default.q59_orders (
           o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
           o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
-          PRIMARY KEY (o_orderkey)) USING graft""")
+          PRIMARY KEY (o_orderkey)) USING graft
+          TBLPROPERTIES('graft.merge.mode'='merge-on-read')""")
         o.where(col("o_orderkey") % 3 =!= 0).select(asStage: _*)
           .createOrReplaceTempView("q59_stage_seed")
         s.sql("""INSERT INTO graft.default.q59_orders

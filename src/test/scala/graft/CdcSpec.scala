@@ -109,6 +109,30 @@ class CdcSpec extends AnyFunSuite {
     assert(emitted.contains(1L) && emitted.contains(99L))
   }
 
+  test("merge-on-read DV commits: only appended rows emit; re-adds with vectors stay silent") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    t.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "overwrite")
+    t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    val cursor = t.version
+    t.merge((1L to 120L by 3).map(i => (i, "UPD")).toDF("id", "v"), Seq("id"))
+    val emitted = t.changes(cursor).select("id", "v").as[(Long, String)].collect().toSeq
+    // EXACTLY the source rows: the DV re-add of the touched file is
+    // dataChange=false, so its 100 physical rows do not re-emit (the
+    // copy-on-write path re-emits cohabitants; merge-on-read is
+    // strictly cleaner for CDC consumers)
+    assert(emitted.size == (1L to 120L by 3).size)
+    assert(emitted.forall(_._2 == "UPD"))
+    // versioned reads on either side of the DV commit stay exact
+    assert(t.read(versionAsOf = cursor).where($"v" === "UPD").count() == 0)
+    assert(t.read().where($"v" =!= "UPD").count() == 100 - (1L to 100L by 3).size)
+    // a later OPTIMIZE (materializing the DVs) is invisible to CDC,
+    // same as any compaction
+    val c2 = t.version
+    assert(t.compact() > 0)
+    assert(t.changes(c2).count() == 0)
+  }
+
   test("RESTORE re-adding an in-range file does not multiply its rows") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)

@@ -96,6 +96,119 @@ class LakeTableSpec extends AnyFunSuite {
       .getMessage.contains("primary keys"))
   }
 
+  test("merge-on-read upsert: same answers as copy-on-write, no untouched-byte rewrite") {
+    // twin tables, identical content; one flipped to merge-on-read
+    def seed(t: LakeTable): Unit = {
+      t.write((1L to 4000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+      t.write((4001L to 8000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+    }
+    val cow = LakeTable.forPath(spark, tmpTable()); seed(cow)
+    val mor = LakeTable.forPath(spark, tmpTable()); seed(mor)
+    mor.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    val delta = (1L to 9000L by 7).map(i => (i, "UPD", -1.0)).toDF("id", "v", "x")
+
+    def addsOfLastCommit(t: LakeTable): (Long, Long) = {
+      // (bytes of data files added, files removed) in the newest commit
+      val before = graft.lake.TransactionLog.snapshot(t.path, t.version - 1)
+      val after = t.snapshotNow
+      val beforePaths = before.files.map(_.path).toSet
+      val added = after.files.filterNot(f => beforePaths.contains(f.path) &&
+        before.files.find(_.path == f.path).exists(_.dv == f.dv))
+      val removed = before.files.count(f => !after.files.exists(_.path == f.path))
+      (added.filterNot(f => beforePaths.contains(f.path)).map(_.size).sum, removed.toLong)
+    }
+
+    cow.merge(delta, Seq("id"))
+    mor.merge(delta, Seq("id"))
+    val (cowBytes, cowRemoved) = addsOfLastCommit(cow)
+    val (morBytes, morRemoved) = addsOfLastCommit(mor)
+
+    // identical answers
+    val a = cow.read().orderBy("id").collect().toSeq
+    val b = mor.read().orderBy("id").collect().toSeq
+    assert(a == b && a.size == 8000 + (8001L to 9000L by 7).size)
+    // the point of the strategy: copy-on-write rewrote every touched
+    // file (all 8000 rows); merge-on-read appended only the ~1286
+    // source rows and removed NOTHING
+    assert(morRemoved == 0 && cowRemoved > 0, s"removed: mor=$morRemoved cow=$cowRemoved")
+    assert(morBytes * 2 < cowBytes, s"bytes added: mor=$morBytes cow=$cowBytes")
+    assert(mor.hasDeletionVectors)
+    // untouched original bytes still live under merge-on-read
+    assert(mor.snapshotNow.files.map(_.path).toSet
+      .intersect(graft.lake.TransactionLog.snapshot(mor.path, 0L).files.map(_.path).toSet)
+      .nonEmpty)
+
+    // a second merge on the DV'd table must DV the previously-appended
+    // rows too (cumulative vectors) and stay idempotent
+    mor.merge(delta, Seq("id"))
+    assert(mor.read().orderBy("id").collect().toSeq == a)
+    cow.merge(delta, Seq("id"))
+    assert(cow.read().count() == mor.read().count())
+
+    // time travel: pre-merge versions still read the original rows
+    assert(mor.read(versionAsOf = 1L).where($"v" === "UPD").count() == 0)
+    assert(mor.read(versionAsOf = 1L).count() == 8000)
+
+    // CDC: the merge-on-read commit surfaces ONLY the appended rows
+    // (deletes are invisible — same dedupe-on-PK contract as rewrites)
+    val ch = mor.changes(2L, 3L)
+    assert(ch.count() == delta.count())
+    assert(ch.where($"v" =!= "UPD").count() == 0)
+
+    // vacuum must not eat the referenced DV parquet
+    mor.vacuum(0L)
+    assert(mor.read().orderBy("id").collect().toSeq == a)
+
+    // OPTIMIZE materializes: deletes fold into clean files, answers
+    // unchanged, vectors gone, DV parquet becomes vacuumable
+    assert(mor.compact() > 0)
+    assert(!mor.hasDeletionVectors)
+    assert(mor.read().orderBy("id").collect().toSeq == a)
+    val dvDir = mor.path.resolve("_dv")
+    val dvFilesBefore = if (Files.isDirectory(dvDir))
+      Files.walk(dvDir).filter(p => p.toString.endsWith(".parquet")).count() else 0L
+    assert(dvFilesBefore > 0)
+    mor.vacuum(0L)
+    val dvFilesAfter = if (Files.isDirectory(dvDir))
+      Files.walk(dvDir).filter(p => p.toString.endsWith(".parquet")).count() else 0L
+    assert(dvFilesAfter == 0, s"unreferenced DV parquets survived vacuum: $dvFilesAfter")
+    assert(mor.read().orderBy("id").collect().toSeq == a)
+  }
+
+  test("merge-on-read MERGE INTO: update/delete/insert clauses match copy-on-write") {
+    import graft.lake.{MergeClause, MergeSpec}
+    def seed(t: LakeTable): Unit =
+      t.write((1L to 3000L).map(i => (i, i % 10, s"n$i")).toDF("id", "grp", "name"), "append")
+    val cow = LakeTable.forPath(spark, tmpTable()); seed(cow)
+    val mor = LakeTable.forPath(spark, tmpTable()); seed(mor)
+    mor.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    val src = (2500L to 3500L).map(i => (i, s"s$i")).toDF("sid", "sname")
+
+    def run(t: LakeTable): Unit = t.mergeInto(src) { (target, s) =>
+      MergeSpec(
+        target("id") === s("sid"),
+        matched = Seq(
+          MergeClause.Delete(Some(target("grp") === 7)),
+          MergeClause.Update(None, Map("name" -> s("sname")))),
+        notMatched = Seq(MergeClause.Insert(Some(s("sid") % 2 === 0),
+          Map("id" -> s("sid"), "grp" -> lit(99L), "name" -> s("sname")))),
+        notMatchedBySource = Seq(
+          MergeClause.Update(Some(target("id") < 10), Map("name" -> lit("OLD")))))
+    }
+    run(cow); run(mor)
+    val a = cow.read().orderBy("id", "grp", "name").collect().toSeq
+    val b = mor.read().orderBy("id", "grp", "name").collect().toSeq
+    assert(a == b, s"first diff: ${a.zip(b).find(p => p._1 != p._2)}")
+    assert(mor.hasDeletionVectors)
+    // deletes and NMBS updates really happened through the DV path
+    assert(mor.read().where($"id" === 2507L).count() == 0) // grp 7 → deleted
+    assert(mor.read().where($"name" === "OLD").count() == 9)
+    // copy-on-write DELETE/UPDATE still compose on a DV'd table
+    assert(mor.delete($"grp" === 99L) === cow.delete($"grp" === 99L))
+    assert(mor.read().orderBy("id", "grp", "name").collect().toSeq ==
+      cow.read().orderBy("id", "grp", "name").collect().toSeq)
+  }
+
   test("checkpointing: O(1) replay after many commits, time travel intact") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)

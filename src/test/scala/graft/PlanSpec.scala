@@ -30,6 +30,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q12 floor pinned: one fact-side shuffle, broadcast dims, codegen join+agg") {
+    // BENCHNOTES_r7 §4 measured this plan AT the engine floor (the 2×2
+    // broadcast-ceiling × bloom-filter A/B lost every cell); this spec
+    // pins the shape so the floor argument cannot rot: the fact side
+    // pays exactly ONE shuffle exchange (the final aggregation's), all
+    // dimension joins broadcast, and the join+agg pipeline stays
+    // inside whole-stage codegen.
+    val d = queries.Queries.queries("q12_regional_revenue")(spark, dir)
+    d.collect() // AQE materializes final stages (with codegen spans) at run time
+    // the adaptive plan prints Final Plan then Initial Plan — assert on
+    // the final section only (the initial copy double-counts exchanges)
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"), p.take(600))
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle exchange, got $shuffles\n$p")
+    // '*(n)' prefixes mark whole-stage-codegen membership: every join
+    // and every aggregate must carry one
+    val joinLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(_.contains("*(")),
+      s"join outside codegen:\n${joinLines.mkString("\n")}")
+    assert(aggLines.nonEmpty && aggLines.forall(_.contains("*(")),
+      s"aggregate outside codegen:\n${aggLines.mkString("\n")}")
+  }
+
   test("aggregations are partial (map-side combine) and hash-based") {
     val p = plan("q10_pricing_summary")
     // the decimal sums run through the int128 kernel (DecimalSum128 /
