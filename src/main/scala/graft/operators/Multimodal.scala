@@ -39,6 +39,9 @@ object Multimodal {
       .when(head.startsWith("52494646"), "riff") // wav/avi/webp family
       .when(head.startsWith("664C6143"), "flac")
       .when(head.startsWith("1A45DFA3"), "matroska") // mkv/webm
+      // ISO-BMFF has no leading magic: the brand box type sits at
+      // bytes 4-7 ('ftyp'), after the box size
+      .when(hex(substring(payload, 5, 4)) === "66747970", "mp4")
       .otherwise("unknown")
   }
 

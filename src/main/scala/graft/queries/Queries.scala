@@ -599,6 +599,7 @@ object Queries {
              |     WHEN hex(substr(text,1,4)) LIKE '52494646%' THEN 'riff'
              |     WHEN hex(substr(text,1,4)) LIKE '664C6143%' THEN 'flac'
              |     WHEN hex(substr(text,1,4)) LIKE '1A45DFA3%' THEN 'matroska'
+             |     WHEN hex(substr(text,5,4)) = '66747970' THEN 'mp4'
              |     ELSE 'unknown' END AS format,
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |md5(text) AS content_md5
@@ -1397,9 +1398,52 @@ object Queries {
              |FROM v GROUP BY doc_id, n""".stripMargin)),
   )
 
+  private val more3: Seq[(String, QueryDef)] = Seq(
+    // REAL video container metadata, the q61/q64 pattern for video:
+    // deterministic synthetic AVI/Matroska/MP4 containers (every field
+    // an integer function of the id; one residue class ships only the
+    // 4 magic bytes), then the bounded chunk/element/box walkers of
+    // VideoMeta extract dims/duration/codec — no frame decode, no
+    // codec dependency. The oracle replays the id arithmetic, so the
+    // hash gate proves the walkers read the real container structure,
+    // including the never-throw corrupt contract.
+    "q65_video_meta" -> QueryDef(
+      (s, d) => {
+        val media = graft.operators.VideoMeta
+          .renderSyntheticVideos(tbl(s, d, "documents"), "doc_id")
+        graft.operators.VideoMeta.parseVideoMeta(media)
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 97 = 0 AND doc_id % 3 = 2 THEN 'unknown'
+             |       WHEN doc_id % 3 = 0 THEN 'riff'
+             |       WHEN doc_id % 3 = 1 THEN 'matroska'
+             |       ELSE 'mp4' END AS format,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       WHEN doc_id % 3 = 0 THEN 'avi'
+             |       WHEN doc_id % 3 = 1 THEN 'matroska'
+             |       ELSE 'mp4' END AS container,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       ELSE CAST(16 + doc_id % 320 AS INT) END AS width,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       ELSE CAST(9 + doc_id % 240 AS INT) END AS height,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN (10 + doc_id % 90) * 40
+             |                      WHEN doc_id % 3 = 1 THEN 1000 + doc_id % 9000
+             |                      ELSE 500 + doc_id % 7500 END AS BIGINT) END AS duration_ms,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       WHEN doc_id % 3 = 0 THEN 'MJPG'
+             |       WHEN doc_id % 3 = 1 THEN 'V_VP9'
+             |       ELSE 'avc1' END AS codec,
+             |  CASE WHEN doc_id % 97 = 0 THEN
+             |         CASE WHEN doc_id % 3 = 2 THEN 'unsupported_container'
+             |              ELSE 'truncated' END
+             |       ELSE NULL END AS error
+             |FROM documents""".stripMargin)),
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (all ++ more ++ more2).map { case (n, q) => n -> q.impl }.toMap
+    (all ++ more ++ more2 ++ more3).map { case (n, q) => n -> q.impl }.toMap
 
   def oracleSql: Map[String, String] =
-    (all ++ more ++ more2).flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
+    (all ++ more ++ more2 ++ more3).flatMap { case (n, q) => q.oracle.map(n -> _) }.toMap
 }
