@@ -147,14 +147,26 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val target = snapshot(path, targetVersion)
     val currentPaths = current.files.map(_.path).toSet
     val targetPaths = target.files.map(_.path).toSet
-    // VACUUM may have deleted files only the target version references
+    // VACUUM may have deleted files only the target version references —
+    // data files AND the DV parquets its descriptors point at (vacuum
+    // protects only the CURRENT snapshot's DV dirs, so a superseded DV
+    // a target descriptor still needs can be gone)
     val missing = target.files
       .filterNot(f => currentPaths.contains(f.path))
       .filterNot(f => Files.exists(resolvePath(path, f.path)))
-    if (missing.nonEmpty)
+    // vacuum deletes the parquet parts INSIDE a DV directory (the dir
+    // itself survives), so "exists" means "still holds parquet content"
+    val missingDv = target.files.flatMap(_.dv).map(_.path).distinct
+      .filterNot { p =>
+        val d = resolvePath(path, p)
+        Files.exists(d) && walkClosed(d).exists(f =>
+          Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      }
+    if (missing.nonEmpty || missingDv.nonEmpty)
       throw UserException(
-        s"Cannot restore to version $targetVersion: ${missing.size} data file(s) " +
-          s"were vacuumed (first: ${missing.head.path})")
+        s"Cannot restore to version $targetVersion: " +
+          s"${missing.size + missingDv.size} file(s) were vacuumed " +
+          s"(first: ${(missing.map(_.path) ++ missingDv).head})")
     val ts = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
     actions += commitInfoAction("RESTORE",
@@ -188,8 +200,12 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     actions += protocolAction()
     actions += metadataAction(snap.metadata.copy(id = UUID.randomUUID().toString))
     snap.files.foreach { f =>
+      // DV descriptors borrow too: absolutize the DV parquet's path
+      // (its (fid,row) payload stays valid — fids are path-free)
       actions += addAction(f.copy(
-        path = resolvePath(path, f.path).toUri.toString, dataChange = false))
+        path = resolvePath(path, f.path).toUri.toString,
+        dv = f.dv.map(d => d.copy(path = resolvePath(path, d.path).toUri.toString)),
+        dataChange = false))
     }
     Files.createDirectories(dest)
     if (!tryCommit(dest, 0L, actions.result()))
@@ -334,8 +350,12 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   // sound under DVs (deleted rows only shrink the true range, so
   // skipping can under-prune, never wrong).
 
+  /** On-disk DV payload: `fid` (the per-DV-write file ordinal the
+    * descriptors key on) + row index. Pure numerics — no path string
+    * per deleted row (dictionary encoding; see DvDescriptor's scaladoc).
+    */
   private val DvSchema = StructType(Seq(
-    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("fid", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("row", org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Max summed DV bytes for which the anti-join side is force-
@@ -344,9 +364,21 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     */
   private val DvBroadcastBytes = 64L << 20
 
-  private def readDvRows(dvPaths: Seq[String]): DataFrame =
-    spark.read.schema(DvSchema)
-      .parquet(dvPaths.map(p => resolvePath(path, p).toString): _*)
+  /** All referenced DV parquets as one frame `(dvi, fid, row)`, where
+    * `dvi` is the index into `dvPaths` — the second dictionary level
+    * (which DV parquet), so multi-DV unions stay string-free too.
+    */
+  private def readDvRaw(dvPaths: Seq[String]): DataFrame =
+    dvPaths.zipWithIndex.map { case (p, i) =>
+      spark.read.schema(DvSchema).parquet(resolvePath(path, p).toString)
+        .select(lit(i).as("dvi"), col("fid"), col("row"))
+    }.reduce(_ unionByName _)
+
+  /** Summed bytes of the distinct DV parquets behind `dvFiles` (each
+    * parquet counted once, however many descriptors share it).
+    */
+  private def dvBytesOf(dvFiles: Seq[AddFile]): Long =
+    dvFiles.flatMap(_.dv).groupBy(_.path).map(_._2.head.sizeInBytes).sum
 
   /** Subtracts deleted rows from a scan over `files`. `scanDf` must sit
     * directly enough over the parquet relation for `_metadata` to
@@ -356,20 +388,24 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val dvFiles = files.filter(_.dv.isDefined)
     if (dvFiles.isEmpty) return scanDf
     import spark.implicits._
-    val distinctDvs = dvFiles.flatMap(_.dv).distinct
-    val dvRaw = readDvRows(distinctDvs.map(_.path).distinct)
-    val dv = if (distinctDvs.map(_.sizeInBytes).sum <= DvBroadcastBytes)
-      broadcast(dvRaw) else dvRaw
-    // scan provenance is an absolute path rendering; DV content keys on
-    // the log-relative add-path (stable across table moves/clones) —
-    // bridge with a metadata-sized broadcast lookup
-    val lookup = dvFiles.map(f => (scanPathOf(f), f.path)).toDF("__gdv_file", "__gdv_rel")
+    val dvPaths = dvFiles.flatMap(_.dv).map(_.path).distinct
+    val dvIdx = dvPaths.zipWithIndex.toMap
+    val dvRaw = readDvRaw(dvPaths)
+    val dv = if (dvBytesOf(dvFiles) <= DvBroadcastBytes) broadcast(dvRaw) else dvRaw
+    // scan provenance is an absolute path rendering; descriptors map it
+    // to (which DV parquet, which fid) — a metadata-sized broadcast
+    // lookup, after which the anti-join keys are all-numeric
+    val lookup = dvFiles.map { f =>
+      val d = f.dv.get
+      (scanPathOf(f), dvIdx(d.path), d.fid)
+    }.toDF("__gdv_file", "__gdv_dvi", "__gdv_fid")
     scanDf
       .withColumn("__gdv_file", col("_metadata.file_path"))
       .withColumn("__gdv_row", col("_metadata.row_index"))
       .join(broadcast(lookup), Seq("__gdv_file"), "left")
-      .join(dv, col("__gdv_rel") === dv("file") && col("__gdv_row") === dv("row"), "left_anti")
-      .drop("__gdv_file", "__gdv_row", "__gdv_rel")
+      .join(dv, col("__gdv_dvi") === dv("dvi") && col("__gdv_fid") === dv("fid") &&
+        col("__gdv_row") === dv("row"), "left_anti")
+      .drop("__gdv_file", "__gdv_row", "__gdv_dvi", "__gdv_fid")
   }
 
   /** True when any live file carries a deletion vector. */
@@ -399,81 +435,163 @@ final class LakeTable(spark: SparkSession, val path: Path) {
           "(expected copy-on-write or merge-on-read)")
     }
 
-  /** Writes `rows` (file, row) as one DV parquet under `_dv/` and
-    * returns (relative path, per-file cardinalities, total bytes).
+  /** Writes `rows` (file, row) — `file` the CURRENT add-path of the
+    * data file each deleted row belongs to — as one (fid, row) parquet
+    * under `_dv/`, assigning each distinct file a dense `fid` ordinal.
+    * Returns (relative path, per-file (fid, cardinality), total bytes).
     * `rows` should be cached by the caller (it is consumed twice).
     */
-  private def writeDvFile(rows: DataFrame): (String, Map[String, Long], Long) = {
+  private def writeDvFile(rows: DataFrame): (String, Map[String, (Int, Long)], Long) = {
+    import spark.implicits._
     val counts = rows.groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fidOf = counts.keys.toSeq.sorted.zipWithIndex.toMap
     val total = counts.values.sum
     // sorted, few files: a DV is read by every subsequent scan
     val nParts = math.max(1, math.min(64, total / 4000000L)).toInt
     val rel = s"_dv/dv-${UUID.randomUUID().toString.take(12)}"
     val dest = path.resolve(rel)
-    rows.select(col("file").cast("string").as("file"), col("row").cast("long").as("row"))
-      .repartition(nParts, col("file"))
-      .sortWithinPartitions("file", "row")
+    val fidLookup = fidOf.toSeq.toDF("file", "fid")
+    rows.join(broadcast(fidLookup), "file")
+      .select(col("fid").cast("int").as("fid"), col("row").cast("long").as("row"))
+      .repartition(nParts, col("fid"))
+      .sortWithinPartitions("fid", "row")
       .write.parquet(dest.toString)
     val size = walkClosed(dest)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(Files.size).sum
-    (rel, counts, size)
+    (rel, counts.map { case (f, c) => f -> (fidOf(f), c) }, size)
   }
 
-  /** Shared merge-on-read commit: record `newDvRows` as deletes
-    * (cumulative per file — old DV rows of re-touched files are
-    * unioned in), append `appendDf`, one atomic commit pinned at
-    * `snap`. Returns the touched-file count.
+  /** Shared merge-on-read commit: record `newDvRows` (file = current
+    * add-path, row) as deletes — cumulative per file: old DV rows of
+    * re-touched files are carried forward via their descriptors'
+    * (path, fid) keys — append `appendDf`, one atomic commit pinned at
+    * `snap`, then apply the DV steady-state policy. Returns the number
+    * of NEWLY deleted rows.
     */
   private def commitMorDeletes(
       snap: Snapshot,
       newDvRows: DataFrame,
       appendDf: Option[DataFrame],
       operation: String,
-      opParams: Map[String, String]): Int = {
+      opParams: Map[String, String]): Long = {
     import spark.implicits._
     val cached = newDvRows.cache()
     try {
       val touchedRel = cached.select("file").distinct().as[String].collect().toSet
       val touched = snap.files.filter(f => touchedRel.contains(f.path))
-      val oldDvPaths = touched.flatMap(_.dv).map(_.path).distinct
-      val dvAll =
-        if (oldDvPaths.isEmpty) cached
-        else {
-          // carry forward: only the re-touched files' old rows; other
-          // files referencing those DV parquets keep their descriptors
-          val tdf = touchedRel.toSeq.toDF("file")
-          cached.unionByName(readDvRows(oldDvPaths).join(broadcast(tdf), "file")
-            .select(col("file"), col("row")))
+      val newDeleted = cached.count()
+      // carry forward re-touched files' old rows, translated old
+      // (path, fid) → current add-path; files NOT re-touched keep
+      // their old descriptors (the old parquet holds a superset, and
+      // their fids still resolve into it)
+      val oldPairs: Seq[DataFrame] = touched
+        .flatMap(f => f.dv.map(d => (d.path, d.fid, f.path)))
+        .groupBy(_._1).toSeq.map { case (dvPath, fs) =>
+          val m = fs.map { case (_, fid, file) => (fid, file) }.toDF("fid", "file")
+          spark.read.schema(DvSchema)
+            .parquet(resolvePath(path, dvPath).toString)
+            .join(broadcast(m), "fid")
+            .select(col("file"), col("row"))
         }
-      val dvOut: Option[(String, Map[String, Long], Long)] =
+      val dvAll = oldPairs.foldLeft(cached.select(col("file"), col("row")))(_ unionByName _)
+      val dvOut: Option[(String, Map[String, (Int, Long)], Long)] =
         if (touched.isEmpty) None else Some(writeDvFile(dvAll))
       val adds = appendDf.map(df => writeDataFiles(bucketize(df, bucketingOf(snap)),
         snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap)))
         .getOrElse(Nil)
-      if (touched.isEmpty && adds.isEmpty) return 0
+      if (touched.isEmpty && adds.isEmpty) return 0L
       val ts = System.currentTimeMillis()
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
       actions += commitInfoAction(operation,
         opParams ++ Map("mergeMode" -> "merge-on-read",
-          "numDeletedRows" -> dvOut.map(_._2.values.sum).getOrElse(0L).toString), ts)
-      dvOut.foreach { case (rel, counts, size) =>
+          "numDeletedRows" -> newDeleted.toString), ts)
+      dvOut.foreach { case (rel, fidCounts, size) =>
         // re-add with the new descriptor replaces the live entry;
         // dataChange=false keeps CDC readers from re-emitting the
         // file's physical rows (the deletes themselves are invisible to
         // `changes()` — same documented dedupe-on-PK contract as
         // copy-on-write rewrites)
         touched.foreach { f =>
+          val (fid, card) = fidCounts(f.path)
           actions += addAction(f.copy(
-            dv = Some(DvDescriptor(rel, counts(f.path), size)),
+            dv = Some(DvDescriptor(rel, fid, card, size)),
             dataChange = false))
         }
       }
       adds.foreach(a => actions += addAction(a))
       commitPinned(snap.version, actions.result())
-      touched.size
+      applyDvPolicy(snap.metadata.configuration)
+      newDeleted
     } finally cached.unpersist()
+  }
+
+  // ---- DV steady-state policy ---------------------------------------------
+  //
+  // A standing merge-on-read pipeline that never compacts degrades: DVs
+  // grow past the broadcast gate and every scan pays a shuffle
+  // anti-join. The policy bounds that: after each MoR commit, files
+  // whose deleted fraction exceeds `graft.dv.maxRatio` — or ALL DV'd
+  // files once summed DV bytes exceed `graft.dv.maxBytes` — are
+  // rewritten clean (deletes materialized), scoped to the offending
+  // files, never the table. `graft.dv.autoOptimize=false` keeps MoR
+  // commits pure and leaves the check to `dvOptimizeRecommended`.
+
+  private def dvPolicyOf(conf: Map[String, String]): (Boolean, Double, Long) = (
+    conf.getOrElse(LakeTable.DvAutoOptimizeKey, "true").toBoolean,
+    conf.get(LakeTable.DvMaxRatioKey).map(_.toDouble).getOrElse(0.5),
+    conf.get(LakeTable.DvMaxBytesKey).map(_.toLong).getOrElse(DvBroadcastBytes))
+
+  /** Files currently over the policy threshold (empty when healthy). */
+  private def dvOverThreshold(snap: Snapshot): Seq[AddFile] = {
+    val (_, maxRatio, maxBytes) = dvPolicyOf(snap.metadata.configuration)
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) Nil
+    else if (dvBytesOf(dvFiles) > maxBytes) dvFiles
+    else dvFiles.filter { f =>
+      f.dv.exists { d =>
+        // no stats ⇒ can't bound the live fraction ⇒ treat as over
+        f.numRecords.forall(n => n <= 0 || d.cardinality.toDouble / n >= maxRatio)
+      }
+    }
+  }
+
+  /** True when the table would benefit from materializing its DVs —
+    * the loud signal a `graft.dv.autoOptimize=false` pipeline polls.
+    */
+  def dvOptimizeRecommended: Boolean =
+    exists && dvOverThreshold(snapshot(path)).nonEmpty
+
+  private def applyDvPolicy(conf: Map[String, String]): Unit = {
+    val (auto, _, _) = dvPolicyOf(conf)
+    if (!auto) return
+    val snap = snapshot(path)
+    val over = dvOverThreshold(snap)
+    if (over.nonEmpty) materializeDvFiles(snap, over)
+  }
+
+  /** Rewrites `files` without their deleted rows (DV materialization):
+    * a data-preserving OPTIMIZE scoped to the given files — bytes
+    * move, facts don't, so the commit is dataChange=false end to end.
+    */
+  private def materializeDvFiles(snap: Snapshot, files: Seq[AddFile]): Unit = {
+    val bucketed = bucketingOf(snap)
+    val raw = readFiles(snap, files)
+    val df = bucketed match {
+      case Some(b) => bucketize(raw, Some(b))
+      case None    => raw.coalesce(math.max(1, files.size / 4))
+    }
+    val adds = writeDataFiles(df, snap.metadata.partitionColumns, "snappy", bucketed,
+      mappingOf(snap))
+    val ts = System.currentTimeMillis()
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    actions += commitInfoAction("OPTIMIZE",
+      Map("trigger" -> "dv-threshold", "numRemoved" -> files.size.toString,
+        "numAdded" -> adds.size.toString), ts)
+    files.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
+    adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
+    commitPinned(snap.version, actions.result())
   }
 
   // ---- schema DDL ---------------------------------------------------------
@@ -901,11 +1019,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * (/root/reference/src/component.py:238-260). Copy-on-write with
     * file pruning.
     */
-  def merge(source: DataFrame, keys: Seq[String]): Unit = {
+  def merge(
+      source: DataFrame,
+      keys: Seq[String],
+      operationParams: Map[String, String] = Map.empty): Unit = {
     if (keys.isEmpty)
       throw UserException(
         "Upsert mode requires primary keys to be defined in the table manifest.")
-    if (!exists) { write(source, "append"); return }
+    if (!exists) { write(source, "append", operationParams = operationParams); return }
     val snap = snapshot(path)
     val schema = snap.schema
     val src = alignToSchema(source, schema).cache()
@@ -925,7 +1046,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
           .join(broadcast(scanToRel), Seq("__graft_file"))
           .select(col("file"), col("__graft_row").as("row"))
         commitMorDeletes(snap, dvRows, Some(src), "MERGE",
-          Map("keys" -> keys.mkString(",")))
+          operationParams ++ Map("keys" -> keys.mkString(",")))
         return
       }
       val srcKeys = src.select(keys.map(col): _*).dropDuplicates(keys)
@@ -954,7 +1075,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val ts = System.currentTimeMillis()
 
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
-      actions += commitInfoAction("MERGE", Map("keys" -> keys.mkString(",")), ts)
+      actions += commitInfoAction("MERGE",
+        operationParams ++ Map("keys" -> keys.mkString(",")), ts)
       touched.foreach(f => actions += removeAction(f.path, ts))
       adds.foreach(a => actions += addAction(a))
       commitPinned(snap.version, actions.result())
@@ -1260,15 +1382,29 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       protocolAction(), metadataAction(meta)))
   }
 
-  /** Copy-on-write DELETE: files that may contain matching rows (found
-    * via `_metadata.file_path` provenance, so stats/partition pruning
-    * applies to the probe) are rewritten without them; untouched files
-    * survive as-is. NULL-valued conditions keep the row (SQL DELETE
-    * semantics). Returns the number of deleted rows.
+  /** DELETE: on a copy-on-write table, files that may contain matching
+    * rows (found via `_metadata.file_path` provenance, so
+    * stats/partition pruning applies to the probe) are rewritten
+    * without them; untouched files survive as-is. On a merge-on-read
+    * table the matched rows become DV pairs — no file is rewritten,
+    * write cost O(deleted rows) — the scale-safe strategy for a
+    * standing GDPR-delete pipeline with scattered keys. NULL-valued
+    * conditions keep the row (SQL DELETE semantics). Returns the
+    * number of deleted rows.
     */
   def delete(condition: Column): Long = {
     if (!exists) return 0L
     val snap = snapshot(path)
+    if (mergeModeOf(snap) == "merge-on-read") {
+      import spark.implicits._
+      val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
+        .toDF("__graft_file", "file")
+      val dvRows = readWithProvenance(snap)
+        .where(condition)
+        .join(broadcast(scanToRel), Seq("__graft_file"))
+        .select(col("file"), col("__graft_row").as("row"))
+      return commitMorDeletes(snap, dvRows, None, "DELETE", Map.empty)
+    }
     val touchedFiles: Set[String] = readWithProvenance(snap)
       .where(condition)
       .select(col("__graft_file")).distinct()
@@ -1289,10 +1425,12 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     deleted
   }
 
-  /** Copy-on-write UPDATE: rows matching `condition` get each column
-    * in `assignments` replaced by its expression (evaluated against
-    * the OLD row, SQL UPDATE semantics); only files containing matches
-    * are rewritten. Returns the number of updated rows.
+  /** UPDATE: rows matching `condition` get each column in
+    * `assignments` replaced by its expression (evaluated against the
+    * OLD row, SQL UPDATE semantics). Copy-on-write rewrites only the
+    * files containing matches; merge-on-read DVs the old row versions
+    * and appends the new ones — write cost O(updated rows), not
+    * O(touched bytes). Returns the number of updated rows.
     */
   def update(condition: Column, assignments: Map[String, Column]): Long = {
     if (!exists) return 0L
@@ -1300,6 +1438,23 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val badCols = assignments.keySet.diff(snap.schema.fieldNames.toSet)
     if (badCols.nonEmpty)
       throw UserException(s"UPDATE of unknown columns: ${badCols.mkString(",")}")
+    if (mergeModeOf(snap) == "merge-on-read") {
+      import spark.implicits._
+      val matched = readWithProvenance(snap).where(condition)
+      val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
+        .toDF("__graft_file", "file")
+      val dvRows = matched
+        .join(broadcast(scanToRel), Seq("__graft_file"))
+        .select(col("file"), col("__graft_row").as("row"))
+      val rewritten = matched.select(snap.schema.fieldNames.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(expr) => expr.cast(snap.schema(c).dataType).as(c)
+          case None       => col(c)
+        }
+      }: _*)
+      enforceConstraints(rewritten, snap)
+      return commitMorDeletes(snap, dvRows, Some(rewritten), "UPDATE", Map.empty)
+    }
     val touchedFiles: Set[String] = readWithProvenance(snap)
       .where(condition)
       .select(col("__graft_file")).distinct()
@@ -1657,6 +1812,15 @@ object LakeTable {
     * (copy-on-write default | merge-on-read).
     */
   private[graft] val MergeModeKey = "graft.merge.mode"
+
+  /** DV steady-state policy keys (see the policy section's comment):
+    * auto-materialize toggle (default true), per-file deleted-fraction
+    * threshold (default 0.5), summed-DV-bytes ceiling (default = the
+    * 64 MB broadcast gate).
+    */
+  private[graft] val DvAutoOptimizeKey = "graft.dv.autoOptimize"
+  private[graft] val DvMaxRatioKey = "graft.dv.maxRatio"
+  private[graft] val DvMaxBytesKey = "graft.dv.maxBytes"
 
   def forPath(spark: SparkSession, p: String): LakeTable =
     new LakeTable(spark, TransactionLog.pathOf(p))

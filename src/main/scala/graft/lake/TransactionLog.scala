@@ -28,9 +28,16 @@ object TransactionLog {
   private[lake] val mapper = new ObjectMapper()
 
   /** Deletion vector attached to a data file (merge-on-read): `path`
-    * is a table-relative parquet location holding `(file, row)` pairs —
-    * `file` the data file's add-path, `row` its parquet row index —
-    * and the file's live rows are its physical rows minus those pairs.
+    * locates a parquet holding `(fid, row)` pairs — `fid` a small
+    * integer ordinal assigned per DV write, `row` the data file's
+    * parquet row index — and the file's live rows are its physical
+    * rows minus the pairs whose `fid` equals THIS descriptor's `fid`.
+    * Dictionary encoding by design: the DV payload is pure numerics
+    * (int, long) while the file-path strings live only in descriptors
+    * (metadata-scale) — at billions of deletes the broadcast the scan
+    * ships is (int, int, long) rows, never repeated path strings.
+    * `path` is table-relative normally, an absolute URI on borrowed
+    * files (shallow clones) — resolve with [[resolvePath]].
     * CUMULATIVE contract: the descriptor a data file carries always
     * references the complete delete set for that file (each new DV
     * write unions the old rows in), so any still-referenced OLDER DV
@@ -38,9 +45,12 @@ object TransactionLog {
     * union of referenced DV files with a plain anti-join, no
     * per-file version resolution. `cardinality` = deleted rows of
     * THIS file; `sizeInBytes` = the DV parquet's size (broadcast
-    * heuristic). Mirrors the Delta protocol's `add.deletionVector`.
+    * heuristic). The descriptor's SHAPE follows the Delta protocol's
+    * `add.deletionVector` field, but the content is graft-specific
+    * (a (fid,row) parquet, not a serialized RoaringBitmap) — hence
+    * the `g` storage type below, not a Delta-readable one.
     */
-  final case class DvDescriptor(path: String, cardinality: Long, sizeInBytes: Long)
+  final case class DvDescriptor(path: String, fid: Int, cardinality: Long, sizeInBytes: Long)
 
   final case class AddFile(
       path: String,
@@ -179,7 +189,12 @@ object TransactionLog {
     f.dv.foreach { d =>
       val dn = a.putObject("deletionVector")
       dn.put("pathOrInlineDv", d.path)
-      dn.put("storageType", "p") // path-based, Delta-protocol rendering
+      // graft-specific storage type (in Delta, `p` means an ABSOLUTE
+      // path and the payload is a RoaringBitmap; ours is a (fid,row)
+      // parquet keyed table-relative) — a Delta reader must reject it
+      // rather than mis-resolve it
+      dn.put("storageType", "g")
+      dn.put("graftFid", d.fid)
       dn.put("cardinality", d.cardinality)
       dn.put("sizeInBytes", d.sizeInBytes)
     }
@@ -332,6 +347,7 @@ object TransactionLog {
     val st = Option(a.get("stats")).filter(!_.isNull).map(_.asText)
     val dv = Option(a.get("deletionVector")).filter(!_.isNull).map { d =>
       DvDescriptor(d.get("pathOrInlineDv").asText,
+        Option(d.get("graftFid")).map(_.asInt).getOrElse(0),
         d.get("cardinality").asLong, d.get("sizeInBytes").asLong)
     }
     AddFile(a.get("path").asText, pv, a.get("size").asLong,

@@ -43,17 +43,40 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       windowTokens: Int): DataFrame = {
-    require(windowTokens >= 2, "windowTokens must be >= 2")
     val w = windowTokens
-    val grams = docs
-      .select(col(idCol), posexplode(
-        GramMd5Functions.wordGramMd5(col(textCol), w)).as(Seq("pos", "h")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("h.hi").as("hi"), col("h.lo").as("lo"))
+    val grams = windowSites(docs, idCol, textCol, w)
     val dup = grams.groupBy("hi", "lo")
       .agg(count(lit(1)).as("n")).where(col("n") > 1)
       .select("hi", "lo")
     val hits = grams.join(dup, Seq("hi", "lo"), "left_semi")
+    spansFromHits(hits, idCol, w)
+  }
+
+  /** Every W-token window of every document as `(idCol, pos, hi, lo)` —
+    * the map-side kernel emission both the batch operator and the
+    * streaming site store build on. 20 bytes per window, never grams.
+    */
+  private[graft] def windowSites(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    docs
+      .select(col(idCol), posexplode(
+        GramMd5Functions.wordGramMd5(col(textCol), windowTokens)).as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("h.hi").as("hi"), col("h.lo").as("lo"))
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions into maximal
+    * spans: `hits` is any subset of window sites already known to be
+    * duplicated; consecutive/overlapping windows (gap ≤ W) fold into
+    * one [span_start, span_end) token range per document.
+    */
+  private[graft] def spansFromHits(
+      hits: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
+    val w = windowTokens
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     hits
       .withColumn("is_new",

@@ -138,7 +138,9 @@ object VideoMeta {
         elems += 1
       }
     }
-    walk(12, math.min(8 + 4 + leU32(b, 4, limit), limit.toLong), 0)
+    // RIFF chunk ends at 8 + riffSize (header + payload); trailing
+    // bytes after it are NOT chunk data and must not be walked
+    walk(12, math.min(8 + leU32(b, 4, limit), limit.toLong), 0)
     if (w < 0) return Row(id, fmt, "avi", null, null, null, codec, "header_not_found")
     val dur: java.lang.Long =
       if (usPerFrame >= 0 && frames >= 0) java.lang.Long.valueOf(frames * usPerFrame / 1000L)
@@ -262,9 +264,22 @@ object VideoMeta {
       var pos = from
       var boxes = 0
       while (pos + 8 <= to && boxes < 500) {
-        val size = beU32(b, pos, limit)
+        var size = beU32(b, pos, limit)
         val btype = str(b, pos + 4, 4, limit)
-        if (size < 8) throw new Truncated // size==1 (64-bit) unsupported: headers fit u32
+        if (size == 0) {
+          // "box extends to end of file" (last box only, per ISO-BMFF);
+          // the metadata boxes we want are never open-ended — skip to
+          // the end rather than looping on a zero advance
+          pos = to; boxes += 1
+        } else if (size == 1) {
+          // 64-bit largesize (common on a leading mdat of >4 GB
+          // progressive files): skip the whole box so a later moov is
+          // still reached; a largesize below its own header is hostile
+          val large = beU32(b, pos + 8, limit) << 32 | beU32(b, pos + 12, limit)
+          if (large < 16) throw new Truncated
+          pos += large; boxes += 1
+        } else if (size < 8) throw new Truncated
+        else {
         btype match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
             walk(pos + 8, math.min(pos + size, to), depth + 1)
@@ -296,6 +311,7 @@ object VideoMeta {
         }
         pos += size
         boxes += 1
+        }
       }
     }
     walk(0, limit.toLong, 0)

@@ -209,6 +209,145 @@ class LakeTableSpec extends AnyFunSuite {
       cow.read().orderBy("id", "grp", "name").collect().toSeq)
   }
 
+  test("merge-on-read DELETE/UPDATE: DV pairs only, copy-on-write-equal answers") {
+    def seed(t: LakeTable): Unit = {
+      t.write((1L to 4000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+      t.write((4001L to 8000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+    }
+    val cow = LakeTable.forPath(spark, tmpTable()); seed(cow)
+    val mor = LakeTable.forPath(spark, tmpTable()); seed(mor)
+    mor.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+
+    def removedByLastCommit(t: LakeTable): Long = {
+      val before = graft.lake.TransactionLog.snapshot(t.path, t.version - 1)
+      val after = t.snapshotNow
+      before.files.count(f => !after.files.exists(_.path == f.path)).toLong
+    }
+
+    // scattered DELETE (10% of keys, every file touched)
+    val vDel = mor.version
+    assert(cow.delete($"id" % 10 === 0) == 800L)
+    assert(mor.delete($"id" % 10 === 0) == 800L)
+    assert(removedByLastCommit(cow) > 0)      // CoW rewrote files
+    assert(removedByLastCommit(mor) == 0)     // MoR removed NOTHING
+    assert(mor.hasDeletionVectors)
+    assert(cow.read().orderBy("id").collect().toSeq ==
+      mor.read().orderBy("id").collect().toSeq)
+    // time travel: pre-delete version still reads all rows
+    assert(mor.read(versionAsOf = vDel).count() == 8000)
+    // CDC: a pure-DV DELETE commit emits nothing (deletes invisible)
+    assert(mor.changes(vDel, vDel + 1).count() == 0)
+
+    // scattered UPDATE (old row versions DV'd, new versions appended)
+    assert(cow.update($"id" % 7 === 0, Map("v" -> lit("U"), "x" -> (col("x") + 1))) ==
+      mor.update($"id" % 7 === 0, Map("v" -> lit("U"), "x" -> (col("x") + 1))))
+    assert(removedByLastCommit(mor) == 0)
+    assert(cow.read().orderBy("id").collect().toSeq ==
+      mor.read().orderBy("id").collect().toSeq)
+    // UPDATE evaluated against the OLD row: x became old-x + 1
+    assert(mor.read().where($"v" === "U" && $"x" =!= col("id") + 1).count() == 0)
+
+    // idempotence of the answer under OPTIMIZE + vacuum
+    val expect = mor.read().orderBy("id").collect().toSeq
+    assert(mor.compact() > 0)
+    assert(!mor.hasDeletionVectors)
+    mor.vacuum(0L)
+    assert(mor.read().orderBy("id").collect().toSeq == expect)
+  }
+
+  test("shallow clone of a DV'd table: deletes survive the clone, clone DML composes") {
+    val src = tmpTable()
+    val dst = java.nio.file.Paths.get(tmpTable()).resolve("dvclone")
+    val t = LakeTable.forPath(spark, src)
+    t.write((1L to 3000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    assert(t.delete($"id" % 3 === 0) == 1000L)
+    assert(t.hasDeletionVectors)
+
+    val c = t.cloneShallowTo(dst)
+    // borrowed DV applies: deleted rows must NOT resurrect on the clone
+    assert(c.read().count() == 2000)
+    assert(c.read().where($"id" % 3 === 0).count() == 0)
+    assert(c.read().orderBy("id").collect().toSeq ==
+      t.read().orderBy("id").collect().toSeq)
+
+    // clone DML on borrowed DV'd files stays local (clone inherited
+    // merge-on-read via the copied metadata)
+    assert(c.delete($"id" === 1L) == 1L)
+    assert(c.read().count() == 1999)
+    assert(t.read().count() == 2000) // source untouched
+    c.merge(Seq((2L, "UPD"), (9999L, "NEW")).toDF("id", "v"), Seq("id"))
+    assert(c.read().where($"id" === 2L).select("v").as[String].head() == "UPD")
+    assert(c.read().count() == 2000)
+    assert(t.read().where($"id" === 2L).select("v").as[String].head() == "v2")
+    // the clone's vacuum never deletes borrowed data or DV files
+    c.vacuum(0L)
+    assert(c.read().count() == 2000)
+    assert(t.read().count() == 2000)
+  }
+
+  test("restore refuses a target whose DV parquet was vacuumed") {
+    val t = LakeTable.forPath(spark, tmpTable())
+    t.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    t.alterSetProperties(Map(
+      "graft.merge.mode" -> "merge-on-read",
+      "graft.dv.autoOptimize" -> "false"))
+    assert(t.delete($"id" % 10 === 0) == 200L)   // DV parquet A
+    val vA = t.version
+    assert(t.delete($"id" % 10 === 1) == 200L)   // DV parquet B (carries A forward)
+    // A is now unreferenced → vacuum deletes it
+    assert(t.vacuum(0L) > 0)
+    assert(t.read().count() == 1600) // current state intact (B survives)
+    val e = intercept[UserException](t.restore(vA))
+    assert(e.getMessage.contains("vacuumed"))
+    // the guard PREVENTED the commit — table still readable at head
+    assert(t.read().count() == 1600)
+  }
+
+  test("DV steady-state policy: threshold merges auto-materialize; signal mode stays loud") {
+    // autoOptimize on (default) with a low ratio: one scattered DELETE
+    // past the threshold leaves NO vectors behind
+    val auto = LakeTable.forPath(spark, tmpTable())
+    auto.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    auto.alterSetProperties(Map(
+      "graft.merge.mode" -> "merge-on-read", "graft.dv.maxRatio" -> "0.2"))
+    assert(auto.delete($"id" % 3 === 0) == 666L) // 33% > 20% threshold
+    assert(!auto.hasDeletionVectors, "policy should have materialized the DVs")
+    assert(auto.read().count() == 1334)
+    assert(auto.historyInfo.head.operation == "OPTIMIZE")
+    assert(auto.historyInfo.head.operationParameters.get("trigger").contains("dv-threshold"))
+    assert(!auto.dvOptimizeRecommended)
+
+    // below the threshold nothing fires
+    val calm = LakeTable.forPath(spark, tmpTable())
+    calm.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    calm.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    assert(calm.delete($"id" % 10 === 0) == 200L) // 10% < default 50%
+    assert(calm.hasDeletionVectors)
+    assert(!calm.dvOptimizeRecommended)
+
+    // autoOptimize=false: vectors stay, but the signal is loud
+    val manual = LakeTable.forPath(spark, tmpTable())
+    manual.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    manual.alterSetProperties(Map(
+      "graft.merge.mode" -> "merge-on-read",
+      "graft.dv.maxRatio" -> "0.2", "graft.dv.autoOptimize" -> "false"))
+    assert(manual.delete($"id" % 3 === 0) == 666L)
+    assert(manual.hasDeletionVectors)
+    assert(manual.dvOptimizeRecommended)
+    assert(manual.compact() > 0) // the recommended action clears it
+    assert(!manual.hasDeletionVectors && !manual.dvOptimizeRecommended)
+
+    // byte-ceiling path: ANY vector over the byte budget forces it
+    val bytes = LakeTable.forPath(spark, tmpTable())
+    bytes.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    bytes.alterSetProperties(Map(
+      "graft.merge.mode" -> "merge-on-read", "graft.dv.maxBytes" -> "1"))
+    assert(bytes.delete($"id" === 5L) == 1L)
+    assert(!bytes.hasDeletionVectors)
+    assert(bytes.read().count() == 1999)
+  }
+
   test("checkpointing: O(1) replay after many commits, time travel intact") {
     val p = tmpTable()
     val t = LakeTable.forPath(spark, p)

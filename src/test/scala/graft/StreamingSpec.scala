@@ -323,6 +323,69 @@ class StreamingSpec extends AnyFunSuite {
     assert((sig.version, pair.version, out.version) == ((vS, vP, vO)))
   }
 
+  test("streaming substring dedup: stores converge to batch repeatedSpans; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.SubstringDedup
+    import graft.streaming.StreamingSubstringDedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft-streamspan")
+    val sitePath = root.resolve("sites"); val gramPath = root.resolve("grams")
+    val outPath = root.resolve("spans")
+    val w = 10
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingSubstringDedup.spanIngest(
+      mem.toDF.toDF("doc_id", "text"), sitePath, gramPath, outPath,
+      root.resolve("ckpt").toString, "doc_id", "text", w)
+    val shards = Seq(
+      corpus.where($"doc_id" % 2 === 0),
+      corpus.where($"doc_id" % 2 === 1))
+    shards.foreach { sh =>
+      mem.addData(sh.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // retroactive spans from the streamed stores == one batch
+    // repeatedSpans over the concatenated corpus — exact, both ways
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select($"doc_id".cast("long"), $"span_start".cast("long"),
+        $"span_end".cast("long")).as[(Long, Long, Long)].collect().sorted.toSeq
+    val streamed = canon(StreamingSubstringDedup.retroactiveSpans(
+      spark, sitePath, gramPath, "doc_id", w))
+    val batch = canon(SubstringDedup.repeatedSpans(corpus, "doc_id", "text", w))
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the corpus actually plants repeats
+
+    // per-arrival emission: shard k's spans judged against the prefix
+    // corpus (shards 1..k) — recompute each prefix with the BATCH
+    // operator, restricted to the shard's docs; exact equality
+    val out = new LakeTable(spark, outPath)
+    val emitted = canon(out.read())
+    val expected = shards.indices.flatMap { k =>
+      val prefix = shards.take(k + 1).reduce(_ unionByName _)
+      val shardIds = shards(k).select("doc_id").as[Long].collect().toSet
+      canon(SubstringDedup.repeatedSpans(prefix, "doc_id", "text", w))
+        .filter(s => shardIds.contains(s._1))
+    }.sorted
+    assert(emitted == expected)
+
+    // the gram store really runs merge-on-read (standing scattered-key
+    // upsert must not rewrite the store per shard)
+    val gram = new LakeTable(spark, gramPath)
+    assert(gram.snapshotNow.metadata.configuration
+      .get("graft.merge.mode").contains("merge-on-read"))
+
+    // exactly-once: replaying batch 0 adds NO commits to any store
+    val site = new LakeTable(spark, sitePath)
+    val (vS, vG, vO) = (site.version, gram.version, out.version)
+    StreamingSubstringDedup.ingestBatch(shards(0), 0L, sitePath, gramPath,
+      outPath, "doc_id", "text", w)
+    assert((site.version, gram.version, out.version) == ((vS, vG, vO)))
+  }
+
   private def copyParts(stage: java.nio.file.Path, dest: java.nio.file.Path, prefix: String): Unit = {
     val it = Files.list(stage).iterator()
     var i = 0
