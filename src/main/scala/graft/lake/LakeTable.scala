@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.core.UserException
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, monotonically_increasing_id, split, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, max, monotonically_increasing_id, split, sum, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.URLDecoder
@@ -438,13 +438,15 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   /** Writes `rows` (file, row) — `file` the CURRENT add-path of the
     * data file each deleted row belongs to — as one (fid, row) parquet
     * under `_dv/`, assigning each distinct file a dense `fid` ordinal.
-    * Returns (relative path, per-file (fid, cardinality), total bytes).
-    * `rows` should be cached by the caller (it is consumed twice).
+    * `counts` = exact per-file row counts of `rows` (the caller always
+    * has them from its own stats pass — recounting here would cost an
+    * extra job). Returns (relative path, per-file (fid, cardinality),
+    * total bytes).
     */
-  private def writeDvFile(rows: DataFrame): (String, Map[String, (Int, Long)], Long) = {
+  private def writeDvFile(
+      rows: DataFrame,
+      counts: Map[String, Long]): (String, Map[String, (Int, Long)], Long) = {
     import spark.implicits._
-    val counts = rows.groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val fidOf = counts.keys.toSeq.sorted.zipWithIndex.toMap
     val total = counts.values.sum
     // sorted, few files: a DV is read by every subsequent scan
@@ -470,22 +472,44 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * `snap`, then apply the DV steady-state policy. Returns the number
     * of NEWLY deleted rows.
     */
+  // Stage-level wall-clock probe for DML decompositions (BENCHNOTES
+  // uses it via scratch drivers); inert unless GRAFT_DEBUG_TIMING is
+  // set, so production paths pay nothing.
+  private def dbgTime[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_DEBUG_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"GRAFTTIME $label ${(System.nanoTime() - t0) / 1e9}%.2f"); r
+    }
+
   private def commitMorDeletes(
       snap: Snapshot,
       newDvRows: DataFrame,
       appendDf: Option[DataFrame],
       operation: String,
-      opParams: Map[String, String]): Long = {
+      opParams: Map[String, String],
+      newCounts: Option[Map[String, Long]] = None): Long = {
     import spark.implicits._
     val cached = newDvRows.cache()
     try {
-      val touchedRel = cached.select("file").distinct().as[String].collect().toSet
+      // ONE stats job (unless the caller already aggregated): per-file
+      // new-delete counts carry the touched set, the deleted total,
+      // AND the DV writer's cardinalities
+      val nc: Map[String, Long] = newCounts.getOrElse(
+        dbgTime("mor.stats")(cached.groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap))
+      val touchedRel = nc.keySet
       val touched = snap.files.filter(f => touchedRel.contains(f.path))
-      val newDeleted = cached.count()
+      val newDeleted = nc.values.sum
       // carry forward re-touched files' old rows, translated old
       // (path, fid) → current add-path; files NOT re-touched keep
       // their old descriptors (the old parquet holds a superset, and
-      // their fids still resolve into it)
+      // their fids still resolve into it). Cardinalities add exactly:
+      // a still-deleted row is invisible to the probe, so new deletes
+      // can never re-delete an old DV row.
+      val oldCard: Map[String, Long] =
+        touched.flatMap(f => f.dv.map(d => f.path -> d.cardinality)).toMap
+      val totalCounts = nc.map { case (f, c) => f -> (c + oldCard.getOrElse(f, 0L)) }
       val oldPairs: Seq[DataFrame] = touched
         .flatMap(f => f.dv.map(d => (d.path, d.fid, f.path)))
         .groupBy(_._1).toSeq.map { case (dvPath, fs) =>
@@ -496,11 +520,23 @@ final class LakeTable(spark: SparkSession, val path: Path) {
             .select(col("file"), col("row"))
         }
       val dvAll = oldPairs.foldLeft(cached.select(col("file"), col("row")))(_ unionByName _)
-      val dvOut: Option[(String, Map[String, (Int, Long)], Long)] =
-        if (touched.isEmpty) None else Some(writeDvFile(dvAll))
-      val adds = appendDf.map(df => writeDataFiles(bucketize(df, bucketingOf(snap)),
-        snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap)))
-        .getOrElse(Nil)
+      // the DV write and the append write are independent job chains —
+      // overlap them (local[32] and a real cluster both have the slack;
+      // sequential, they'd serialize two sub-second tails)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dvOutF: Future[Option[(String, Map[String, (Int, Long)], Long)]] =
+        if (touched.isEmpty) Future.successful(None)
+        else Future(Some(dbgTime("mor.writeDv")(writeDvFile(dvAll, totalCounts))))
+      val addsF: Future[Seq[AddFile]] = appendDf match {
+        case None => Future.successful(Nil)
+        case Some(df) => Future(dbgTime("mor.append")(
+          writeDataFiles(bucketize(df, bucketingOf(snap)),
+            snap.metadata.partitionColumns, "snappy", bucketingOf(snap), mappingOf(snap))))
+      }
+      val dvOut = Await.result(dvOutF, Duration.Inf)
+      val adds = Await.result(addsF, Duration.Inf)
       if (touched.isEmpty && adds.isEmpty) return 0L
       val ts = System.currentTimeMillis()
       val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -521,8 +557,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         }
       }
       adds.foreach(a => actions += addAction(a))
-      commitPinned(snap.version, actions.result())
-      applyDvPolicy(snap.metadata.configuration)
+      dbgTime("mor.commit")(commitPinned(snap.version, actions.result()))
+      dbgTime("mor.policy")(applyDvPolicy(snap.metadata.configuration))
       newDeleted
     } finally cached.unpersist()
   }
@@ -1031,7 +1067,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val schema = snap.schema
     val src = alignToSchema(source, schema).cache()
     try {
-      enforceConstraints(src, snap)
+      dbgTime("merge.constraints")(enforceConstraints(src, snap))
       if (mergeModeOf(snap) == "merge-on-read") {
         // upsert ≡ delete every key-matched target row + append all
         // source rows (MergeOps.upsert algebra); record the deletes as
@@ -1266,40 +1302,93 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val schema = snap.schema
     def tcol(df: DataFrame, c: String): Column = df(s"`${c.replace("`", "``")}`")
 
-    if (spec.matched.nonEmpty) {
-      // ANSI cardinality rule — (file, row-index) IS a target row id
-      val dupes = probe.join(src, spec.condition, "inner")
-        .groupBy(col("__graft_file"), col("__graft_row")).count()
-        .where(col("count") > 1).limit(1).count()
-      if (dupes > 0) throw UserException(
-        "MERGE: a target row matched multiple source rows; " +
-          "deduplicate the source on the merge keys first")
-    }
+    // ONE target-side join pass feeds everything downstream. The
+    // source of a standing MERGE pipeline is batch-sized — orders of
+    // magnitude under the table — so the preferred plan broadcasts it
+    // into a left_outer over the probe (no shuffle of the table at
+    // all; measured from the source's materialized cache stats, gated
+    // like the DV broadcast). A too-big source falls back to
+    // full_outer: ONE table shuffle that serves matched AND insert
+    // rows, instead of the per-consumer join the pre-r9 shape re-ran
+    // (cardinality check, acted, insert anti-join — three table
+    // passes). The matched-empty shape keeps the semi/anti split:
+    // with no matched clause nothing is ambiguous, and a fan-out
+    // would duplicate target rows.
+    val tPresent = col("__graft_file").isNotNull
+    // plan-stats estimate — deliberately NOT an exact count (a
+    // standalone materializing job costs ~a second that the first
+    // real consumer would overlap for free). Estimates for projected
+    // sources run high, so the gate is 4× the DV broadcast budget;
+    // the 8 GB driver-side broadcast hard cap still backstops a
+    // pathological under-estimate.
+    val srcBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sys.env.contains("GRAFT_DEBUG_TIMING"))
+      println(s"GRAFTSIZE srcBytes=$srcBytes fits=${srcBytes <= 4 * DvBroadcastBytes}")
+    val srcFits = srcBytes <= 4 * DvBroadcastBytes
+    val srcS = src.withColumn("__graft_s", lit(true))
     val joined =
-      if (spec.matched.isEmpty) {
-        // NOT-MATCHED-BY-SOURCE only: semi/anti split keeps target
-        // cardinality exact (same reasoning as the copy-on-write path)
+      if (spec.matched.isEmpty)
         probe.join(src, spec.condition, "left_semi")
           .withColumn("__graft_s", lit(true))
           .unionByName(
             probe.join(src, spec.condition, "left_anti")
               .withColumn("__graft_s", lit(false)))
-      } else
-        probe.join(src.withColumn("__graft_s", lit(true)),
-          spec.condition, "left_outer")
+      else if (srcFits)
+        probe.join(broadcast(srcS), spec.condition, "left_outer")
+      else
+        probe.join(srcS, spec.condition,
+          if (spec.notMatched.nonEmpty) "full_outer" else "left_outer")
     val sPresent = coalesce(col("__graft_s"), lit(false))
+    // tPresent guards keep full_outer's probe-null insert rows out of
+    // the matched clauses (vacuous under left_outer / the split)
     val clauses: Seq[(Column, MergeClause)] =
-      spec.matched.map(c => (sPresent && c.condition.getOrElse(lit(true)), c)) ++
+      spec.matched.map(c =>
+        (tPresent && sPresent && c.condition.getOrElse(lit(true)), c)) ++
         spec.notMatchedBySource.map(c =>
-          (!sPresent && c.condition.getOrElse(lit(true)), c))
+          (tPresent && !sPresent && c.condition.getOrElse(lit(true)), c))
     val idx = clauses.zipWithIndex.foldRight(lit(-1)) {
       case (((guard, _), i), acc) => when(guard, lit(i)).otherwise(acc)
     }
-    // only rows a clause CLAIMS leave their files; everything else
-    // stays live in place — the whole point of merge-on-read
-    val acted = joined.withColumn("__graft_idx", idx)
-      .where(col("__graft_idx") >= 0).cache()
+    // the single materialized frame: matched pairs (cardinality
+    // check), clause-claimed target rows (DVs + rewrite), and
+    // source-unmatched rows (inserts). O(affected rows), never
+    // O(table): target rows no clause can touch are dropped inside
+    // the join task and never reach the cache — the previous shape
+    // re-ran the probe join once per consumer (check, acted, insert
+    // anti-join), tripling the table scans.
+    val changes = joined.withColumn("__graft_idx", idx)
+      .where(sPresent || col("__graft_idx") >= 0).cache()
     try {
+      // ONE stats job over the cached frame materializes it and yields
+      // the ANSI cardinality verdict AND the per-file claimed counts
+      // (which commitMorDeletes would otherwise re-aggregate): level 1
+      // groups matched pairs by target row id, level 2 rolls up to the
+      // file grain — file count is metadata-sized, so the collect is
+      // safe at any scale.
+      val scanToRelMap = snap.files.map(f => scanPathOf(f) -> f.path).toMap
+      val fileStats = dbgTime("mor.stats")(changes.where(tPresent)
+        .groupBy(col("__graft_file"), col("__graft_row"))
+        .agg(sum(when(sPresent, 1L).otherwise(0L)).as("__m"),
+          max(when(col("__graft_idx") >= 0, 1L).otherwise(0L)).as("__a"))
+        .groupBy(col("__graft_file"))
+        .agg(sum(col("__a")).as("__claimed"), max(col("__m")).as("__maxm"))
+        .collect())
+      if (spec.matched.nonEmpty) {
+        // ANSI cardinality rule — (file, row-index) IS a target row
+        // id; counted over ALL matched pairs, claimed or not (a
+        // doubly-matched row is ambiguous even when clause conditions
+        // end up claiming neither copy — same contract as the
+        // copy-on-write path)
+        if (fileStats.exists(r => r.getLong(2) > 1)) throw UserException(
+          "MERGE: a target row matched multiple source rows; " +
+            "deduplicate the source on the merge keys first")
+      }
+      val newCounts: Map[String, Long] = fileStats
+        .filter(_.getLong(1) > 0)
+        .map(r => scanToRelMap(r.getString(0)) -> r.getLong(1)).toMap
+      // only rows a clause CLAIMS leave their files; everything else
+      // stays live in place — the whole point of merge-on-read
+      val acted = changes.where(col("__graft_idx") >= 0)
       val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
         .toDF("__graft_file", "file")
       val dvRows = acted
@@ -1327,21 +1416,28 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val inserts: Option[DataFrame] =
         if (spec.notMatched.isEmpty) None
         else {
+          // under full_outer the probe-null rows ARE the unmatched
+          // source rows — no separate anti-join pass. The broadcast
+          // shapes anti-join instead: column pruning cuts the probe
+          // scan to the condition's columns and AQE broadcasts the
+          // small build side, so it never re-shuffles the table.
           val unmatched =
             if (snap.files.isEmpty) src
+            else if (spec.matched.nonEmpty && !srcFits && spec.notMatched.nonEmpty)
+              changes.where(!tPresent)
             else src.join(probe, spec.condition, "left_anti")
           val ins = spec.notMatched
           val insIdx = ins.zipWithIndex.foldRight(lit(-1)) {
             case ((c, i), acc) =>
               when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(acc)
           }
-          val withIdx = unmatched.withColumn("__graft_idx", insIdx)
-            .where(col("__graft_idx") >= 0)
+          val withIdx = unmatched.withColumn("__graft_ins", insIdx)
+            .where(col("__graft_ins") >= 0)
           Some(withIdx.select(schema.fields.toSeq.map { f =>
             ins.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
               case ((c, i), acc) =>
                 c.assignments.get(f.name) match {
-                  case Some(v) => when(col("__graft_idx") === i, v).otherwise(acc)
+                  case Some(v) => when(col("__graft_ins") === i, v).otherwise(acc)
                   case None    => acc
                 }
             }.cast(f.dataType).as(f.name)
@@ -1356,8 +1452,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       commitMorDeletes(snap, dvRows, Some(appendDf), "MERGE",
         Map("matchedClauses" -> spec.matched.size.toString,
           "notMatchedClauses" -> spec.notMatched.size.toString,
-          "notMatchedBySourceClauses" -> spec.notMatchedBySource.size.toString))
-    } finally acted.unpersist()
+          "notMatchedBySourceClauses" -> spec.notMatchedBySource.size.toString),
+        newCounts = Some(newCounts))
+    } finally changes.unpersist()
   }
 
   /** Metadata-only CREATE TABLE: schema + partitioning + configuration
