@@ -11,6 +11,8 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.graftbridge.SparkBridge
+
 import TransactionLog._
 
 /** Reader/writer for graft lake tables (see TransactionLog for the
@@ -383,11 +385,31 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   /** Subtracts deleted rows from a scan over `files`. `scanDf` must sit
     * directly enough over the parquet relation for `_metadata` to
     * resolve. No-op (and no plan change) when no file carries a DV.
+    *
+    * Three tiers by DV size:
+    *  1. ≤ `spark.graft.dv.maskMaxRows` total deleted rows (exact, from
+    *     descriptor cardinalities): a driver-built [[DvMask]] applied
+    *     as ONE codegen'd filter — no join in the plan, and the mask is
+    *     LRU-cached across scans (DV parquets are immutable), so
+    *     steady-state reads pay only the per-row lookup.
+    *  2. ≤ 64 MB summed DV parquet bytes: numeric-keyed broadcast
+    *     anti-join (two broadcast hash joins, still one codegen span).
+    *  3. beyond: the planner decides — a shuffle anti-join here is the
+    *     documented signal to run OPTIMIZE.
     */
   private def applyDvFilter(scanDf: DataFrame, files: Seq[AddFile]): DataFrame = {
     val dvFiles = files.filter(_.dv.isDefined)
     if (dvFiles.isEmpty) return scanDf
     import spark.implicits._
+    val maskMaxRows = spark.conf.getOption(LakeTable.DvMaskMaxRowsKey)
+      .map(_.toLong).getOrElse(LakeTable.DvMaskMaxRowsDefault)
+    if (dvFiles.flatMap(_.dv).map(_.cardinality).sum <= maskMaxRows) {
+      val mask = dvMaskFor(dvFiles)
+      val pred = DvDeleted(
+        SparkBridge.expression(col("_metadata.file_path")),
+        SparkBridge.expression(col("_metadata.row_index")), mask)
+      return scanDf.where(!SparkBridge.column(pred))
+    }
     val dvPaths = dvFiles.flatMap(_.dv).map(_.path).distinct
     val dvIdx = dvPaths.zipWithIndex.toMap
     val dvRaw = readDvRaw(dvPaths)
@@ -406,6 +428,43 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       .join(dv, col("__gdv_dvi") === dv("dvi") && col("__gdv_fid") === dv("fid") &&
         col("__gdv_row") === dv("row"), "left_anti")
       .drop("__gdv_file", "__gdv_row", "__gdv_dvi", "__gdv_fid")
+  }
+
+  /** Mask for tier 1 of [[applyDvFilter]], LRU-cached by descriptor
+    * identity (scan path, DV parquet, fid — DV parquets are immutable,
+    * so equal keys mean equal content; different snapshots produce
+    * different descriptor sets and miss).
+    */
+  private def dvMaskFor(dvFiles: Seq[AddFile]): DvMask = {
+    val key = dvFiles.map { f =>
+      val d = f.dv.get; (scanPathOf(f), d.path, d.fid)
+    }.sorted
+    val hit = LakeTable.dvMaskCache.synchronized(
+      Option(LakeTable.dvMaskCache.get(key)))
+    hit.getOrElse {
+      // build OUTSIDE the lock (it runs a collect); a racing double
+      // build is harmless — last put wins, content identical
+      val byDv = dvFiles.groupBy(_.dv.get.path)
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      byDv.foreach { case (dvPath, fs) =>
+        val scanOf = fs.map(f => f.dv.get.fid -> scanPathOf(f)).toMap
+        val rows = spark.read.schema(DvSchema)
+          .parquet(resolvePath(path, dvPath).toString)
+          .collect()
+        rows.groupBy(_.getInt(0)).foreach { case (fid, rs) =>
+          // a DV parquet may hold fids of files no longer touched by
+          // this snapshot's descriptors (supersets survive); skip them
+          scanOf.get(fid).foreach { sp =>
+            val arr = rs.map(_.getLong(1))
+            java.util.Arrays.sort(arr)
+            m.put(org.apache.spark.unsafe.types.UTF8String.fromString(sp), arr)
+          }
+        }
+      }
+      val mask = new DvMask(m)
+      LakeTable.dvMaskCache.synchronized(LakeTable.dvMaskCache.put(key, mask))
+      mask
+    }
   }
 
   /** True when any live file carries a deletion vector. */
@@ -1918,6 +1977,24 @@ object LakeTable {
   private[graft] val DvAutoOptimizeKey = "graft.dv.autoOptimize"
   private[graft] val DvMaxRatioKey = "graft.dv.maxRatio"
   private[graft] val DvMaxBytesKey = "graft.dv.maxBytes"
+
+  /** Session conf capping the mask scan path (tier 1 of
+    * applyDvFilter) by total deleted rows; above it the broadcast
+    * anti-join takes over. 2M rows ≈ 16 MB of sorted longs in the
+    * task binary.
+    */
+  private[graft] val DvMaskMaxRowsKey = "spark.graft.dv.maskMaxRows"
+  private[graft] val DvMaskMaxRowsDefault = 2L << 20
+
+  /** DV masks by descriptor identity (immutable content ⇒ equal key
+    * means equal mask); bounded LRU so long sessions over many DV'd
+    * snapshots cannot accumulate driver memory.
+    */
+  private[lake] val dvMaskCache =
+    new java.util.LinkedHashMap[Seq[(String, String, Int)], DvMask](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[(String, String, Int)], DvMask]): Boolean = size > 8
+    }
 
   def forPath(spark: SparkSession, p: String): LakeTable =
     new LakeTable(spark, TransactionLog.pathOf(p))

@@ -255,6 +255,38 @@ class LakeTableSpec extends AnyFunSuite {
     assert(mor.read().orderBy("id").collect().toSeq == expect)
   }
 
+  test("DV scan tiers: mask filter and anti-join agree; mask plan is join-free") {
+    val t = LakeTable.forPath(spark, tmpTable())
+    t.write((1L to 4000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+    t.write((4001L to 8000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
+    t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    t.delete($"id" % 10 === 0)
+    // second DML layer: cumulative DVs + appends on top of the delete
+    t.merge((1L to 9000L by 7).map(i => (i, "UPD", -1.0)).toDF("id", "v", "x"), Seq("id"))
+    assert(t.hasDeletionVectors)
+
+    // tier 1 (default): ONE codegen'd mask filter, no join in the plan
+    val viaMask = t.read().orderBy("id").collect().toSeq
+    val maskPlan = t.read().queryExecution.executedPlan.toString
+    assert(!maskPlan.contains("Join"), s"mask-tier plan has a join:\n$maskPlan")
+    assert(maskPlan.contains("graft_dv_deleted"), s"mask filter missing:\n$maskPlan")
+
+    // tier 2 (forced): numeric-keyed broadcast anti-join, same answer
+    spark.conf.set(LakeTable.DvMaskMaxRowsKey, "0")
+    try {
+      val joinPlan = t.read().queryExecution.executedPlan.toString
+      assert(joinPlan.contains("Join"), s"anti-join tier not engaged:\n$joinPlan")
+      assert(t.read().orderBy("id").collect().toSeq == viaMask)
+    } finally spark.conf.unset(LakeTable.DvMaskMaxRowsKey)
+
+    // the expected content, independently derived
+    val expect = ((1L to 8000L).filter(i => i % 10 != 0).map(i => (i, s"v$i", i * 1.0))
+      .filterNot { case (i, _, _) => (i - 1) % 7 == 0 } ++
+      (1L to 9000L by 7).map(i => (i, "UPD", -1.0)))
+      .sortBy(_._1)
+    assert(viaMask.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) == expect)
+  }
+
   test("shallow clone of a DV'd table: deletes survive the clone, clone DML composes") {
     val src = tmpTable()
     val dst = java.nio.file.Paths.get(tmpTable()).resolve("dvclone")
