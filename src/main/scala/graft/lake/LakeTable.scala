@@ -661,9 +661,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   private def applyDvPolicy(conf: Map[String, String]): Unit = {
     val (auto, _, _) = dvPolicyOf(conf)
     if (!auto) return
-    val snap = snapshot(path)
-    val over = dvOverThreshold(snap)
-    if (over.nonEmpty) materializeDvFiles(snap, over)
+    // the triggering DML has ALREADY committed — a policy pass losing a
+    // race must not fail it. One fresh-snapshot retry, then defer to
+    // the next MoR commit (steady-state pressure, not a transaction).
+    var attempts = 0
+    while (attempts < 2) {
+      val snap = snapshot(path)
+      val over = dvOverThreshold(snap)
+      if (over.isEmpty) return
+      try { materializeDvFiles(snap, over); return }
+      catch { case _: java.util.ConcurrentModificationException => attempts += 1 }
+    }
   }
 
   /** Rewrites `files` without their deleted rows (DV materialization):
@@ -686,7 +694,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         "numAdded" -> adds.size.toString), ts)
     files.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
     adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
-    commitPinned(snap.version, actions.result())
+    commitRewriteRebase(snap, files, actions.result())
   }
 
   // ---- schema DDL ---------------------------------------------------------
@@ -1725,7 +1733,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     // incremental readers must not re-emit the rewritten rows
     toCompact.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
     adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
-    commitPinned(snap.version, actions.result())
+    commitRewriteRebase(snap, toCompact, actions.result())
     toCompact.size
   }
 
@@ -1815,6 +1823,46 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         s"Concurrent commit on $path invalidated the snapshot at version " +
           s"$baseVersion; re-run against the latest version")
     maybeCheckpoint(path, next)
+  }
+
+  /** Commit for data-preserving rewrites (the OPTIMIZE family: compact,
+    * Z-order, DV materialization) planned against `base`. Unlike DML,
+    * a rewrite moves bytes without changing facts, so it can REBASE
+    * over winners that did not disturb its inputs — pure appends, DML
+    * on other files — instead of failing the way [[commitPinned]]
+    * must. It still fails when an input file is gone or carries a
+    * different deletion vector than it was read with: rebasing past a
+    * winner's OPTIMIZE would drop that rewrite, and rebasing past a
+    * winner's merge-on-read DELETE would RESURRECT the deleted rows
+    * (our output was materialized from the old DV).
+    */
+  private[graft] def commitRewriteRebase(
+      base: Snapshot,
+      inputs: Seq[AddFile],
+      actions: Seq[com.fasterxml.jackson.databind.node.ObjectNode]): Unit = {
+    var ver = base.version
+    var attempts = 0
+    while (!tryCommit(path, ver + 1, actions)) {
+      attempts += 1
+      if (attempts > 20)
+        throw new java.util.ConcurrentModificationException(
+          s"Commit contention on $path: rewrite lost ${attempts} races")
+      val now = snapshot(path)
+      if (now.metadata.id != base.metadata.id ||
+          now.metadata.schema != base.metadata.schema ||
+          now.metadata.partitionColumns != base.metadata.partitionColumns)
+        throw new java.util.ConcurrentModificationException(
+          s"Concurrent metadata change on $path invalidated the rewrite")
+      val live = now.files.map(f => f.path -> f).toMap
+      inputs.foreach { in =>
+        if (!live.get(in.path).exists(_.dv == in.dv))
+          throw new java.util.ConcurrentModificationException(
+            s"Concurrent DML disturbed rewrite input ${in.path} on $path; " +
+              "re-run against the latest version")
+      }
+      ver = now.version
+    }
+    maybeCheckpoint(path, ver + 1)
   }
 
   /** Parallelizes a large SINGLE-SPLIT write. A staged INSERT whose

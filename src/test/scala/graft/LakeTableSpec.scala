@@ -287,6 +287,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(viaMask.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) == expect)
   }
 
+  test("rewrite commits rebase over appends, fail when an input was re-DV'd") {
+    import graft.lake.TransactionLog
+    val t = LakeTable.forPath(spark, tmpTable())
+    t.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    val base = t.snapshotNow
+    val fileA = base.files.head
+
+    // winner 1: a pure append lands after the rewrite's snapshot
+    t.write((101L to 120L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+
+    // a content-sane "null rewrite" of A (re-add with its own
+    // descriptor — the same action shape DV-descriptor updates use)
+    def nullRewrite() = Seq(
+      TransactionLog.commitInfoAction("OPTIMIZE", Map("test" -> "null-rewrite"),
+        System.currentTimeMillis()),
+      TransactionLog.addAction(fileA.copy(dataChange = false)))
+
+    // rebases over the append: commits at the NEW head, content intact
+    val vBefore = t.version
+    t.commitRewriteRebase(base, Seq(fileA), nullRewrite())
+    assert(t.version == vBefore + 1)
+    assert(t.read().count() == 120)
+
+    // winner 2: a merge-on-read DELETE gives A a deletion vector; a
+    // rewrite still planned against A-without-DV must now FAIL — its
+    // output would resurrect the deleted rows
+    val base2 = t.snapshotNow
+    assert(t.delete($"id" % 10 === 0 && $"id" <= 100) == 10L)
+    assert(t.hasDeletionVectors)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitRewriteRebase(base2, Seq(fileA), nullRewrite())
+    }
+    // the failed rewrite left no commit and no content change
+    assert(t.read().count() == 110)
+  }
+
   test("shallow clone of a DV'd table: deletes survive the clone, clone DML composes") {
     val src = tmpTable()
     val dst = java.nio.file.Paths.get(tmpTable()).resolve("dvclone")
