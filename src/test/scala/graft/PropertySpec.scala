@@ -133,6 +133,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("randomized DML sequences: merge-on-read ≡ copy-on-write after every step") {
+    // The adversarial harness for the whole MoR surface: the same
+    // random program of append/merge/delete/update/compact runs
+    // against twin tables, one copy-on-write, one merge-on-read, with
+    // per-step content equality. Seeds vary the DV read tier (mask vs
+    // forced anti-join) and the steady-state policy threshold (an
+    // aggressive maxRatio fires auto-materialization mid-sequence, so
+    // cumulative DVs, policy rewrites, and rebases all interleave).
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.{col, lit}
+    def tmp(): String =
+      java.nio.file.Files.createTempDirectory("graft-dmlfuzz").resolve("t").toString
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val cow = LakeTable.forPath(spark, tmp())
+      val mor = LakeTable.forPath(spark, tmp())
+      def batch(n: Int): DataFrame =
+        (1 to n).map(_ => (rnd.nextLong(400), s"s${rnd.nextInt(1000)}",
+          rnd.nextInt(1000) * 1.0)).toDF("id", "s", "v")
+          .dropDuplicates("id")
+      val seed0 = batch(300)
+      cow.write(seed0, "append"); mor.write(seed0, "append")
+      val morProps = Map("graft.merge.mode" -> "merge-on-read") ++
+        (if (seed % 2 == 0) Map("graft.dv.maxRatio" -> "0.05") else Map.empty)
+      mor.alterSetProperties(morProps)
+      if (seed == 3) spark.conf.set(LakeTable.DvMaskMaxRowsKey, "0") // anti-join tier
+      try {
+        for (step <- 1 to 10) {
+          rnd.nextInt(10) match {
+            case 0 | 1 =>
+              val b = batch(80); cow.write(b, "append"); mor.write(b, "append")
+            case 2 | 3 | 4 =>
+              val d = batch(120)
+              cow.merge(d, Seq("id")); mor.merge(d, Seq("id"))
+            case 5 | 6 =>
+              val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+              assert(cow.delete(col("id") % m === r) ==
+                mor.delete(col("id") % m === r), s"seed=$seed step=$step delete count")
+            case 7 | 8 =>
+              val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+              assert(cow.update(col("id") % m === r,
+                Map("s" -> lit(s"u$step"), "v" -> (col("v") + 1))) ==
+                mor.update(col("id") % m === r,
+                  Map("s" -> lit(s"u$step"), "v" -> (col("v") + 1))),
+                s"seed=$seed step=$step update count")
+            case 9 =>
+              mor.compact() // content-preserving maintenance, MoR side only
+          }
+          val a = cow.read().orderBy("id", "s", "v").collect().toSeq
+          val b = mor.read().orderBy("id", "s", "v").collect().toSeq
+          assert(a == b, s"seed=$seed step=$step: cow=${a.size} mor=${b.size}")
+        }
+        // end state: OPTIMIZE + vacuum leave content identical
+        val expect = mor.read().orderBy("id").collect().toSeq
+        mor.compact(); mor.vacuum(0L)
+        assert(mor.read().orderBy("id").collect().toSeq == expect, s"seed=$seed final")
+      } finally spark.conf.unset(LakeTable.DvMaskMaxRowsKey)
+    }
+  }
+
   test("stage round trip is lossless for typed rows") {
     for (seed <- 1L to 4L) {
       val d = df(sample(seed))
