@@ -63,7 +63,47 @@ object QualityFilters {
     rules.reduceOption(_ && _).getOrElse(lit(true))
   }
 
+  /** Runs the filter. When the enabled rules are all expressible over
+    * the single-pass `graft_text_stats` kernel (word, unique-word and
+    * punctuation rules — everything except the mean-word-length pair,
+    * which needs per-word length sums the kernel doesn't carry), the
+    * scan tokenizes each document ONCE in one JIT'd loop instead of
+    * once per rule through the interpreted HOF forms. `predicate`
+    * stays the executable spec (OperatorSpec pins apply ≡ predicate
+    * on adversarial docs across rule subsets); the kernel itself is
+    * agreement-tested against the same column functions the oracle
+    * replays, so oracle semantics are unchanged.
+    */
   def apply(docs: DataFrame, textCol: String, langCol: String,
-      config: FilterConfig): DataFrame =
-    docs.where(predicate(config, col(textCol), col(langCol)))
+      config: FilterConfig): DataFrame = {
+    val text = col(textCol)
+    val lang = col(langCol)
+    val needsMeanLen =
+      config.minMeanWordLen.isDefined || config.maxMeanWordLen.isDefined
+    val tokenRules = Seq(config.minWords, config.maxWords,
+      config.minUniqueWordRatio.map(_ => 0), config.maxPunctRatio.map(_ => 0))
+    if (needsMeanLen || tokenRules.forall(_.isEmpty))
+      return docs.where(predicate(config, text, lang))
+    // kernel route: ONE compiled pass per doc; computed in a Project
+    // (guaranteed single evaluation), consumed by the filter, dropped
+    val st = graft.functions.TextKernelFunctions.textStats(trim(text))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    val qs = col("__graft_qs")
+    val rules = Seq(
+      config.minChars.map(v => length(text) >= v),
+      config.maxChars.map(v => length(text) <= v),
+      config.minWords.map(v => qs.getField("n_words") >= v),
+      config.maxWords.map(v => qs.getField("n_words") <= v),
+      config.maxPunctRatio.map(v =>
+        ratio(qs.getField("n_punct"), length(text)) <= v),
+      config.minUniqueWordRatio.map(v =>
+        ratio(qs.getField("n_uniq"), qs.getField("n_words")) >= v),
+      if (config.langAllow.isEmpty) None
+      else Some(lang.isin(config.langAllow.map(l => l: Any): _*)),
+    ).flatten
+    docs.withColumn("__graft_qs", st)
+      .where(rules.reduce(_ && _))
+      .drop("__graft_qs")
+  }
 }

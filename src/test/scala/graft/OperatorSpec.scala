@@ -571,6 +571,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
 
+  test("quality filters: kernel route ≡ predicate spec across rule subsets") {
+    // apply() fuses token rules into one graft_text_stats pass;
+    // predicate() is the HOF executable spec. Equality must hold on
+    // adversarial docs (empty, whitespace-only, unicode, punct-only,
+    // surrogate pairs, padded) for every rule subset that triggers
+    // the kernel route — and for the subsets that don't.
+    val docs = Seq(
+      (1L, "", "en"), (2L, "   ", "en"), (3L, "\t\n  \r", "de"),
+      (4L, "one", "en"), (5L, " padded  with   spaces ", "fr"),
+      (6L, "!!!***???", "en"), (7L, "naïve café über schön", "de"),
+      (8L, "mixed 123 text!!! with, punct; and. stuff?", "en"),
+      (9L, "😀 emoji 😀 doc 😀", "en"),
+      (10L, "the the the the the unique", "en"),
+      (11L, ("word " * 40).trim, "zh"),
+      (12L, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en"),
+    ).toDF("doc_id", "text", "lang")
+    import QualityFilters.FilterConfig
+    val configs = Seq(
+      FilterConfig(minWords = Some(3)),
+      FilterConfig(maxWords = Some(10), maxPunctRatio = Some(0.2)),
+      FilterConfig(minUniqueWordRatio = Some(0.5)),
+      FilterConfig(minChars = Some(5), minWords = Some(2),
+        maxPunctRatio = Some(0.1), minUniqueWordRatio = Some(0.4),
+        langAllow = Seq("en", "de")),
+      FilterConfig(minChars = Some(1)),                       // plain route
+      FilterConfig(minMeanWordLen = Some(2.0), minWords = Some(2)), // HOF route
+      FilterConfig(),
+    )
+    configs.zipWithIndex.foreach { case (cfg, i) =>
+      val viaApply = QualityFilters(docs, "text", "lang", cfg)
+        .select("doc_id").as[Long].collect().toSet
+      val viaSpec = docs.where(
+        QualityFilters.predicate(cfg, $"text", $"lang"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaApply == viaSpec, s"config #$i: $cfg")
+    }
+    // the kernel route keeps the scan shuffle-free and UDF-free
+    val plan = QualityFilters(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "text", "lang", configs(3)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+    assert(plan.contains("graft_text_stats"), s"kernel route not engaged:\n$plan")
+  }
+
   test("decontamination: benchmark 13-gram collisions flag exact and partial copies") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"),
