@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,8 +24,7 @@ import org.apache.spark.sql.functions._
   * the oracle's `list_cosine_similarity` over `DOUBLE[]`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs are always cast to array<double> by the Column wrappers
+    extends BinaryExpression with VectorKernel {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -32,10 +32,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -53,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  double $xv = ${elemGet(a, i, leftIsFloat)};
+         |  double $yv = ${elemGet(b, i, rightIsFloat)};
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -68,8 +71,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Dot product over double arrays — same codegen posture as cosine. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs are always cast to array<double> by the Column wrappers
+    extends BinaryExpression with VectorKernel {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -77,8 +79,13 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; i += 1
+    }
     dot
   }
 
@@ -90,7 +97,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  $dot += ${elemGet(a, i, leftIsFloat)} * ${elemGet(b, i, rightIsFloat)};
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -99,6 +106,36 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared float/double adaptivity for the vector kernels. Embeddings
+  * land from parquet as array<float>; computing in double FROM the
+  * float elements is bit-identical to casting the array up first
+  * (float→double widening is exact), but skips a per-EVALUATION
+  * array<double> materialization — inside a broadcast nested-loop
+  * join that cast allocated two 64-element arrays per candidate PAIR
+  * and dominated the kernel's own arithmetic.
+  */
+private[functions] trait VectorKernel { self: BinaryExpression =>
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  protected def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  protected def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  protected def elemGet(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql}) — cast other " +
+        "array types to array<double> explicitly")
 }
 
 object VectorFunctions {
@@ -123,15 +160,18 @@ object VectorFunctions {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Cosine similarity computed in double (cast floats up first). */
+  /** Cosine similarity computed in double. Float arrays are consumed
+    * natively (exact widening inside the kernel loop — no per-row
+    * array<double> materialization); see [[VectorKernel]].
+    */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
-    call_function("graft_cosine", asDouble(a), asDouble(b))
+    call_function("graft_cosine", a, b)
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
-    call_function("graft_dot", asDouble(a), asDouble(b))
+    call_function("graft_dot", a, b)
   }
 
   /** L2 norm via built-ins (used rarely; not on the hot path). */

@@ -69,10 +69,41 @@ object Dedup {
     // queryExecution.toRdd reuses the frame's own physical planning
     // (`.rdd` would plan a SECOND copy with row conversion — measurable
     // driver time on wide plans, and the planning work is discarded)
-    else if (df.queryExecution.toRdd.getNumPartitions * 4 < target) {
-      if (keys.nonEmpty) df.repartition(target, keys: _*)
-      else df.repartition(target)
-    } else df
+    else {
+      val planned = df.queryExecution.toRdd.getNumPartitions
+      if (effectiveSplits(df, planned) * 4 < target) {
+        if (keys.nonEmpty) df.repartition(target, keys: _*)
+        else df.repartition(target)
+      } else df
+    }
+  }
+
+  /** Real scan parallelism, which the planned partition count can
+    * OVERSTATE: a parquet byte-range split yields rows only if a
+    * row-group START falls inside it, so a file with fewer row groups
+    * than splits scans mostly-empty tasks. (Caught at sf10: a 51 MB
+    * single-row-group embeddings file planned as 13 splits, 12 of them
+    * empty — 13×4 ≥ 32 defeated the old partition-count gate and a
+    * quadratic cosine join ran on ONE core for 20 minutes.) Bounds the
+    * planned count by the scan's total row groups, read driver-side
+    * from the footers — microseconds per file, capped: many files mean
+    * the scan parallelizes regardless, and non-file or non-parquet
+    * sources fall back to the planned count.
+    */
+  private def effectiveSplits(df: DataFrame, planned: Int): Int = {
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty || files.length > 64 || !files.forall(_.endsWith(".parquet")))
+      return planned
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val groups = files.iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+      math.min(planned, math.max(1, groups))
+    } catch { case _: Throwable => planned }
   }
 
   /** Eager materialization with a lineage cut. Reliable checkpoint
@@ -661,7 +692,9 @@ object Dedup {
     // a single-row-group embedding file doesn't serialize the
     // |probes|×|corpus| cosine loop on one core (no-op at multi-split
     // scale — see rebalance)
-    val all = rebalance(emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+    val all = rebalance(
+      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+      Seq(col("cand_id")))
     all.join(broadcast(probes), col("probe_id") < col("cand_id"))
       .where(graft.functions.VectorFunctions
         .cosine(spark, col("probe_vec"), col("cand_vec")) > threshold)
