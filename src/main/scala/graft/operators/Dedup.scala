@@ -91,6 +91,22 @@ object Dedup {
     * sources fall back to the planned count.
     */
   private def effectiveSplits(df: DataFrame, planned: Int): Int = {
+    // a plan that provably exchanges (explicit repartition, agg,
+    // window, global sort) has its REAL parallelism in the planned
+    // count — the row-group bound below only describes scan-derived
+    // chains (scan/filter/project/mapPartitions preserve scan
+    // partitioning). Join deliberately NOT trusted: a broadcast /
+    // nested-loop join inherits its STREAM side's partitioning, so a
+    // starved scan stays starved straight through it.
+    val reshuffled = df.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
+      case _ => false
+    }
+    if (reshuffled) return planned
     val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
     if (files.isEmpty || files.length > 64 || !files.forall(_.endsWith(".parquet")))
       return planned
@@ -520,10 +536,16 @@ object Dedup {
     * distinct-id count ([[CompactVerifyMaxIds]]).
     */
   def setOverlapCompact(sets: DataFrame, pairs: DataFrame): DataFrame = {
-    // no .distinct() — the left-semi probe dedups, and skipping it
-    // keeps the whole plan exchange-free (asserted by OperatorSpec)
+    // .distinct() is LOAD-BEARING at scale: what gets broadcast must
+    // be bounded by DISTINCT ids (the gate's quantity), not by the
+    // pair count — a cross-join-shaped pair frame reuses ~26k ids
+    // across 82M pairs, and broadcasting the raw projection built a
+    // 164M-row driver-side table at sf10 (the OOM the gate existed to
+    // prevent). The distinct's partial aggregation makes its exchange
+    // id-bounded too: each map task emits at most nIds rows, so the
+    // one shuffle this adds carries KBs, not the pair frame.
     val ids = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     val pruned = sets.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), col("elems"), size(col("elems")).as("n"))
     pairs
@@ -597,21 +619,30 @@ object Dedup {
     */
   private def overlapAuto(
       sets: DataFrame, pairs: DataFrame, compact: Boolean): DataFrame = {
-    val p = materialize(pairs)
     // Plan-pick in two stages, cheapest first: a bare count() over the
-    // materialized pair frame costs one metadata-ish job, and since
-    // distinct ids <= 2 * pairs, a pair count <= maxIds/2 already
-    // proves the id bound with no distinct job at all. Only an
-    // inconclusive pair count (huge pair frame that MIGHT still reuse
-    // few ids — the cross-join-sample shape) pays for the
-    // union+distinct+count sizing job.
-    lazy val nPairs = p.count()
+    // pair frame costs one job, and since distinct ids <= 2 * pairs,
+    // a pair count <= maxIds/2 already proves the id bound with no
+    // distinct job at all. Only an inconclusive pair count (huge pair
+    // frame that MIGHT still reuse few ids — the cross-join-sample
+    // shape) pays for the union+distinct+count sizing job.
+    //
+    // The pair frame stays LAZY until the plan is chosen: the compact
+    // plan consumes it once (plus these counting jobs — candidate and
+    // cross-join pair frames are cheap to re-enumerate), and eagerly
+    // checkpointing it was the sf10 failure mode — 82M cross-join
+    // pairs materialized ~4 GB of deserialized blocks in ONE stream-
+    // side partition and starved the heap until the compact plan's
+    // own (perfectly small) broadcast could not build. Only the
+    // exploded plan, where the pair frame feeds five subplans, pays
+    // for the lineage cut.
+    lazy val nPairs = pairs.count()
     lazy val nIds =
       if (nPairs * 2 <= CompactVerifyMaxIds) nPairs * 2
-      else p.select(col("id_a").as("id"))
-        .union(p.select(col("id_b").as("id"))).distinct().count()
-    if (compact && nIds <= CompactVerifyMaxIds) setOverlapCompact(sets, rebalance(p))
-    else setOverlapOn(sets, p, hashElements = false)
+      else pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct().count()
+    if (compact && nIds <= CompactVerifyMaxIds)
+      setOverlapCompact(sets, rebalance(pairs))
+    else setOverlapOn(sets, materialize(pairs), hashElements = false)
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:

@@ -70,7 +70,8 @@ object Multimodal {
     */
   def decodeStub(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val enc = RowEncoder.encoderFor(FeatureSchema)
-    media.select("media_id", "payload", "format", "n_bytes")
+    Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -119,7 +120,8 @@ object Multimodal {
     */
   def decodeImages(media: DataFrame, maxDecodeBytes: Int = 1 << 24): DataFrame = {
     val enc = RowEncoder.encoderFor(ImageFeatureSchema)
-    media.select("media_id", "payload", "format", "n_bytes")
+    Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -187,7 +189,8 @@ object Multimodal {
     */
   def renderSyntheticPngs(ids: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(MediaSchema)
-    ids.select(col(idCol).cast("long").as("media_id"))
+    Dedup.rebalance(ids.select(col(idCol).cast("long").as("media_id")),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -240,7 +243,8 @@ object Multimodal {
     */
   def decodeAudio(media: DataFrame, maxDecodeBytes: Int = 1 << 24): DataFrame = {
     val enc = RowEncoder.encoderFor(AudioFeatureSchema)
-    media.select("media_id", "payload", "format", "n_bytes")
+    Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           decodeOneAudio(r.getLong(0), r.getAs[Array[Byte]](1),
@@ -312,7 +316,8 @@ object Multimodal {
     */
   def renderSyntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(MediaSchema)
-    ids.select(col(idCol).cast("long").as("media_id"))
+    Dedup.rebalance(ids.select(col(idCol).cast("long").as("media_id")),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

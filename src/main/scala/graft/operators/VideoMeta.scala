@@ -46,7 +46,8 @@ object VideoMeta {
     */
   def parseVideoMeta(media: DataFrame, maxHeaderBytes: Int = 1 << 20): DataFrame = {
     val enc = RowEncoder.encoderFor(VideoMetaSchema)
-    media.select("media_id", "payload", "format")
+    Dedup.rebalance(media.select("media_id", "payload", "format"),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           parseOne(r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2),
@@ -347,7 +348,8 @@ object VideoMeta {
       case 1 => renderMkv(id)
       case 2 => renderMp4(id)
     }
-    ids.select(col(idCol).cast("long").as("media_id"))
+    Dedup.rebalance(ids.select(col(idCol).cast("long").as("media_id")),
+        Seq(col("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

@@ -746,10 +746,18 @@ class OperatorSpec extends AnyFunSuite {
     val compact = Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
     val exploded = Dedup.shingleOverlap(docs, "doc_id", "text", pairs, compact = false)
     assert(compact.exceptAll(exploded).isEmpty && exploded.exceptAll(compact).isEmpty)
-    // the compact plan is shuffle-free: broadcast joins only
+    // the compact plan's only shuffles are the pair-id distinct — an
+    // id-bounded exchange (partial agg caps each task's output at the
+    // distinct-id count; broadcasting the raw pair-id projection
+    // instead OOM'd at sf10 with 164M rows), duplicated once per join
+    // side because attribute dedup defeats ReuseExchange. The element
+    // arrays themselves must never shuffle: they ride broadcast joins.
     val plan = compact.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      "compact overlap must not shuffle")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2 && hashEx.forall(_.contains("hashpartitioning(id#")),
+      s"compact overlap may shuffle only the pair-id distinct:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("array_intersect"),
+      "element arrays must ride broadcast joins")
   }
 
   test("k-means: deterministic labels, populated clusters, cost decreases with iterations") {

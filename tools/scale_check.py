@@ -11,8 +11,11 @@ below means fixed overhead still dominates at the smaller scale.
 import sys, json
 
 def main(a_path, b_path, nominal):
-    a = json.load(open(a_path))["queries"]
-    b = json.load(open(b_path))["queries"]
+    def load(p):
+        q = json.load(open(p))["queries"]
+        return {k: float(v) for k, v in q.items()
+                if isinstance(v, (int, float))}
+    a, b = load(a_path), load(b_path)
     nominal = float(nominal)
     rows = sorted(((q, a[q], b[q], b[q] / a[q]) for q in a if q in b),
                   key=lambda r: -r[3])
