@@ -69,6 +69,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // inter-query hygiene, OUTSIDE the timed region: drop leftover
+      // cached frames and nudge the ContextCleaner (localCheckpoint
+      // blocks free on GC) so one query's working set cannot pressure
+      // the next query's broadcast builds — a focused sf10 run OOM'd
+      // q62 only when it FOLLOWED five checkpoint-heavy queries, and
+      // the driver's full run is one long JVM with the same exposure
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
       (name, times.min, ok)
     }
     val qs = results.map { case (k, v, ok) =>
