@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,12 +32,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val (lg, rg) = (readerOf(leftElem), readerOf(rightElem))
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = lg(x, i); val yv = rg(y, i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -55,8 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${elemGet(a, i, leftIsFloat)};
-         |  double $yv = ${elemGet(b, i, rightIsFloat)};
+         |  double $xv = ${elemGet(a, i, leftElem)};
+         |  double $yv = ${elemGet(b, i, rightElem)};
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -79,12 +78,10 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val (lg, rg) = (readerOf(leftElem), readerOf(rightElem))
     var dot = 0.0; var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xv * yv; i += 1
+      dot += lg(x, i) * rg(y, i); i += 1
     }
     dot
   }
@@ -97,7 +94,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${elemGet(a, i, leftIsFloat)} * ${elemGet(b, i, rightIsFloat)};
+         |  $dot += ${elemGet(a, i, leftElem)} * ${elemGet(b, i, rightElem)};
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -117,25 +114,44 @@ case class DotProduct(left: Expression, right: Expression)
   * and dominated the kernel's own arithmetic.
   */
 private[functions] trait VectorKernel { self: BinaryExpression =>
-  private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-    case _ => false
+  // Any numeric element type is consumed natively, each widened to
+  // double in-loop — semantically identical to casting the array to
+  // array<double> first (what integer-array SQL callers relied on
+  // before the float-native rework narrowed the signature), minus the
+  // per-row array materialization that cast paid.
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType |
+                         ShortType | ByteType), _) => Some(et)
+    case _ => None
   }
-  protected def leftIsFloat: Boolean = left.dataType match {
-    case ArrayType(FloatType, _) => true; case _ => false
+  protected def leftElem: DataType = elemType(left.dataType).get
+  protected def rightElem: DataType = elemType(right.dataType).get
+  protected def elemGet(arr: String, i: String, et: DataType): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType   => s"(double) $arr.getLong($i)"
+    case ShortType  => s"(double) $arr.getShort($i)"
+    case ByteType   => s"(double) $arr.getByte($i)"
   }
-  protected def rightIsFloat: Boolean = right.dataType match {
-    case ArrayType(FloatType, _) => true; case _ => false
+
+  /** Interpreted-path element reader (codegen is the hot path; this
+    * backs eval-only contexts like constant folding).
+    */
+  protected def readerOf(et: DataType): (ArrayData, Int) => Double = et match {
+    case DoubleType => (a, i) => a.getDouble(i)
+    case FloatType  => (a, i) => a.getFloat(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType   => (a, i) => a.getLong(i).toDouble
+    case ShortType  => (a, i) => a.getShort(i).toDouble
+    case ByteType   => (a, i) => a.getByte(i).toDouble
   }
-  protected def elemGet(arr: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
   override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left.dataType) && elemOk(right.dataType))
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double> inputs, got " +
-        s"(${left.dataType.sql}, ${right.dataType.sql}) — cast other " +
-        "array types to array<double> explicitly")
+      s"$prettyName expects numeric array inputs, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
 }
 
 object VectorFunctions {

@@ -6,23 +6,115 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deleted-row lookup for the DV mask scan path: file scan-path →
-  * sorted row indexes. Built ONCE driver-side per descriptor set (DV
-  * parquets are immutable, so [[LakeTable]] LRU-caches masks by
-  * descriptor identity) and shipped to executors inside the stage's
-  * task binary — one reference, no join in the plan.
+/** Compressed sorted-set of row indexes, roaring-style: rows bucket by
+  * their high bits (`row >>> 16`) into containers of 2¹⁶ slots; a
+  * container holding fewer than 4096 rows stores sorted 16-bit values
+  * (`Array[Char]`, 2 B/row), a denser one stores a 1024-long bitmap
+  * (8 KB flat = 1 bit/slot, at most 2 B/row and as little as ⅛ bit).
   *
-  * Row cost: one UTF8String hash + binary search. Files without DVs
+  * Versus the flat `Array[Long]` + binary-search representation this
+  * replaces: 4× smaller for sparse deletes, up to 64× for clustered
+  * ones (a MERGE that guts whole files — the common MoR shape), and
+  * membership is one binary search over container KEYS (≤ rows/4096
+  * entries) plus an O(1) bitmap probe or a ≤12-step search within one
+  * container. The mask ships inside the stage's task binary, so bytes
+  * here are multiplied by every executor.
+  */
+final class RowSet private (
+    private val keys: Array[Long],
+    private val containers: Array[AnyRef]) extends Serializable {
+
+  def contains(row: Long): Boolean = {
+    if (row < 0) return false
+    val i = java.util.Arrays.binarySearch(keys, row >>> 16)
+    if (i < 0) return false
+    val lo = (row & 0xFFFF).toInt
+    containers(i) match {
+      case bitmap: Array[Long] =>
+        (bitmap(lo >>> 6) & (1L << (lo & 63))) != 0
+      case sparse: Array[Char] =>
+        java.util.Arrays.binarySearch(sparse, lo.toChar) >= 0
+    }
+  }
+
+  def cardinality: Long = {
+    var t = 0L
+    containers.foreach {
+      case bitmap: Array[Long] => bitmap.foreach(w => t += java.lang.Long.bitCount(w))
+      case sparse: Array[Char] => t += sparse.length
+    }
+    t
+  }
+
+  /** Approximate retained bytes (array payloads; headers ignored). */
+  def sizeBytes: Long = {
+    var t = 8L * keys.length
+    containers.foreach {
+      case bitmap: Array[Long] => t += 8L * bitmap.length
+      case sparse: Array[Char] => t += 2L * sparse.length
+    }
+    t
+  }
+}
+
+object RowSet {
+  /** Entries per container at which the sparse array (2 B each) and
+    * the flat bitmap (8 KB) cost the same.
+    */
+  private val DenseThreshold = 4096
+
+  /** Builds from a SORTED, non-negative, duplicate-free index array. */
+  def fromSorted(sorted: Array[Long]): RowSet = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val containers = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < sorted.length) {
+      val hi = sorted(i) >>> 16
+      var j = i
+      while (j < sorted.length && (sorted(j) >>> 16) == hi) j += 1
+      val n = j - i
+      if (n >= DenseThreshold) {
+        val bitmap = new Array[Long](1024)
+        var k = i
+        while (k < j) {
+          val lo = (sorted(k) & 0xFFFF).toInt
+          bitmap(lo >>> 6) |= 1L << (lo & 63)
+          k += 1
+        }
+        containers += bitmap
+      } else {
+        val sparse = new Array[Char](n)
+        var k = i
+        while (k < j) { sparse(k - i) = (sorted(k) & 0xFFFF).toChar; k += 1 }
+        containers += sparse
+      }
+      keys += hi
+      i = j
+    }
+    new RowSet(keys.toArray, containers.toArray)
+  }
+}
+
+/** Deleted-row lookup for the DV mask scan path: file scan-path →
+  * compressed row-index set ([[RowSet]]). Built ONCE driver-side per
+  * descriptor set (DV parquets are immutable, so [[LakeTable]]
+  * LRU-caches masks by descriptor identity) and shipped to executors
+  * inside the stage's task binary — one reference, no join in the plan.
+  *
+  * Row cost: one UTF8String hash + the RowSet probe. Files without DVs
   * miss the map and return false, so one filter covers the whole scan.
   */
-final class DvMask(m: java.util.HashMap[UTF8String, Array[Long]]) extends Serializable {
+final class DvMask(m: java.util.HashMap[UTF8String, RowSet]) extends Serializable {
   def deleted(file: UTF8String, row: Long): Boolean = {
-    val arr = m.get(file)
-    arr != null && java.util.Arrays.binarySearch(arr, row) >= 0
+    val rs = m.get(file)
+    rs != null && rs.contains(row)
   }
   private[lake] def files: Int = m.size
   private[lake] def rows: Long = {
-    var t = 0L; m.values.forEach(a => t += a.length); t
+    var t = 0L; m.values.forEach(rs => t += rs.cardinality); t
+  }
+  private[lake] def sizeBytes: Long = {
+    var t = 0L; m.values.forEach(rs => t += rs.sizeBytes); t
   }
 }
 

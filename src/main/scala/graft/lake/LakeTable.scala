@@ -403,7 +403,16 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     import spark.implicits._
     val maskMaxRows = spark.conf.getOption(LakeTable.DvMaskMaxRowsKey)
       .map(_.toLong).getOrElse(LakeTable.DvMaskMaxRowsDefault)
-    if (dvFiles.flatMap(_.dv).map(_.cardinality).sum <= maskMaxRows) {
+    // Tier 1 gates on BOTH the referenced cardinality sum and the DV
+    // parquets' summed bytes: under the cumulative-superset contract a
+    // DV parquet can hold far more rows (for fids superseded by later
+    // DML) than the descriptors reference — unbounded when
+    // autoOptimize is off — and the mask build scans those parquets
+    // eagerly at DataFrame-construction time. Past DvBroadcastBytes
+    // the parquet is >~97% garbage at the row gate anyway (the signal
+    // to OPTIMIZE); tier 2 then handles it lazily with the same cap.
+    if (dvFiles.flatMap(_.dv).map(_.cardinality).sum <= maskMaxRows &&
+        dvBytesOf(dvFiles) <= DvBroadcastBytes) {
       val mask = dvMaskFor(dvFiles)
       val pred = DvDeleted(
         SparkBridge.expression(col("_metadata.file_path")),
@@ -445,19 +454,25 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       // build OUTSIDE the lock (it runs a collect); a racing double
       // build is harmless — last put wins, content identical
       val byDv = dvFiles.groupBy(_.dv.get.path)
-      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, RowSet]()
       byDv.foreach { case (dvPath, fs) =>
         val scanOf = fs.map(f => f.dv.get.fid -> scanPathOf(f)).toMap
+        // filter to the REFERENCED fids in the frame, not after
+        // collect: a DV parquet may hold (unboundedly many, when
+        // autoOptimize is off) rows for fids superseded by later DML,
+        // and the fid IN-list pushes down to the parquet scan so
+        // row-group stats prune them before they ever reach the driver
+        // — the collect is then bounded by the tier-1 cardinality gate
         val rows = spark.read.schema(DvSchema)
           .parquet(resolvePath(path, dvPath).toString)
+          .where(col("fid").isin(scanOf.keys.toSeq: _*))
           .collect()
         rows.groupBy(_.getInt(0)).foreach { case (fid, rs) =>
-          // a DV parquet may hold fids of files no longer touched by
-          // this snapshot's descriptors (supersets survive); skip them
           scanOf.get(fid).foreach { sp =>
             val arr = rs.map(_.getLong(1))
             java.util.Arrays.sort(arr)
-            m.put(org.apache.spark.unsafe.types.UTF8String.fromString(sp), arr)
+            m.put(org.apache.spark.unsafe.types.UTF8String.fromString(sp),
+              RowSet.fromSorted(arr))
           }
         }
       }
@@ -670,7 +685,18 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       val over = dvOverThreshold(snap)
       if (over.isEmpty) return
       try { materializeDvFiles(snap, over); return }
-      catch { case _: java.util.ConcurrentModificationException => attempts += 1 }
+      catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+        case scala.util.control.NonFatal(e) =>
+          // any OTHER failure (transient FS/Spark error) must not
+          // propagate either: the triggering DML already committed,
+          // and a caller retrying a non-idempotent MERGE/UPDATE
+          // (x = x + 1) on this exception would double-apply it.
+          // Defer to dvOptimizeRecommended / the next MoR commit.
+          System.err.println(
+            s"graft: DV policy pass failed, deferring to next commit: $e")
+          return
+      }
     }
   }
 
@@ -689,9 +715,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       mappingOf(snap))
     val ts = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    // full byte/row accounting in the params, so a standing pipeline
+    // can audit steady-state maintenance from DESCRIBE HISTORY alone
+    // (the policy otherwise acts silently inside a MoR commit)
     actions += commitInfoAction("OPTIMIZE",
       Map("trigger" -> "dv-threshold", "numRemoved" -> files.size.toString,
-        "numAdded" -> adds.size.toString), ts)
+        "numAdded" -> adds.size.toString,
+        "removedBytes" -> files.map(_.size).sum.toString,
+        "addedBytes" -> adds.map(_.size).sum.toString,
+        "dvBytesReclaimed" -> dvBytesOf(files).toString,
+        "deletedRowsMaterialized" ->
+          files.flatMap(_.dv).map(_.cardinality).sum.toString), ts)
     files.foreach(f => actions += removeAction(f.path, ts, dataChange = false))
     adds.foreach(a => actions += addAction(a.copy(dataChange = false)))
     commitRewriteRebase(snap, files, actions.result())
@@ -2032,7 +2066,13 @@ object LakeTable {
     * task binary.
     */
   private[graft] val DvMaskMaxRowsKey = "spark.graft.dv.maskMaxRows"
-  private[graft] val DvMaskMaxRowsDefault = 2L << 20
+  /** Raised 2M → 8M rows with the compressed [[RowSet]] mask (≤2 B/row
+    * packed vs the old flat 8 B/row; DvFilterSpec measures build cost
+    * ~O(100 ms) at this gate). The tier-1 byte gate (DvBroadcastBytes
+    * over the parquets' summed size) still bounds the eager build
+    * whichever gate a pathological table slips past.
+    */
+  private[graft] val DvMaskMaxRowsDefault = 8L << 20
 
   /** DV masks by descriptor identity (immutable content ⇒ equal key
     * means equal mask); bounded LRU so long sessions over many DV'd

@@ -346,8 +346,21 @@ object TransactionLog {
     }.getOrElse(Map.empty[String, String])
     val st = Option(a.get("stats")).filter(!_.isNull).map(_.asText)
     val dv = Option(a.get("deletionVector")).filter(!_.isNull).map { d =>
-      DvDescriptor(d.get("pathOrInlineDv").asText,
-        Option(d.get("graftFid")).map(_.asInt).getOrElse(0),
+      // Foreign/legacy descriptors are rejected LOUDLY: a Delta-style
+      // descriptor (storageType "u"/"i"/"p" — UUID-relative or
+      // absolute RoaringBitmap payloads) or a pre-fid graft one would
+      // otherwise parse with fid defaulted to 0, match nothing in the
+      // numeric mask/anti-join, and silently RESURRECT deleted rows.
+      val st = Option(d.get("storageType")).filter(!_.isNull)
+        .map(_.asText).getOrElse("<missing>")
+      if (st != "g" || !d.has("graftFid"))
+        throw graft.core.UserException(
+          s"Unsupported deletionVector descriptor on file " +
+            s"'${a.get("path").asText}' (storageType=$st" +
+            (if (d.has("graftFid")) "" else ", no graftFid") +
+            "): this reader only supports graft storageType 'g' " +
+            "(fid,row)-parquet deletion vectors")
+      DvDescriptor(d.get("pathOrInlineDv").asText, d.get("graftFid").asInt,
         d.get("cardinality").asLong, d.get("sizeInBytes").asLong)
     }
     AddFile(a.get("path").asText, pv, a.get("size").asLong,

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.graftbridge.SparkBridge
 
 /** Deduplication operators for training-data pipelines (SURVEY.md
   * §7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -107,7 +109,8 @@ object Dedup {
       case _ => false
     }
     if (reshuffled) return planned
-    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    val files = try df.inputFiles
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
     if (files.isEmpty || files.length > 64 || !files.forall(_.endsWith(".parquet")))
       return planned
     try {
@@ -119,7 +122,7 @@ object Dedup {
         try r.getRowGroups.size finally r.close()
       }.sum
       math.min(planned, math.max(1, groups))
-    } catch { case _: Throwable => planned }
+    } catch { case scala.util.control.NonFatal(_) => planned }
   }
 
   /** Eager materialization with a lineage cut. Reliable checkpoint
@@ -546,7 +549,16 @@ object Dedup {
     // one shuffle this adds carries KBs, not the pair frame.
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val pruned = sets.join(broadcast(ids), Seq("id"), "left_semi")
+    setOverlapPruned(sets.join(broadcast(ids), Seq("id"), "left_semi"), pairs)
+  }
+
+  /** The broadcast verify join over element sets ALREADY restricted to
+    * the paired ids (the last stage of setOverlapCompact, split out so
+    * overlapAuto's driver-known-ids path can prune at the SCAN and
+    * skip the semi-join stage entirely).
+    */
+  private def setOverlapPruned(prunedSets: DataFrame, pairs: DataFrame): DataFrame = {
+    val pruned = prunedSets
       .select(col("id"), col("elems"), size(col("elems")).as("n"))
     pairs
       .join(broadcast(pruned.select(col("id").as("id_a"),
@@ -617,32 +629,139 @@ object Dedup {
     * frame built from single-split inputs would otherwise run it on
     * one core (no-op on already-parallel pair frames).
     */
+  /** Row cap for the plan-pick collect probe (below). 2¹⁸ (id_a,id_b)
+    * rows ≈ 25 MB of driver Rows — trivially safe, and big enough
+    * that every candidate-verification pair frame at interactive
+    * scale collects whole.
+    */
+  private[operators] val PairCollectMaxRows: Int = 1 << 18
+
+  /** Max driver-known ids inlined as a pushed-down IN filter on the
+    * corpus scan; past it a broadcast semi-join prunes instead (an IN
+    * list in the many-thousands bloats the plan and its codegen).
+    */
+  private[operators] val IsinPruneMaxIds: Int = 4096
+
   private def overlapAuto(
-      sets: DataFrame, pairs: DataFrame, compact: Boolean): DataFrame = {
-    // Plan-pick in two stages, cheapest first: a bare count() over the
-    // pair frame costs one job, and since distinct ids <= 2 * pairs,
-    // a pair count <= maxIds/2 already proves the id bound with no
-    // distinct job at all. Only an inconclusive pair count (huge pair
-    // frame that MIGHT still reuse few ids — the cross-join-sample
-    // shape) pays for the union+distinct+count sizing job.
+      raw: DataFrame, kernel: Column => Column,
+      pairs: DataFrame, compact: Boolean): DataFrame = {
+    def fullSets: DataFrame =
+      rebalance(raw).select(col("id"), kernel(col("t")).as("elems"))
+    // Plan-pick via a TRUNCATED COLLECT PROBE — the resolution of the
+    // toy-scale/sf10 tension. The two prior gates each lost one
+    // regime: eagerly checkpointing the pair frame (r8) was cheap at
+    // toy scale but materialized 82M cross-join pairs into ~4 GB of
+    // deserialized blocks in ONE partition at sf10 and starved the
+    // heap; keeping it lazy with count()-based sizing (r9) was
+    // sf10-safe but spent 1–2 job floors re-enumerating a sub-second
+    // query's pair frame (q23/q45 regressed 2.7–3.2×).
     //
-    // The pair frame stays LAZY until the plan is chosen: the compact
-    // plan consumes it once (plus these counting jobs — candidate and
-    // cross-join pair frames are cheap to re-enumerate), and eagerly
-    // checkpointing it was the sf10 failure mode — 82M cross-join
-    // pairs materialized ~4 GB of deserialized blocks in ONE stream-
-    // side partition and starved the heap until the compact plan's
-    // own (perfectly small) broadcast could not build. Only the
-    // exploded plan, where the pair frame feeds five subplans, pays
-    // for the lineage cut.
-    lazy val nPairs = pairs.count()
-    lazy val nIds =
-      if (nPairs * 2 <= CompactVerifyMaxIds) nPairs * 2
-      else pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id"))).distinct().count()
-    if (compact && nIds <= CompactVerifyMaxIds)
-      setOverlapCompact(sets, rebalance(pairs))
-    else setOverlapOn(sets, materialize(pairs), hashElements = false)
+    // The probe is ONE job: each task enumerates its partition up to
+    // the cap and ships back (truncated count, its rows — but only
+    // when the task itself stayed under the cap). The driver sums the
+    // counts as task results arrive and drops rows the moment the
+    // total overflows, so memory is cap-bounded at any cluster size
+    // and an 82M-pair frame costs a few cut-short tasks shipping
+    // nothing but a long. (limit().collect() would be wrong twice
+    // here: CollectLimit escalates through multiple jobs — 1
+    // partition, then 4, 16, … — when the frame is SMALLER than the
+    // cap, and its per-task row shipping is partitions × cap in the
+    // worst case.)
+    val spark = raw.sparkSession
+    val p2 = pairs.select(col("id_a"), col("id_b"))
+    val schema = p2.schema
+    val keep = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow]
+    var total = 0L
+    val cap = PairCollectMaxRows
+    spark.sparkContext.runJob(
+      p2.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow]
+        var n = 0L
+        while (it.hasNext && n < cap + 1) {
+          val r = it.next(); n += 1
+          if (n <= cap) buf += r.copy()
+        }
+        if (n > cap) (n, Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+        else (n, buf.toArray)
+      },
+      (_: Int, res: (Long, Array[org.apache.spark.sql.catalyst.InternalRow])) => {
+        total += res._1
+        if (total > cap) keep.clear() else keep ++= res._2
+      })
+    if (total <= cap) {
+      // The frame collected whole — everything at once: an EXACT
+      // distinct-id count (in-memory set, no sizing jobs) and a
+      // LocalRelation pair frame the chosen plan consumes with ZERO
+      // re-enumeration (the compact plan references pairs 3×; against
+      // a lazy cross join each reference re-ran it).
+      val attrs = schema.map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          f.name, f.dataType, f.nullable)())
+      val local = SparkBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          attrs, keep.toSeq))
+      // internal→external value normalization, so the id set feeds
+      // isin()/Row() literals directly (ids are usually longs; string
+      // ids arrive as UTF8String)
+      def ext(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+        case other => other
+      }
+      val (dtA, dtB) = (schema(0).dataType, schema(1).dataType)
+      val ids = new scala.collection.mutable.HashSet[Any]
+      keep.foreach { r =>
+        if (!r.isNullAt(0)) ids += ext(r.get(0, dtA))
+        if (!r.isNullAt(1)) ids += ext(r.get(1, dtB))
+      }
+      if (compact && ids.size <= CompactVerifyMaxIds) {
+        // Prune FIRST, with the driver-known ids: an IN filter reaches
+        // the parquet scan (PushedFilters + row-group pruning), so the
+        // element kernel runs over the PAIRED docs only — never the
+        // corpus. This is what the pre-built-sets shape could not do:
+        // the kernel projection sat below the semi-join, and only
+        // PushDownLeftSemiAntiJoin's mercy (blocked by the rebalance
+        // exchange) decided whether the whole corpus got shingled.
+        val prunedRaw =
+          if (ids.size <= IsinPruneMaxIds)
+            raw.where(col("id").isin(ids.toSeq: _*))
+          else {
+            val idsDf = spark.createDataFrame(
+              java.util.Arrays.asList(
+                ids.toSeq.map(org.apache.spark.sql.Row(_)): _*),
+              StructType(Seq(p2.schema.head.copy(name = "id"))))
+            raw.join(broadcast(idsDf), Seq("id"), "left_semi")
+          }
+        // a few hundred pruned docs are cheaper to shingle serially
+        // than to shuffle; a big prune still wants scan parallelism
+        // (keyed: content-deterministic under retry, nothing to sort)
+        val par =
+          if (ids.size <= 512) prunedRaw
+          else prunedRaw.repartition(
+            spark.sparkContext.defaultParallelism, col("id"))
+        setOverlapPruned(
+          par.select(col("id"), kernel(col("t")).as("elems")), local)
+      }
+      // no materialize: a LocalRelation needs no lineage cut
+      else setOverlapOn(fullSets, local, hashElements = false)
+    } else {
+      // Overflow — the genuinely-large regime. One exact sizing job:
+      // explode both id columns and distinct-count them (the partial
+      // aggregation makes every map task's exchange output id-bounded,
+      // so the shuffle carries KBs even under an 82M-pair frame).
+      // The pair frame then stays LAZY into the compact plan
+      // (re-enumeration is the price of not checkpointing 4 GB — the
+      // sf10 OOM) and checkpoints only into the exploded plan, where
+      // it feeds five subplans.
+      val nIds = p2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count()
+      if (compact && nIds <= CompactVerifyMaxIds)
+        setOverlapCompact(fullSets, rebalance(pairs))
+      else setOverlapOn(fullSets, materialize(pairs), hashElements = false)
+    }
   }
 
   /** Exact n-gram (3-shingle) Jaccard stats for given candidate pairs:
@@ -661,17 +780,21 @@ object Dedup {
       textCol: String,
       pairs: DataFrame,
       compact: Boolean = true): DataFrame = {
-    // rebalance BEFORE building the element sets, so the heavy
-    // kernel projection runs at full parallelism too
-    val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"),
-        graft.functions.TextKernelFunctions.shingleHashes(col("t")).as("elems"))
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     // compact asks for the broadcast verify; granted only while the
-    // pair count stays broadcast-sized (overlapAuto), so an oversized
-    // candidate set degrades to the streaming exploded plan instead of
-    // blowing the driver
-    if (compact) overlapAuto(sets, pairs, compact = true)
-    else setOverlap(sets, pairs, hashElements = false)
+    // distinct-id count stays broadcast-sized (overlapAuto), so an
+    // oversized candidate set degrades to the streaming exploded plan
+    // instead of blowing the driver
+    if (compact)
+      overlapAuto(raw,
+        t => graft.functions.TextKernelFunctions.shingleHashes(t),
+        pairs, compact = true)
+    else setOverlap(
+      // rebalance BEFORE building the element sets, so the heavy
+      // kernel projection runs at full parallelism too
+      rebalance(raw).select(col("id"),
+        graft.functions.TextKernelFunctions.shingleHashes(col("t")).as("elems")),
+      pairs, hashElements = false)
   }
 
   /** Char n-gram Jaccard stats for candidate pairs — the char-level
@@ -688,11 +811,15 @@ object Dedup {
       n: Int,
       pairs: DataFrame,
       compact: Boolean = true): DataFrame = {
-    val sets = rebalance(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"),
-        graft.functions.TextKernelFunctions.charNgrams(col("t"), n).as("elems"))
-    if (compact) overlapAuto(sets, pairs, compact = true)
-    else setOverlap(sets, pairs, hashElements = false)
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    if (compact)
+      overlapAuto(raw,
+        t => graft.functions.TextKernelFunctions.charNgrams(t, n),
+        pairs, compact = true)
+    else setOverlap(
+      rebalance(raw).select(col("id"),
+        graft.functions.TextKernelFunctions.charNgrams(col("t"), n).as("elems")),
+      pairs, hashElements = false)
   }
 
   /** Character n-gram set of a text column (the char-level complement

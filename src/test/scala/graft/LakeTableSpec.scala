@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class LakeTableSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -209,6 +210,44 @@ class LakeTableSpec extends AnyFunSuite {
       cow.read().orderBy("id", "grp", "name").collect().toSeq)
   }
 
+  test("merge-on-read MERGE survives a pathologically under-estimated source") {
+    // The MoR broadcast gate trusts optimizedPlan.stats.sizeInBytes
+    // (cheap, no materializing job). An exploded one-row plan is the
+    // classic under-estimator: Catalyst prices it from the 8-byte
+    // range(1) child, while the actual frame is 200k rows — so the
+    // gate WRONGLY picks the broadcast plan. This pins the backstop
+    // behavior: the broadcast absorbs the real (MB-sized) source and
+    // the merge completes with copy-on-write-identical answers; a
+    // truly huge mis-estimate terminates at Spark's hard broadcast
+    // caps (8 GB / 512M rows) — a loud failure, never an OOM.
+    import graft.lake.{MergeClause, MergeSpec}
+    val src = spark.range(1)
+      .select(explode(sequence(lit(1L), lit(200000L))).as("sid"))
+      .select($"sid", concat(lit("s"), $"sid").as("sname"))
+    val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the premise of the test: the estimate undershoots the 256 MB
+    // gate by orders of magnitude while the actual data is ~5 MB
+    assert(est < (64L << 20),
+      s"source no longer under-estimates (est=$est); rebuild the fixture")
+    def seed(t: LakeTable): Unit =
+      t.write((1L to 3000L).map(i => (i, s"n$i")).toDF("id", "name"), "append")
+    val cow = LakeTable.forPath(spark, tmpTable()); seed(cow)
+    val mor = LakeTable.forPath(spark, tmpTable()); seed(mor)
+    mor.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    def run(t: LakeTable): Unit = t.mergeInto(src) { (target, s) =>
+      MergeSpec(
+        target("id") === s("sid"),
+        matched = Seq(MergeClause.Update(None, Map("name" -> s("sname")))),
+        notMatched = Seq(MergeClause.Insert(Some(s("sid") % 50 === 0),
+          Map("id" -> s("sid"), "name" -> s("sname")))),
+        notMatchedBySource = Nil)
+    }
+    run(cow); run(mor)
+    assert(mor.read().orderBy("id", "name").collect().toSeq ==
+      cow.read().orderBy("id", "name").collect().toSeq)
+    assert(mor.read().count() == 3000 + (200000 - 3000) / 50)
+  }
+
   test("merge-on-read DELETE/UPDATE: DV pairs only, copy-on-write-equal answers") {
     def seed(t: LakeTable): Unit = {
       t.write((1L to 4000L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x"), "append")
@@ -373,6 +412,28 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read().count() == 1600)
   }
 
+  test("foreign/legacy DV descriptors are rejected loudly, not resurrected silently") {
+    // A Delta-style descriptor (storageType "p", RoaringBitmap payload)
+    // or a pre-fid graft one must fail the snapshot read: defaulting
+    // fid=0 would make the numeric mask/anti-join match nothing and
+    // silently RESURRECT deleted rows on old tables.
+    val p = tmpTable()
+    val t = LakeTable.forPath(spark, p)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "append")
+    val snapFile = graft.lake.TransactionLog.logDir(java.nio.file.Paths.get(p))
+      .resolve("00000000000000000000.json")
+    val line = Files.readAllLines(snapFile).asScala
+      .find(_.contains("\"add\"")).get
+    assert(line.contains("\"dataChange\":true"))
+    val poisoned = line.replace("\"dataChange\":true",
+      """"dataChange":true,"deletionVector":{"pathOrInlineDv":"x","storageType":"p","cardinality":1,"sizeInBytes":8}""")
+    Files.write(snapFile.resolveSibling("00000000000000000001.json"),
+      java.util.Arrays.asList(poisoned))
+    val e = intercept[UserException](LakeTable.forPath(spark, p).read().count())
+    assert(e.getMessage.contains("storageType=p"))
+    assert(e.getMessage.contains("deletionVector"))
+  }
+
   test("DV steady-state policy: threshold merges auto-materialize; signal mode stays loud") {
     // autoOptimize on (default) with a low ratio: one scattered DELETE
     // past the threshold leaves NO vectors behind
@@ -384,7 +445,15 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!auto.hasDeletionVectors, "policy should have materialized the DVs")
     assert(auto.read().count() == 1334)
     assert(auto.historyInfo.head.operation == "OPTIMIZE")
-    assert(auto.historyInfo.head.operationParameters.get("trigger").contains("dv-threshold"))
+    val params = auto.historyInfo.head.operationParameters
+    assert(params.get("trigger").contains("dv-threshold"))
+    // observability: the silent policy pass is auditable from HISTORY
+    // alone — counts, bytes moved, and the DV payload it reclaimed
+    assert(params("numRemoved").toInt > 0 && params("numAdded").toInt > 0)
+    assert(params("removedBytes").toLong > params("addedBytes").toLong,
+      "materializing 33% deletes should shrink the data bytes")
+    assert(params("dvBytesReclaimed").toLong > 0)
+    assert(params("deletedRowsMaterialized").toLong == 666L)
     assert(!auto.dvOptimizeRecommended)
 
     // below the threshold nothing fires
