@@ -67,10 +67,14 @@ object ConnectedComponents {
     * ONE union-find task instead of distributed contraction rounds —
     * the AQE-style runtime adaptivity decision: each distributed round
     * is 4 shuffle stages + a convergence job, pure overhead when the
-    * deduplicated edge set fits a single task comfortably (1M edges ≈
-    * tens of MB of long pairs). Pass 0 to force the distributed path.
+    * deduplicated edge set fits a single task comfortably (4M edges =
+    * 64 MB of long pairs; the single-task union-find pass costs ~1-2 s
+    * where ONE distributed round costs more — measured in the r10
+    * q47 sf10 decomposition, where crossing the old 1M threshold
+    * accounted for most of a 21× jump). Pass 0 to force the
+    * distributed path.
     */
-  val DefaultSmallGraphMaxEdges: Long = 1000000L
+  val DefaultSmallGraphMaxEdges: Long = 4000000L
 
   def labels(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame =
     labels(vertices, idCol, edges, DefaultSmallGraphMaxEdges)

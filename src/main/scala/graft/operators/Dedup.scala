@@ -335,6 +335,37 @@ object Dedup {
     */
   val MaxBucketSize: Int = 1 << 20
 
+  /** Connectivity-equivalent candidate EDGES for clustering: one
+    * min-id star per band bucket instead of bandingPairs' all-pairs
+    * expansion. Within a bucket every id is a mutual candidate, so
+    * for any consumer that only needs the TRANSITIVE CLOSURE
+    * (connected components → duplicate clusters) the star yields
+    * exactly the same components while emitting O(bucket) rows where
+    * all-pairs emits O(bucket²) — the difference between LINEAR and
+    * quadratic growth in near-dup cluster size. Measured on the
+    * synthetic corpus (DriveCC): duplicate clusters grow ∝ SF, so
+    * all-pairs edges grew 99× for 10× docs (31.4M at sf10) while
+    * star edges stay ∝ corpus size. Use bandingPairs only when the
+    * PAIRS themselves are the product (verification scoring, q21).
+    */
+  def lshClusterEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val buckets = bandBuckets(minhashSignatures(docs, idCol, textCol, k), k, bands)
+    buckets.groupBy("bucket")
+      .agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
+      .where(size(col("ids")) > 1)
+      // no MaxBucketSize guard needed: output is bucket-LINEAR, the
+      // failure mode the guard exists for cannot occur here
+      .select(element_at(col("ids"), 1).as("id_a"),
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("id_b"))
+      .distinct()
+  }
+
   /** 32-bit SimHash: bit i set iff Σ_words (±1 by bit i of the word
     * value) > 0. One integer sketch per document.
     */
@@ -430,8 +461,11 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
-    val keep = ConnectedComponents.labels(docs, idCol, pairs)
+    // cluster edges (bucket stars), NOT all-pairs: the transitive
+    // closure is identical and edge growth stays linear in corpus
+    // size where all-pairs grows with near-dup cluster size SQUARED
+    val edges = lshClusterEdges(docs, idCol, textCol, k, bands)
+    val keep = ConnectedComponents.labels(docs, idCol, edges)
       .where(col("id") === col("component"))
       .select(col("id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")

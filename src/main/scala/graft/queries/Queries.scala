@@ -911,8 +911,11 @@ object Queries {
     "q47_dedup_components" -> QueryDef(
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, bands = 4)
-        ConnectedComponents.labels(docs, "doc_id", pairs)
+        // star edges, not all-pairs: identical components (the oracle
+        // closes over the full pair set and hash-matches), linear
+        // instead of quadratic edge growth in near-dup cluster size
+        val edges = Dedup.lshClusterEdges(docs, "doc_id", "text", k = 8, bands = 4)
+        ConnectedComponents.labels(docs, "doc_id", edges)
           .select(col("id").as("doc_id"), col("component"))
       },
       Some {

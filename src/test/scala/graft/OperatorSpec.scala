@@ -57,6 +57,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("lshClusterEdges: connectivity-equivalent to all-pairs, linear in bucket size") {
+    // real corpus slice: components over bucket STARS must equal
+    // components over the full pair expansion (that equivalence is the
+    // licence to use the linear form for clustering)
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", k = 8, bands = 4)
+    val stars = Dedup.lshClusterEdges(corpus, "doc_id", "text", k = 8, bands = 4)
+    val viaPairs = ConnectedComponents.labels(corpus, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaStars = ConnectedComponents.labels(corpus, "doc_id", stars)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaPairs == viaStars)
+    // and the star edge set is genuinely smaller on a corpus with
+    // non-trivial duplicate clusters
+    assert(stars.count() <= pairs.count())
+  }
+
   test("minhash duplicate-id contract: one signature row per input row; banding never self-pairs") {
     // the per-row kernel form emits exactly one row per INPUT row —
     // duplicated ids are NOT merged (that is minhashSignaturesByKey's
