@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   *    ever ingested. ~k·8 bytes per doc — at 100 TB of text (~3 KB/doc
   *    average) the store is ~0.25% of corpus bytes, so scanning IT is
   *    cheap while the text is scanned exactly once, on arrival;
-  *  - a pair store `(id_a, id_b)`: every LSH candidate pair discovered
-  *    so far (bounded by near-dup density, far smaller than the store).
+  *  - an edge store `(id_a, id_b)`: CONNECTIVITY edges — per-band-
+  *    bucket min-id stars ([[incrementalClusterEdges]]), not all
+  *    candidate pairs. Near-dup cluster size grows with corpus size
+  *    (measured: all-pairs edges grew 99× for 10× docs at sf10,
+  *    DriveCC), so a durable all-pairs store inherits that quadratic
+  *    curve; the star store grows ≤ 2·bands rows per ingested doc —
+  *    LINEAR in corpus size — while its transitive closure stays
+  *    exactly `labels(bandingPairs(signatures of the union))`, the
+  *    contract every consumer here ([[keptIds]], [[labeledKeptIds]])
+  *    actually needs. Callers for whom the PAIRS are the product
+  *    (pair-level verification scoring) opt into the all-pairs store
+  *    with `storePairs = true` and pay its growth knowingly.
   *
   * Per shard, [[ingestShard]]:
   *  1. computes minhash signatures of the SHARD text only (map-side
@@ -25,18 +35,22 @@ import org.apache.spark.sql.functions._
   *     `changes()` (only the files the commit appended — the
   *     incremental transport, not a table rescan);
   *  4. bucket-joins the shard's band buckets against the FULL store's
-  *     buckets and appends the (normalized, deduplicated) new pairs.
+  *     buckets and appends the new connectivity edges (or, under
+  *     `storePairs`, the normalized all-pairs candidates).
   *
-  * Every candidate pair of the union corpus is discovered exactly
-  * once — in the arrival round of its LATER document, where one side
-  * is new and the other is already in the store (a within-shard pair
-  * emits from both join sides and collapses under the normalize +
-  * distinct). So after any sequence of shards, the pair store holds
-  * precisely `bandingPairs(signatures of the union)` — which makes
-  * [[keptIds]] (min-id representative per connected component over the
-  * pair store) IDENTICAL to a from-scratch [[Dedup.dedupCorpus]] over
-  * the concatenated corpus. OperatorSpec proves the equivalence on a
-  * sharded corpus and that `changes()` is the only transport.
+  * Connectivity invariant (induction over arrivals): after every
+  * shard, all ids sharing a band bucket are in one component of the
+  * edge store. Each arrival connects the bucket's NEW ids to the
+  * bucket's current global min id, and — when that min is itself new —
+  * bridges it to the bucket's pre-existing members (one edge to the
+  * old min), which were already mutually connected by their own
+  * arrival rounds. Hence components over the edge store ≡ components
+  * over `bandingPairs(union)` after any sequence of shards — which
+  * makes [[keptIds]] (min-id representative per connected component)
+  * IDENTICAL to a from-scratch [[Dedup.dedupCorpus]] over the
+  * concatenated corpus. OperatorSpec proves the closure equivalence on
+  * a sharded corpus, the linear-growth bound, the `storePairs`
+  * all-pairs contract, and that `changes()` is the only transport.
   *
   * Contract: document ids are globally unique across shards (same
   * contract as [[Dedup.minhashSignatures]]); re-ingesting an id is
@@ -48,9 +62,10 @@ import org.apache.spark.sql.functions._
 object IncrementalDedup {
 
   /** Ingest one shard: append its signatures (one commit) and the new
-    * candidate pairs it introduces (one commit). Returns the signature
-    * store version of the shard's commit — the `changes()` cursor a
-    * resuming pipeline persists.
+    * connectivity edges it introduces (one commit; all candidate pairs
+    * instead iff `storePairs`). Returns the signature store version of
+    * the shard's commit — the `changes()` cursor a resuming pipeline
+    * persists.
     */
   def ingestShard(
       sigStore: LakeTable,
@@ -59,7 +74,8 @@ object IncrementalDedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      bands: Int = 4): Long = {
+      bands: Int = 4,
+      storePairs: Boolean = false): Long = {
     val before = if (sigStore.exists) sigStore.version else -1L
     val sigs = Dedup.minhashSignatures(shard, idCol, textCol, k)
     sigStore.write(sigs, if (before < 0L) "error" else "append")
@@ -72,15 +88,68 @@ object IncrementalDedup {
     val newSigs = sigStore.changes(before, v).drop("_commit_version")
     val newBuckets = Dedup.bandBuckets(newSigs, k, bands)
     val allBuckets = Dedup.bandBuckets(sigStore.read(), k, bands)
-    val pairs = newBuckets.as("n")
-      .join(allBuckets.as("a"), "bucket")
-      .where(col("n.id") =!= col("a.id"))
-      .select(
-        least(col("n.id"), col("a.id")).as("id_a"),
-        greatest(col("n.id"), col("a.id")).as("id_b"))
-      .distinct()
-    pairStore.write(pairs, if (pairStore.exists) "append" else "error")
+    val edges =
+      if (storePairs)
+        // pairs ARE the product: full candidate set, quadratic in
+        // cluster size — every pair of the union discovered exactly
+        // once, in the arrival round of its LATER document
+        newBuckets.as("n")
+          .join(allBuckets.as("a"), "bucket")
+          .where(col("n.id") =!= col("a.id"))
+          .select(
+            least(col("n.id"), col("a.id")).as("id_a"),
+            greatest(col("n.id"), col("a.id")).as("id_b"))
+          .distinct()
+      else
+        incrementalClusterEdges(newBuckets, allBuckets,
+          newSigs.select(col("id")))
+    pairStore.write(edges, if (pairStore.exists) "append" else "error")
     v
+  }
+
+  /** The incremental counterpart of [[Dedup.lshClusterEdges]]: the
+    * connectivity edges ONE shard arrival adds so that every band
+    * bucket of the accumulated store stays internally connected.
+    *
+    * Per bucket the shard touches: connect each NEW id to the bucket's
+    * current global min id (`rep`), plus — only when `rep` is itself
+    * new — one bridge edge from `rep` to the bucket's pre-existing min
+    * (the old members are already mutually connected by their own
+    * arrival rounds, so one bridge re-roots the whole old component).
+    * Emits ≤ (|shard| + touched buckets) × bands edges — every edge
+    * has a this-shard endpoint, so arrivals never re-emit edges and
+    * the accumulated store grows LINEARLY in corpus size. Transitive
+    * closure over the accumulated edges ≡ closure over
+    * `bandingPairs(union)` (OperatorSpec pins it per arrival).
+    *
+    * `newBuckets`/`allBuckets` are [[Dedup.bandBuckets]] frames of the
+    * shard resp. the full store (including the shard); `newIds` the
+    * shard's ids (column `id`). Only buckets the shard touches are
+    * aggregated — the semi join prunes the store scan before the
+    * groupBy, so per-arrival work is bounded by the shard's bucket
+    * NEIGHBORHOOD, not store size.
+    */
+  def incrementalClusterEdges(
+      newBuckets: DataFrame,
+      allBuckets: DataFrame,
+      newIds: DataFrame): DataFrame = {
+    val touched = newBuckets.select("bucket").distinct()
+    val reps = allBuckets.join(touched, Seq("bucket"), "left_semi")
+      .join(newIds.select(col("id")).withColumn("_new", lit(true)),
+        Seq("id"), "left")
+      .groupBy("bucket")
+      .agg(min(col("id")).as("rep"),
+        min(when(col("_new").isNull, col("id"))).as("old_min"))
+    // targets: the shard's ids per bucket, plus the old-min bridge
+    // (a no-op whenever rep is old: then rep == old_min, self-excluded)
+    val targets = newBuckets.select(col("bucket"), col("id"))
+      .unionByName(reps.where(col("old_min").isNotNull)
+        .select(col("bucket"), col("old_min").as("id")))
+    targets.join(reps.select(col("bucket"), col("rep")), Seq("bucket"))
+      .where(col("id") =!= col("rep"))
+      .select(least(col("id"), col("rep")).as("id_a"),
+        greatest(col("id"), col("rep")).as("id_b"))
+      .distinct()
   }
 
   /** Ids the full-corpus dedup would KEEP (min-id representative per
@@ -131,9 +200,11 @@ object IncrementalDedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      bands: Int = 4): Long = {
+      bands: Int = 4,
+      storePairs: Boolean = false): Long = {
     val pairsBefore = if (pairStore.exists) pairStore.version else -1L
-    val v = ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands)
+    val v = ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands,
+      storePairs)
     val newPairs = pairStore.changes(pairsBefore)
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val newIds = shard.select(col(idCol).cast("long").as("id")).distinct()
@@ -201,8 +272,9 @@ object IncrementalDedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      bands: Int = 4): DataFrame = {
-    ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands)
+      bands: Int = 4,
+      storePairs: Boolean = false): DataFrame = {
+    ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands, storePairs)
     shard.join(
       keptIds(sigStore, pairStore).withColumnRenamed("id", idCol),
       Seq(idCol), "left_semi")

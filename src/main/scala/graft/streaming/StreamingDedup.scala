@@ -14,7 +14,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * without rescanning the corpus.
   *
   * Three lake tables carry all state — the minhash signature store,
-  * the LSH candidate-pair store, and the deduplicated output corpus —
+  * the LSH connectivity-edge store (per-bucket min-id stars, linear
+  * growth; see [[graft.operators.IncrementalDedup]]), and the
+  * deduplicated output corpus —
   * and every per-batch commit to each is stamped with the stream's
   * batch id, which makes the whole pipeline EXACTLY-ONCE under
   * checkpoint replay with no coordination beyond the stamps: a
@@ -96,20 +98,18 @@ object StreamingDedup {
       sig.version
     }
 
-    // 2. new candidate pairs: CDC re-read of exactly the signature
-    //    commit, banded against the store AS OF that commit
+    // 2. new connectivity edges: CDC re-read of exactly the signature
+    //    commit, banded against the store AS OF that commit. Star
+    //    edges (IncrementalDedup.incrementalClusterEdges), not
+    //    all-pairs — a standing stream's durable store must grow
+    //    linearly in corpus size, and CC closure is all step 3 needs.
     val pairV = committedVersion(pair, batchId).getOrElse {
       val newSigs = sig.changes(sigV - 1, sigV).drop("_commit_version")
       val newBuckets = Dedup.bandBuckets(newSigs, k, bands)
       val allBuckets = Dedup.bandBuckets(sig.read(versionAsOf = sigV), k, bands)
-      val pairs = newBuckets.as("n")
-        .join(allBuckets.as("a"), "bucket")
-        .where(col("n.id") =!= col("a.id"))
-        .select(
-          least(col("n.id"), col("a.id")).as("id_a"),
-          greatest(col("n.id"), col("a.id")).as("id_b"))
-        .distinct()
-      pair.write(pairs, if (pair.exists) "append" else "error",
+      val edges = graft.operators.IncrementalDedup.incrementalClusterEdges(
+        newBuckets, allBuckets, newSigs.select(col("id")))
+      pair.write(edges, if (pair.exists) "append" else "error",
         operationParams = Map(BatchKey -> batchId.toString))
       pair.version
     }

@@ -341,8 +341,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(cdc.columns.contains("_commit_version"))
 
     // kept set after each arrival equals dedupCorpus over docs-so-far:
-    // every candidate pair of the union is discovered in its later
-    // doc's round, so the accumulated pair store is always complete
+    // each arrival connects its ids into every band bucket it touches,
+    // so the edge store's transitive closure is always the closure of
+    // bandingPairs(union) even though the stored EDGES are the linear-
+    // growth star set, not all pairs
     IncrementalDedup.ingestShard(sigStore, pairStore, shards(1), "doc_id", "text")
     val partial = IncrementalDedup.keptIds(sigStore, pairStore)
       .as[Long].collect().sorted.toSeq
@@ -361,7 +363,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept3.select("doc_id").as[Long].collect().sorted.toSeq ==
       full.filter(_ % 3 == 2))
     // and the signature store ingested every document exactly once
-    assert(sigStore.read().count() == corpus.where($"text".isNotNull).count())
+    val nDocs = corpus.where($"text".isNotNull).count()
+    assert(sigStore.read().count() == nDocs)
+
+    // LINEAR growth bound: every arrival emits ≤ (|shard| + touched
+    // buckets)·bands star edges, so the accumulated store is ≤
+    // 2·bands·|corpus| rows regardless of near-dup cluster size —
+    // where an all-pairs store grows with cluster size SQUARED
+    assert(pairStore.read().count() <= 2L * 4 * nDocs)
+
+    // storePairs opt-in: when the pairs ARE the product, the store
+    // accumulates exactly bandingPairs(signatures of the union) —
+    // every pair discovered once, in its later doc's arrival round
+    val base2 = java.nio.file.Files.createTempDirectory("graft-incpairs").toString
+    val sig2 = graft.lake.LakeTable.forPath(spark, s"$base2/sigs")
+    val pair2 = graft.lake.LakeTable.forPath(spark, s"$base2/pairs")
+    shards.foreach { sh =>
+      IncrementalDedup.ingestShard(sig2, pair2, sh, "doc_id", "text",
+        storePairs = true)
+    }
+    val storedPairs = pair2.read().select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val fullPairs = Dedup.bandingPairs(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 8), 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(storedPairs == fullPairs)
   }
 
   test("incremental CC labels: per-shard quotient contraction equals full connected components") {
