@@ -7,18 +7,23 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compressed sorted-set of row indexes, roaring-style: rows bucket by
-  * their high bits (`row >>> 16`) into containers of 2¹⁶ slots; a
-  * container holding fewer than 4096 rows stores sorted 16-bit values
-  * (`Array[Char]`, 2 B/row), a denser one stores a 1024-long bitmap
-  * (8 KB flat = 1 bit/slot, at most 2 B/row and as little as ⅛ bit).
+  * their high bits (`row >>> 16`) into containers of 2¹⁶ slots, each
+  * stored in whichever of three representations is smallest:
+  *  - sorted 16-bit values (`Array[Char]`, 2 B/row) for scattered
+  *    deletes;
+  *  - a 1024-long bitmap (`Array[Long]`, 8 KB flat = 1 bit/slot) for
+  *    dense ones;
+  *  - packed runs (`Array[Int]`, `(start << 16) | endInclusive`,
+  *    4 B/run) for CONTIGUOUS deletes — the DELETE-WHERE-partition /
+  *    gutted-file shape, where a fully-deleted 2¹⁶-row span costs 4
+  *    bytes instead of 8 KB (bitmap) or 128 KB (sparse).
   *
   * Versus the flat `Array[Long]` + binary-search representation this
   * replaces: 4× smaller for sparse deletes, up to 64× for clustered
-  * ones (a MERGE that guts whole files — the common MoR shape), and
-  * membership is one binary search over container KEYS (≤ rows/4096
-  * entries) plus an O(1) bitmap probe or a ≤12-step search within one
-  * container. The mask ships inside the stage's task binary, so bytes
-  * here are multiplied by every executor.
+  * ones, and ~32,000× for gutted files. Membership is one binary
+  * search over container KEYS plus an O(1) bitmap probe or a ≤12-step
+  * search within one container. The mask ships inside the stage's
+  * task binary, so bytes here are multiplied by every executor.
   */
 final class RowSet private (
     private val keys: Array[Long],
@@ -34,6 +39,15 @@ final class RowSet private (
         (bitmap(lo >>> 6) & (1L << (lo & 63))) != 0
       case sparse: Array[Char] =>
         java.util.Arrays.binarySearch(sparse, lo.toChar) >= 0
+      case runs: Array[Int] =>
+        // rightmost run with start ≤ lo, then bounds check against its
+        // inclusive end (runs are disjoint and sorted by start)
+        var a = 0; var b = runs.length - 1; var hit = -1
+        while (a <= b) {
+          val m = (a + b) >>> 1
+          if ((runs(m) >>> 16) <= lo) { hit = m; a = m + 1 } else b = m - 1
+        }
+        hit >= 0 && lo <= (runs(hit) & 0xFFFF)
     }
   }
 
@@ -42,6 +56,8 @@ final class RowSet private (
     containers.foreach {
       case bitmap: Array[Long] => bitmap.foreach(w => t += java.lang.Long.bitCount(w))
       case sparse: Array[Char] => t += sparse.length
+      case runs: Array[Int] =>
+        runs.foreach(r => t += (r & 0xFFFF) - (r >>> 16) + 1)
     }
     t
   }
@@ -52,6 +68,7 @@ final class RowSet private (
     containers.foreach {
       case bitmap: Array[Long] => t += 8L * bitmap.length
       case sparse: Array[Char] => t += 2L * sparse.length
+      case runs: Array[Int] => t += 4L * runs.length
     }
     t
   }
@@ -73,9 +90,28 @@ object RowSet {
       var j = i
       while (j < sorted.length && (sorted(j) >>> 16) == hi) j += 1
       val n = j - i
-      if (n >= DenseThreshold) {
+      // count maximal consecutive runs to pick the cheapest container:
+      // runs 4 B each vs sparse 2 B/row vs bitmap 8 KB flat
+      var nRuns = 1
+      var k = i + 1
+      while (k < j) { if (sorted(k) != sorted(k - 1) + 1) nRuns += 1; k += 1 }
+      val runBytes = 4L * nRuns
+      if (runBytes < 2L * n && (n < DenseThreshold || runBytes < 8192L)) {
+        val runs = new Array[Int](nRuns)
+        var r = 0; var start = (sorted(i) & 0xFFFF).toInt
+        k = i + 1
+        while (k <= j) {
+          if (k == j || sorted(k) != sorted(k - 1) + 1) {
+            runs(r) = (start << 16) | (sorted(k - 1) & 0xFFFF).toInt
+            r += 1
+            if (k < j) start = (sorted(k) & 0xFFFF).toInt
+          }
+          k += 1
+        }
+        containers += runs
+      } else if (n >= DenseThreshold) {
         val bitmap = new Array[Long](1024)
-        var k = i
+        k = i
         while (k < j) {
           val lo = (sorted(k) & 0xFFFF).toInt
           bitmap(lo >>> 6) |= 1L << (lo & 63)
@@ -84,7 +120,7 @@ object RowSet {
         containers += bitmap
       } else {
         val sparse = new Array[Char](n)
-        var k = i
+        k = i
         while (k < j) { sparse(k - i) = (sorted(k) & 0xFFFF).toChar; k += 1 }
         containers += sparse
       }

@@ -46,7 +46,7 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * for selective filters.
     */
   def read(versionAsOf: Long = -1L): DataFrame = {
-    val snap = snapshot(path, versionAsOf)
+    val snap = pruneGutted(snapshot(path, versionAsOf))
     val schema = snap.schema
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -58,6 +58,20 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     }
   }
 
+  /** Drops files whose DV deletes EVERY row (descriptor cardinality ==
+    * the file's `numRecords` stat) from a snapshot's scan list: they
+    * contribute no live rows, so skipping them outright beats masking
+    * each row — zero scan IO, no DV parquet read, and no pressure on
+    * the tier-1 mask gate. This makes the DELETE-WHERE-partition shape
+    * metadata-only at read time until OPTIMIZE physically drops the
+    * file. Files without a numRecords stat are never pruned.
+    */
+  private def pruneGutted(snap: Snapshot): Snapshot = {
+    val live = snap.files.filterNot(f =>
+      f.dv.exists(d => f.numRecords.contains(d.cardinality)))
+    if (live.length == snap.files.length) snap else snap.copy(files = live)
+  }
+
   /** Like [[read]] for the latest snapshot, plus the row-provenance
     * columns DML needs: `__graft_file` (the scan-path rendering) and
     * `__graft_row` (parquet row index). Provenance MUST be derived
@@ -65,7 +79,8 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * join — which is why DML paths use this instead of reading
     * `_metadata` off [[read]]'s result.
     */
-  private def readWithProvenance(snap: Snapshot): DataFrame = {
+  private def readWithProvenance(snap0: Snapshot): DataFrame = {
+    val snap = pruneGutted(snap0)
     val schema = snap.schema
     if (snap.files.isEmpty) {
       val withProv = StructType(schema.fields ++ Seq(
@@ -386,6 +401,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     * directly enough over the parquet relation for `_metadata` to
     * resolve. No-op (and no plan change) when no file carries a DV.
     *
+    * Fully-gutted files never reach any tier from the read paths —
+    * [[pruneGutted]] drops them from the scan list first.
+    *
     * Three tiers by DV size:
     *  1. ≤ `spark.graft.dv.maskMaxRows` total deleted rows (exact, from
     *     descriptor cardinalities): a driver-built [[DvMask]] applied
@@ -672,6 +690,21 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     */
   def dvOptimizeRecommended: Boolean =
     exists && dvOverThreshold(snapshot(path)).nonEmpty
+
+  /** DV maintenance counters for status surfaces (DESCRIBE DETAIL):
+    * (files carrying DVs, summed DV parquet bytes, deleted rows
+    * referenced by live descriptors, files over the materialization
+    * threshold). `dvOptimizeRecommended` ⇔ the last component > 0 —
+    * the queryable form of the policy's deferred-pass stderr note.
+    */
+  def dvStatusNow: (Int, Long, Long, Int) = {
+    if (!exists) return (0, 0L, 0L, 0)
+    val snap = snapshot(path)
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    (dvFiles.size, dvBytesOf(dvFiles),
+      dvFiles.flatMap(_.dv).map(_.cardinality).sum,
+      dvOverThreshold(snap).size)
+  }
 
   private def applyDvPolicy(conf: Map[String, String]): Unit = {
     val (auto, _, _) = dvPolicyOf(conf)

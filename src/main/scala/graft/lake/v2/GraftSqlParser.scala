@@ -18,6 +18,7 @@ import org.apache.spark.sql.Row
   *   OPTIMIZE <table> [ZORDER BY (c1, c2, …)]
   *   VACUUM <table> [RETAIN <n> HOURS]
   *   DESCRIBE HISTORY <table>
+  *   DESCRIBE DETAIL <table>   (table status incl. DV maintenance flag)
   *   RESTORE TABLE <table> TO VERSION AS OF <n>
   *   COPY INTO <table> FROM '<dir>' [WITH (CREDENTIAL (…))]
   *     FILEFORMAT = CSV [FILES = (…)] [FORMAT_OPTIONS (…)]
@@ -68,6 +69,8 @@ object GraftSqlParser {
     """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -118,6 +121,8 @@ object GraftSqlParser {
           retainHours = Option(retain).map(_.toDouble).getOrElse(0.0)))
       case HistoryRe(ident) =>
         claim(ident)(GraftMaintenanceCommand("history", _, Nil, -1L))
+      case DetailRe(ident) =>
+        claim(ident)(GraftMaintenanceCommand("detail", _, Nil, -1L))
       case RestoreRe(ident, v) =>
         claim(ident)(GraftMaintenanceCommand("restore", _, Nil, v.toLong))
       case CopyIntoRe(ident, fromDir, cred, format, files, fmtOpts) =>
@@ -218,6 +223,17 @@ case class GraftMaintenanceCommand(
       AttributeReference("operation", StringType)(),
       AttributeReference("operation_parameters", StringType)())
     case "restore" => Seq(AttributeReference("restored_to_version", LongType)())
+    case "detail" => Seq(
+      AttributeReference("version", LongType)(),
+      AttributeReference("num_files", LongType)(),
+      AttributeReference("size_bytes", LongType)(),
+      AttributeReference("dv_files", LongType)(),
+      AttributeReference("dv_bytes", LongType)(),
+      AttributeReference("deleted_rows", LongType)(),
+      AttributeReference("dv_files_over_threshold", LongType)(),
+      AttributeReference("dv_optimize_recommended",
+        org.apache.spark.sql.types.BooleanType)(),
+      AttributeReference("properties", StringType)())
   }
 
   override def run(spark: org.apache.spark.sql.SparkSession): Seq[Row] = {
@@ -240,6 +256,24 @@ case class GraftMaintenanceCommand(
       case "restore" =>
         lake.restore(version)
         Seq(Row(version))
+      case "detail" =>
+        // the status surface a graft.dv.autoOptimize=false pipeline
+        // polls instead of scraping stderr: dv_optimize_recommended is
+        // true whenever a policy pass was deferred (or never ran) and
+        // files sit over the materialization threshold
+        val snap = lake.snapshotNow
+        val (dvFiles, dvBytes, deletedRows, overThreshold) = lake.dvStatusNow
+        Seq(Row(
+          snap.version,
+          snap.files.size.toLong,
+          snap.files.map(_.size).sum,
+          dvFiles.toLong,
+          dvBytes,
+          deletedRows,
+          overThreshold.toLong,
+          overThreshold > 0,
+          snap.metadata.configuration.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")))
     }
   }
 }

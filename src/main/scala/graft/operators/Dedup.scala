@@ -676,6 +676,14 @@ object Dedup {
     */
   private[operators] val IsinPruneMaxIds: Int = 4096
 
+  /** NOTE for pipeline builders: this method runs ONE Spark job
+    * EAGERLY at DataFrame-construction time (the plan-pick probe
+    * below) — it replaces strictly costlier lazy sizing jobs, but a
+    * caller batching many overlap frames before any action still pays
+    * one probe job per frame at build time, not at execution time.
+    * Callers via `shingleOverlap(compact = false)` /
+    * `charNgramOverlap(compact = false)` stay fully lazy.
+    */
   private def overlapAuto(
       raw: DataFrame, kernel: Column => Column,
       pairs: DataFrame, compact: Boolean): DataFrame = {
@@ -737,6 +745,11 @@ object Dedup {
       val local = SparkBridge.ofRows(spark,
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           attrs, keep.toSeq))
+      // 0 pairs: skip BOTH plans — an empty, correctly-typed overlap
+      // frame, no kernel or corpus work (limit(0) folds the whole
+      // subtree to an empty relation at optimization)
+      if (total == 0)
+        return setOverlapOn(fullSets.limit(0), local, hashElements = false)
       // internal→external value normalization, so the id set feeds
       // isin()/Row() literals directly (ids are usually longs; string
       // ids arrive as UTF8String)

@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** RowSet (the compressed DV mask representation) in isolation:
   * membership vs a reference Set over adversarial shapes, the
-  * sparse/dense container boundary, and the size/build-cost evidence
-  * behind raising `spark.graft.dv.maskMaxRows` from 2M to 8M.
+  * sparse/dense/run container boundaries, and the size/build-cost
+  * evidence behind the `spark.graft.dv.maskMaxRows` gate (raised 2M →
+  * 8M in r10; kept at 8M in r11 — rationale in the gutted-shape test).
   */
 class DvFilterSpec extends AnyFunSuite {
 
@@ -65,7 +66,7 @@ class DvFilterSpec extends AnyFunSuite {
   }
 
   test("build cost at the raised 8M-row gate is sub-second") {
-    val rows = (0L until (8L << 20)).toArray // worst case: all-dense pack
+    val rows = (0L until (8L << 20)).toArray
     val t0 = System.nanoTime()
     val rs = RowSet.fromSorted(rows)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
@@ -73,8 +74,46 @@ class DvFilterSpec extends AnyFunSuite {
     // generous bound — measured ~40-120 ms; the point is the pack is
     // not the scaling term of the mask build (the collect is)
     assert(elapsedMs < 2000, s"pack took $elapsedMs ms")
-    assert(rs.sizeBytes <= (8L << 20) / 8 + 16 * 1024,
-      s"dense pack should be ~1 bit/row, got ${rs.sizeBytes} B")
+    // one contiguous 8M-row span now packs as 128 run containers
+    // (4 B each), not 128 bitmaps
+    assert(rs.sizeBytes <= 16 * 1024,
+      s"contiguous pack should be ~runs, got ${rs.sizeBytes} B")
+  }
+
+  test("run container: mixed runs + scattered rows match a reference set") {
+    val rng = new scala.util.Random(19)
+    // container 3: three disjoint runs (run container); container 9:
+    // scattered (sparse); container 12: dense random (bitmap); plus
+    // run/edge adjacency probes via checkAgainstReference
+    val rows =
+      (1000L to 2000L).toArray.map((3L << 16) + _) ++
+      (5000L to 5002L).toArray.map((3L << 16) + _) ++
+      Array((3L << 16) + 60000L) ++
+      Array.fill(300)((9L << 16) + rng.nextInt(1 << 16).toLong) ++
+      Array.fill(20000)((12L << 16) + rng.nextInt(1 << 16).toLong)
+    checkAgainstReference(rows)
+  }
+
+  test("gutted-file shape (full contiguous delete) is near-free: measured bytes") {
+    // DELETE WHERE partition: a 4M-row file fully deleted. Flat longs
+    // = 32 MB; bitmaps = 512 KB; runs = 64 containers x (8 B key +
+    // 4 B run) < 2 KB. This is why the mask tier no longer fears the
+    // gutted shape — though the binding term for the tier-1 gate is
+    // STILL the driver collect of row indexes (8 B/row, transient),
+    // which is why the gate stays at 8M rows: pruneGutted removes
+    // fully-deleted files from the scan list before the gate even
+    // counts them, so the gutted shape no longer consumes gate budget
+    // at all, and raising the gate further would only admit bigger
+    // SCATTERED masks whose collect cost is unchanged by this
+    // container. Decision: keep 8M default; run container wins are in
+    // shipped task-binary bytes for partially-gutted files.
+    val n = 4L << 20
+    val rs = build((0L until n).toArray)
+    assert(rs.cardinality == n)
+    assert(rs.sizeBytes < 2048, s"gutted pack ${rs.sizeBytes} B")
+    // partially gutted: half the file in one contiguous span
+    val half = build((0L until n by 1L).filter(_ < n / 2).toArray)
+    assert(half.sizeBytes < 2048, s"half-gutted pack ${half.sizeBytes} B")
   }
 
   test("DvMask routes by file and misses unknown files") {

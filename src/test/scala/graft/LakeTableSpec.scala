@@ -326,6 +326,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(viaMask.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) == expect)
   }
 
+  test("fully-gutted files are pruned from the scan list, not masked") {
+    val t = LakeTable.forPath(spark, tmpTable())
+    t.write((1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    t.write((4001L to 8000L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    // autoOptimize=false: the DV policy would otherwise materialize a
+    // 100%-deleted file right after the commit — the prune exists for
+    // exactly the deferred-maintenance window the policy can't cover
+    t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read",
+      "graft.dv.autoOptimize" -> "false"))
+    val firstFiles = graft.lake.TransactionLog.snapshot(t.path, 0L)
+      .files.map(_.path).toSet
+
+    // DELETE covers every row of every first-commit file (DV
+    // cardinality == numRecords): those files must vanish from the
+    // scan list entirely — no IO, no mask — not get row-masked
+    assert(t.delete($"id" <= 4000L) == 4000L)
+    assert(t.hasDeletionVectors)
+    val df = t.read()
+    assert(df.count() == 4000L && df.where($"id" <= 4000L).count() == 0)
+    val scanned = df.inputFiles.toSet
+    assert(scanned.nonEmpty)
+    firstFiles.foreach(p =>
+      assert(!scanned.exists(_.endsWith(p)), s"gutted file $p still scanned"))
+    // with the only DV'd files pruned, the plan needs no DV filter at all
+    assert(!df.queryExecution.executedPlan.toString.contains("graft_dv_deleted"))
+
+    // a PARTIAL delete elsewhere still goes through the mask tier,
+    // while the gutted files stay pruned
+    assert(t.delete($"id" === 5000L) == 1L)
+    val df2 = t.read()
+    assert(df2.count() == 3999L)
+    assert(df2.queryExecution.executedPlan.toString.contains("graft_dv_deleted"))
+    firstFiles.foreach(p => assert(!df2.inputFiles.toSet.exists(_.endsWith(p))))
+    // DML through provenance reads sees the same pruned world
+    assert(t.delete($"id" <= 4000L) == 0L)
+  }
+
   test("rewrite commits rebase over appends, fail when an input was re-DV'd") {
     import graft.lake.TransactionLog
     val t = LakeTable.forPath(spark, tmpTable())

@@ -390,6 +390,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(storedPairs == fullPairs)
   }
 
+  test("overlap on an empty candidate frame: empty, correctly-typed, no corpus work") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val res = Dedup.shingleOverlap(corpus, "doc_id", "text", emptyPairs)
+    assert(res.columns.toSeq == Seq("id_a", "id_b", "n_inter", "n_union"))
+    assert(res.isEmpty)
+    // the whole subtree folds to an empty relation at optimization —
+    // no parquet scan, no shingle kernel, no join in the executed plan
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Relation") || plan.contains("LocalRelation"), plan)
+    assert(!res.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
+  test("hub bucket: star edges stay O(corpus); labels exact; contraction path handles the hub") {
+    // adversarial LSH shape: ~1e5 byte-identical docs collapse into ONE
+    // band bucket per band (all four buckets hold the whole hub). An
+    // all-pairs expansion would emit ~5e9 edges; the star form must
+    // stay O(bucket) and still label every hub member with the hub min.
+    val nHub = 100000L
+    val hub = spark.range(nHub)
+      .select(($"id" + 1000000L).as("doc_id"),
+        lit("the same boilerplate paragraph repeated verbatim in every mirror page").as("text"))
+    val unique = spark.range(500)
+      .select($"id".as("doc_id"),
+        concat(lit("entirely distinct document number "), $"id",
+          lit(" with its own words and content body")).as("text"))
+    val docs = hub.unionByName(unique)
+
+    val edges = Dedup.lshClusterEdges(docs, "doc_id", "text", 8, 4)
+    val nEdges = edges.count()
+    assert(nEdges < 2L * (nHub + 500), s"star edges must stay linear, got $nEdges")
+
+    // exact expected labels for the hub: every hub id → hub min
+    val hubMin = 1000000L
+    val viaUnionFind = ConnectedComponents.labels(docs, "doc_id", edges)
+    assert(viaUnionFind.where($"id" >= hubMin && $"component" =!= hubMin).count() == 0)
+    assert(viaUnionFind.where($"id" >= hubMin).count() == nHub)
+
+    // force the DISTRIBUTED CONTRACTION path (smallGraphMaxEdges = 0):
+    // the hub concentrates every star edge on one id — the contraction
+    // rounds must converge and agree with the union-find fast path
+    val viaContraction = ConnectedComponents.labels(docs, "doc_id", edges, 0L)
+    assert(viaContraction.where($"id" >= hubMin && $"component" =!= hubMin).count() == 0)
+    assert(viaUnionFind.as[(Long, Long)].collect().sorted.toSeq ==
+      viaContraction.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("incremental CC labels: per-shard quotient contraction equals full connected components") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-inclabel").toString

@@ -303,6 +303,42 @@ class SchemaDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.ddl_maint")
   }
 
+  test("DESCRIBE DETAIL surfaces a deferred DV policy pass without log scraping") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.ddl_detail")
+    spark.sql("""CREATE TABLE graft.default.ddl_detail (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES (
+        'graft.merge.mode' = 'merge-on-read',
+        'graft.dv.autoOptimize' = 'false')""")
+    spark.sql("INSERT INTO graft.default.ddl_detail SELECT id, 'v' FROM range(1000)")
+
+    // healthy table: no DVs, nothing recommended
+    val d0 = spark.sql("DESCRIBE DETAIL graft.default.ddl_detail").head()
+    assert(d0.schema.fieldNames.toSeq == Seq("version", "num_files", "size_bytes",
+      "dv_files", "dv_bytes", "deleted_rows", "dv_files_over_threshold",
+      "dv_optimize_recommended", "properties"))
+    assert(d0.getAs[Long]("dv_files") == 0L &&
+      !d0.getAs[Boolean]("dv_optimize_recommended"))
+
+    // DELETE 60% of rows: over the 0.5 default ratio, but autoOptimize
+    // is off, so the policy pass is DEFERRED — the flag must say so
+    spark.sql("DELETE FROM graft.default.ddl_detail WHERE id < 600")
+    val d1 = spark.sql("DESCRIBE DETAIL graft.default.ddl_detail").head()
+    assert(d1.getAs[Long]("dv_files") > 0L)
+    assert(d1.getAs[Long]("deleted_rows") == 600L)
+    assert(d1.getAs[Long]("dv_files_over_threshold") > 0L)
+    assert(d1.getAs[Boolean]("dv_optimize_recommended"))
+    assert(d1.getAs[String]("properties").contains("graft.dv.autoOptimize=false"))
+
+    // OPTIMIZE materializes; the recommendation clears
+    spark.sql("OPTIMIZE graft.default.ddl_detail")
+    val d2 = spark.sql("DESCRIBE DETAIL graft.default.ddl_detail").head()
+    assert(d2.getAs[Long]("dv_files") == 0L &&
+      !d2.getAs[Boolean]("dv_optimize_recommended"))
+    assert(spark.sql("SELECT count(*) FROM graft.default.ddl_detail")
+      .as[Long].head() == 400L)
+    spark.sql("DROP TABLE graft.default.ddl_detail")
+  }
+
   test("MERGE with only NOT MATCHED BY SOURCE never duplicates multi-matched target rows") {
     spark.sql("DROP TABLE IF EXISTS graft.default.ddl_nmbs")
     spark.sql("CREATE TABLE graft.default.ddl_nmbs (id BIGINT, v STRING) USING graft")
