@@ -551,16 +551,19 @@ object Dedup {
     * construction. Plan: semi-join-prune the element sets to the
     * paired ids, broadcast the pruned (id, elems, n) table once
     * (ReuseExchange dedups the two identical broadcast subplans), and
-    * compute each pair's intersection with `array_intersect` on the
-    * two arrays — ZERO shuffles, no eager materialization, one
-    * map-side pass over the pairs.
+    * compute each pair's intersection with the sorted-merge count
+    * kernel ([[graft.functions.SetKernels]]; arrays sorted once per
+    * doc before the broadcast) — ZERO shuffles, no eager
+    * materialization, no per-pair allocation, one map-side pass over
+    * the pairs.
     *
     * Collision fine print: the two plans agree exactly unless two
     * DISTINCT grams of one document collide to the same 60-bit hash
-    * (probability ≈ |doc grams|²·2⁻⁶¹ per doc). `array_intersect`
-    * dedups element values, so this plan counts a collided hash once;
-    * the exploded plan keeps the duplicate rows, counting it with
-    * multiplicity (and its intersection equi-join fans out on it).
+    * (probability ≈ |doc grams|²·2⁻⁶¹ per doc). The merge count
+    * advances both sides on a match, so this plan counts a collided
+    * hash once per pairing; the exploded plan keeps the duplicate
+    * rows, counting it with multiplicity (and its intersection
+    * equi-join fans out on it).
     * Neither is "exact gram counts" under a collision — hashing set
     * membership is collision-bounded by construction — so the
     * divergence is collision-level noise, not a semantics difference
@@ -592,17 +595,34 @@ object Dedup {
     * skip the semi-join stage entirely).
     */
   private def setOverlapPruned(prunedSets: DataFrame, pairs: DataFrame): DataFrame = {
+    // sort ONCE PER DOC here (before the broadcast), so the per-PAIR
+    // intersection is a zero-allocation merge-count
+    // (SortedIntersectCount) instead of array_intersect's per-pair
+    // hash-set build + intersection-array materialization — each doc's
+    // set feeds thousands of pairs in a cross-join-shaped frame, and
+    // the per-pair constant IS the verify stage's cost at sf10 (82M
+    // pairs over 26k docs). Element distinctness (the kernel outputs'
+    // contract) plus sort_array's ordering satisfy the merge kernel's
+    // preconditions for both long (shingle hashes) and string (char
+    // n-grams) elements.
     val pruned = prunedSets
-      .select(col("id"), col("elems"), size(col("elems")).as("n"))
+      .select(col("id"), sort_array(col("elems")).as("elems"),
+        size(col("elems")).as("n"))
     pairs
       .join(broadcast(pruned.select(col("id").as("id_a"),
         col("elems").as("ea"), col("n").as("na"))), Seq("id_a"), "left")
       .join(broadcast(pruned.select(col("id").as("id_b"),
         col("elems").as("eb"), col("n").as("nb"))), Seq("id_b"), "left")
+      // two-step select: n_union references n_inter as an ATTRIBUTE, so
+      // the kernel evaluates once per pair regardless of codegen
+      // subexpression elimination (CollapseProject keeps the split —
+      // it refuses to inline a non-cheap expression referenced twice)
       .select(col("id_a"), col("id_b"),
-        coalesce(size(array_intersect(col("ea"), col("eb"))), lit(0)).as("n_inter"),
-        (coalesce(col("na"), lit(0)) + coalesce(col("nb"), lit(0)) -
-          coalesce(size(array_intersect(col("ea"), col("eb"))), lit(0))).as("n_union"))
+        coalesce(graft.functions.SetKernelFunctions.sortedIntersectCount(
+          col("ea"), col("eb")), lit(0)).as("n_inter"),
+        (coalesce(col("na"), lit(0)) + coalesce(col("nb"), lit(0))).as("n_ab"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_ab") - col("n_inter")).as("n_union"))
   }
 
   /** `hashElements=false` joins on the raw element value instead of
@@ -676,6 +696,89 @@ object Dedup {
     */
   private[operators] val IsinPruneMaxIds: Int = 4096
 
+  /** ONE-job truncated collect (the plan-pick probe): each task
+    * enumerates its partition up to `cap` and ships rows back only
+    * while the task itself stayed under the cap; the driver sums
+    * counts as task results arrive and drops rows the moment the
+    * total overflows, so memory is cap-bounded at any cluster size
+    * and an oversized frame costs a few cut-short tasks shipping
+    * nothing but a long. (limit().collect() would be wrong twice
+    * here: CollectLimit escalates through multiple jobs — 1
+    * partition, then 4, 16, … — when the frame is SMALLER than the
+    * cap, and its per-task row shipping is partitions × cap in the
+    * worst case.) Returns (total seen — exact only while ≤ cap, rows
+    * — empty when the total overflowed).
+    */
+  private def truncatedCollect(df: DataFrame, cap: Int)
+      : (Long, scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow]) = {
+    val keep = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow]
+    var total = 0L
+    df.sparkSession.sparkContext.runJob(
+      df.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow]
+        var n = 0L
+        while (it.hasNext && n < cap + 1) {
+          val r = it.next(); n += 1
+          if (n <= cap) buf += r.copy()
+        }
+        if (n > cap) (n, Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+        else (n, buf.toArray)
+      },
+      (_: Int, res: (Long, Array[org.apache.spark.sql.catalyst.InternalRow])) => {
+        total += res._1
+        if (total > cap) keep.clear() else keep ++= res._2
+      })
+    if (total > cap) keep.clear()
+    (total, keep)
+  }
+
+  /** Internal→external value normalization, so collected id values
+    * feed isin()/Row() literals directly (ids are usually longs;
+    * string ids arrive as UTF8String).
+    */
+  private def extValue(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+    case other => other
+  }
+
+  /** Element sets for a DRIVER-KNOWN id set: prune FIRST, at the
+    * corpus scan — an IN filter reaches parquet (PushedFilters +
+    * row-group pruning) while the list stays plan-sized
+    * ([[IsinPruneMaxIds]]); past it a broadcast semi-join against a
+    * LocalRelation of the ids prunes instead. Either way the element
+    * kernel runs over the PAIRED docs only — never the corpus. A few
+    * hundred pruned docs are cheaper to kernel serially than to
+    * shuffle; a big prune still wants scan parallelism (keyed:
+    * content-deterministic under retry, nothing to sort).
+    */
+  private def prunedKernelSets(
+      raw: DataFrame, kernel: Column => Column,
+      ids: Iterable[Any], idField: org.apache.spark.sql.types.StructField)
+      : DataFrame = {
+    val spark = raw.sparkSession
+    val n = ids.size
+    val prunedRaw =
+      if (n <= IsinPruneMaxIds)
+        raw.where(col("id").isin(ids.toSeq: _*))
+      else {
+        val idsDf = spark.createDataFrame(
+          java.util.Arrays.asList(
+            ids.toSeq.map(org.apache.spark.sql.Row(_)): _*),
+          StructType(Seq(idField.copy(name = "id"))))
+        raw.join(broadcast(idsDf), Seq("id"), "left_semi")
+      }
+    val par =
+      if (n <= 512) prunedRaw
+      else prunedRaw.repartition(
+        spark.sparkContext.defaultParallelism, col("id"))
+    par.select(col("id"), kernel(col("t")).as("elems"))
+  }
+
   /** NOTE for pipeline builders: this method runs ONE Spark job
     * EAGERLY at DataFrame-construction time (the plan-pick probe
     * below) — it replaces strictly costlier lazy sizing jobs, but a
@@ -712,27 +815,8 @@ object Dedup {
     val spark = raw.sparkSession
     val p2 = pairs.select(col("id_a"), col("id_b"))
     val schema = p2.schema
-    val keep = new scala.collection.mutable.ArrayBuffer[
-      org.apache.spark.sql.catalyst.InternalRow]
-    var total = 0L
     val cap = PairCollectMaxRows
-    spark.sparkContext.runJob(
-      p2.queryExecution.toRdd,
-      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
-        val buf = new scala.collection.mutable.ArrayBuffer[
-          org.apache.spark.sql.catalyst.InternalRow]
-        var n = 0L
-        while (it.hasNext && n < cap + 1) {
-          val r = it.next(); n += 1
-          if (n <= cap) buf += r.copy()
-        }
-        if (n > cap) (n, Array.empty[org.apache.spark.sql.catalyst.InternalRow])
-        else (n, buf.toArray)
-      },
-      (_: Int, res: (Long, Array[org.apache.spark.sql.catalyst.InternalRow])) => {
-        total += res._1
-        if (total > cap) keep.clear() else keep ++= res._2
-      })
+    val (total, keep) = truncatedCollect(p2, cap)
     if (total <= cap) {
       // The frame collected whole — everything at once: an EXACT
       // distinct-id count (in-memory set, no sizing jobs) and a
@@ -750,64 +834,63 @@ object Dedup {
       // subtree to an empty relation at optimization)
       if (total == 0)
         return setOverlapOn(fullSets.limit(0), local, hashElements = false)
-      // internal→external value normalization, so the id set feeds
-      // isin()/Row() literals directly (ids are usually longs; string
-      // ids arrive as UTF8String)
-      def ext(v: Any): Any = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
-        case other => other
-      }
       val (dtA, dtB) = (schema(0).dataType, schema(1).dataType)
       val ids = new scala.collection.mutable.HashSet[Any]
       keep.foreach { r =>
-        if (!r.isNullAt(0)) ids += ext(r.get(0, dtA))
-        if (!r.isNullAt(1)) ids += ext(r.get(1, dtB))
+        if (!r.isNullAt(0)) ids += extValue(r.get(0, dtA))
+        if (!r.isNullAt(1)) ids += extValue(r.get(1, dtB))
       }
-      if (compact && ids.size <= CompactVerifyMaxIds) {
-        // Prune FIRST, with the driver-known ids: an IN filter reaches
-        // the parquet scan (PushedFilters + row-group pruning), so the
-        // element kernel runs over the PAIRED docs only — never the
-        // corpus. This is what the pre-built-sets shape could not do:
-        // the kernel projection sat below the semi-join, and only
-        // PushDownLeftSemiAntiJoin's mercy (blocked by the rebalance
-        // exchange) decided whether the whole corpus got shingled.
-        val prunedRaw =
-          if (ids.size <= IsinPruneMaxIds)
-            raw.where(col("id").isin(ids.toSeq: _*))
-          else {
-            val idsDf = spark.createDataFrame(
-              java.util.Arrays.asList(
-                ids.toSeq.map(org.apache.spark.sql.Row(_)): _*),
-              StructType(Seq(p2.schema.head.copy(name = "id"))))
-            raw.join(broadcast(idsDf), Seq("id"), "left_semi")
-          }
-        // a few hundred pruned docs are cheaper to shingle serially
-        // than to shuffle; a big prune still wants scan parallelism
-        // (keyed: content-deterministic under retry, nothing to sort)
-        val par =
-          if (ids.size <= 512) prunedRaw
-          else prunedRaw.repartition(
-            spark.sparkContext.defaultParallelism, col("id"))
+      // Prune FIRST, with the driver-known ids (prunedKernelSets), so
+      // the element kernel runs over the PAIRED docs only — never the
+      // corpus. This is what the pre-built-sets shape could not do:
+      // the kernel projection sat below the semi-join, and only
+      // PushDownLeftSemiAntiJoin's mercy (blocked by the rebalance
+      // exchange) decided whether the whole corpus got shingled.
+      if (compact && ids.size <= CompactVerifyMaxIds)
         setOverlapPruned(
-          par.select(col("id"), kernel(col("t")).as("elems")), local)
-      }
+          prunedKernelSets(raw, kernel, ids, p2.schema.head), local)
       // no materialize: a LocalRelation needs no lineage cut
       else setOverlapOn(fullSets, local, hashElements = false)
     } else {
-      // Overflow — the genuinely-large regime. One exact sizing job:
-      // explode both id columns and distinct-count them (the partial
-      // aggregation makes every map task's exchange output id-bounded,
-      // so the shuffle carries KBs even under an 82M-pair frame).
-      // The pair frame then stays LAZY into the compact plan
-      // (re-enumeration is the price of not checkpointing 4 GB — the
-      // sf10 OOM) and checkpoints only into the exploded plan, where
-      // it feeds five subplans.
-      val nIds = p2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-        .distinct().count()
-      if (compact && nIds <= CompactVerifyMaxIds)
-        setOverlapCompact(fullSets, rebalance(pairs))
-      else setOverlapOn(fullSets, materialize(pairs), hashElements = false)
+      // Overflow — the genuinely-large regime. The pair frame cannot
+      // live on the driver, but its DISTINCT IDS usually can — the
+      // compact gate is CompactVerifyMaxIds (2¹⁷ ids ≈ 1 MB of longs)
+      // anyway — so probe the distinct-id frame with the same
+      // truncated collect. The distinct's partial aggregation makes
+      // every map task's output id-bounded, so the probe job ships at
+      // most nIds rows even under an 82M-pair frame. Two wins over
+      // the old count()-then-semi-join shape when the ids land under
+      // the cap: the corpus scan is pruned with DRIVER-KNOWN ids
+      // (isin / broadcast LocalRelation — no pair re-enumeration
+      // feeding a semi-join), and the pair frame is enumerated
+      // exactly ONCE (its single remaining consumer is the verify
+      // join).
+      val idsDf = p2
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .where(col("id").isNotNull).distinct()
+      val (nIds, idRows) = truncatedCollect(idsDf, CompactVerifyMaxIds.toInt)
+      // Parallelism (the sf10 lesson of this branch): a cross-join /
+      // BNLJ pair frame inherits its STREAM side's scan partitioning —
+      // 82M pairs in 2 partitions at sf10 — and everything downstream
+      // (verify join + intersect kernel) would run on those 2 cores.
+      // Rebalance KEYED on (id_a, id_b): hash assignment streams
+      // straight into the exchange, where round-robin repartition must
+      // TimSort every source partition first (sortBeforeRepartition —
+      // measured at sf10, the pre-sort of 82M rows on 2 cores WAS the
+      // query: jstack showed all live cycles in TimSort under
+      // ShuffleExchangeExec).
+      def parPairs = rebalance(pairs, Seq(col("id_a"), col("id_b")))
+      if (compact && nIds <= CompactVerifyMaxIds) {
+        val idType = idsDf.schema.head.dataType
+        val ids = idRows.iterator.map(r => extValue(r.get(0, idType))).toSeq
+        setOverlapPruned(
+          prunedKernelSets(raw, kernel, ids, idsDf.schema.head), parPairs)
+      }
+      // exploded fallback: materialize AFTER the keyed rebalance, so
+      // the checkpoint blocks land spread across the cluster (not 4 GB
+      // in the stream side's 2 scan partitions — the r8 OOM shape) and
+      // every consumer of the materialized frame starts parallel
+      else setOverlapOn(fullSets, materialize(parPairs), hashElements = false)
     }
   }
 

@@ -101,7 +101,7 @@ class OperatorSpec extends AnyFunSuite {
       .crossJoin(corpus.select($"doc_id".as("id_b")))
       .where($"id_a" < $"id_b")
     val out = Dedup.shingleOverlap(corpus, "doc_id", "text", all)
-    assert(out.queryExecution.executedPlan.toString.contains("array_intersect"),
+    assert(out.queryExecution.executedPlan.toString.contains("graft_sorted_intersect_count"),
       "broadcast-sized id set must take the compact plan regardless of pair count")
     // and it still verifies correctly (spot-check a known total)
     assert(out.count() == 124750L)
@@ -119,9 +119,43 @@ class OperatorSpec extends AnyFunSuite {
       .select($"id".as("id_a"), ($"id" + n.toLong).as("id_b"))
     val out = Dedup.shingleOverlap(synth, "id", "text", pairs)
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("array_intersect"),
+    assert(!plan.contains("graft_sorted_intersect_count"),
       "oversized id set must take the exploded plan, not the broadcast-array one")
     assert(plan.contains("Exchange"), "exploded plan shuffles hashes")
+  }
+
+  test("overflow-regime compact overlap: keyed pair rebalance, no round-robin pre-sort") {
+    // pairs OVER the collect cap (523,776 > 2^18) but ids far under
+    // the broadcast gate (1,024): the compact verify must still
+    // engage — driver-known ids prune the corpus scan, and the lazy
+    // pair frame (single-partition here, the sf10 cross-join shape)
+    // is rebalanced KEYED on (id_a, id_b). Round-robin would TimSort
+    // every source partition before the exchange
+    // (sortBeforeRepartition) — at sf10 that pre-sort of 82M rows on
+    // 2 starved cores WAS the whole query.
+    val n = 1024
+    val docs = spark.range(n.toLong).repartition(1).select(
+      $"id".as("doc_id"),
+      concat(lit("alpha beta gamma doc "), $"id" % 7,
+        lit(" delta epsilon zeta "), $"id" % 13).as("text"))
+    val pairs = docs.select($"doc_id".as("id_a"))
+      .crossJoin(docs.select($"doc_id".as("id_b")))
+      .where($"id_a" < $"id_b")
+    val out = Dedup.shingleOverlap(docs, "doc_id", "text", pairs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_intersect_count"),
+      "compact verify must engage past the pair cap while ids stay broadcast-sized")
+    assert(!plan.toLowerCase.contains("roundrobin"),
+      "pair rebalance must be keyed (hash), never round-robin")
+    // NOTE: the keyed exchange itself cannot fire under the local[4]
+    // test session (rebalance gates on planned*4 < defaultParallelism,
+    // unreachable from planned=1 at target 4); its presence at scale
+    // is pinned by PLANS.md's q23 dump (local[32]: hashpartitioning
+    // on id_a, id_b) and the sf10 bench.
+    assert(out.count() === n.toLong * (n - 1) / 2)
+    // and the values match the fully-lazy exploded plan
+    val expl = Dedup.shingleOverlap(docs, "doc_id", "text", pairs, compact = false)
+    assert(out.except(expl).isEmpty && expl.except(out).isEmpty)
   }
 
   test("lshCandidatePairs owns its cache: CacheManager empty after the call") {
@@ -172,6 +206,40 @@ class OperatorSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.setOverlap(sets, pairs).as[(Long, Long, Int, Int)].collect()
     assert(out.toSeq == Seq((1L, 2L, 0, 2)))
+  }
+
+  test("sorted-intersect-count kernel equals size(array_intersect) on sorted distinct arrays") {
+    // randomized sorted-distinct long and string arrays (incl. empty
+    // and null), kernel vs the built-in it replaced in the compact
+    // overlap plan — and the SQL-registered name resolves
+    val rnd = new scala.util.Random(7)
+    def arr(): Seq[Long] =
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong,
+        if (i == 0) null else arr(),
+        if (i == 1) null else arr())
+    }
+    val df = rows.toDF("i", "a", "b")
+    val strDf = df.select($"i",
+      expr("transform(a, x -> concat('g', lpad(cast(x as string), 3, '0')))").as("a"),
+      expr("transform(b, x -> concat('g', lpad(cast(x as string), 3, '0')))").as("b"))
+    for (d <- Seq(df, strDf)) {
+      val bad = d.select(
+        graft.functions.SetKernelFunctions.sortedIntersectCount($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).as("ref"),
+        $"a".isNull.or($"b".isNull).as("anyNull"))
+        .where((!$"anyNull" && $"k" =!= $"ref") || ($"anyNull" && $"k".isNotNull))
+      assert(bad.isEmpty, s"kernel diverged: ${bad.collect().mkString(",")}")
+    }
+    // lpad keeps string sort order aligned with the numeric order the
+    // arrays were sorted in, so the string side exercises real merges
+    df.createOrReplaceTempView("sic_t")
+    val viaSql = spark.sql(
+      "SELECT sum(graft_sorted_intersect_count(a, b)) FROM sic_t WHERE a IS NOT NULL AND b IS NOT NULL")
+    val viaRef = df.where($"a".isNotNull && $"b".isNotNull)
+      .agg(sum(size(array_intersect($"a", $"b")))).head().getLong(0)
+    assert(viaSql.head().getLong(0) == viaRef)
   }
 
   test("corpus pipeline: stages shrink monotonically and compose correctly") {
@@ -828,7 +896,7 @@ class OperatorSpec extends AnyFunSuite {
       "word-tf kernel != grouped form")
   }
 
-  test("compact (broadcast array_intersect) overlap equals the exploded-hash plan") {
+  test("compact (broadcast merge-count) overlap equals the exploded-hash plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = docs.select(col("doc_id").as("id_a"))
       .crossJoin(docs.select(col("doc_id").as("id_b")))
@@ -846,7 +914,7 @@ class OperatorSpec extends AnyFunSuite {
     val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(hashEx.size <= 2 && hashEx.forall(_.contains("hashpartitioning(id#")),
       s"compact overlap may shuffle only the pair-id distinct:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("array_intersect"),
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("graft_sorted_intersect_count"),
       "element arrays must ride broadcast joins")
   }
 
