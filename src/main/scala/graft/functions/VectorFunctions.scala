@@ -113,20 +113,18 @@ case class DotProduct(left: Expression, right: Expression)
   * join that cast allocated two 64-element arrays per candidate PAIR
   * and dominated the kernel's own arithmetic.
   */
-private[functions] trait VectorKernel { self: BinaryExpression =>
+private[functions] object VectorElem {
   // Any numeric element type is consumed natively, each widened to
   // double in-loop — semantically identical to casting the array to
   // array<double> first (what integer-array SQL callers relied on
   // before the float-native rework narrowed the signature), minus the
   // per-row array materialization that cast paid.
-  private def elemType(t: DataType): Option[DataType] = t match {
+  def elemType(t: DataType): Option[DataType] = t match {
     case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType |
                          ShortType | ByteType), _) => Some(et)
     case _ => None
   }
-  protected def leftElem: DataType = elemType(left.dataType).get
-  protected def rightElem: DataType = elemType(right.dataType).get
-  protected def elemGet(arr: String, i: String, et: DataType): String = et match {
+  def elemGet(arr: String, i: String, et: DataType): String = et match {
     case DoubleType => s"$arr.getDouble($i)"
     case FloatType  => s"(double) $arr.getFloat($i)"
     case IntegerType => s"(double) $arr.getInt($i)"
@@ -138,7 +136,7 @@ private[functions] trait VectorKernel { self: BinaryExpression =>
   /** Interpreted-path element reader (codegen is the hot path; this
     * backs eval-only contexts like constant folding).
     */
-  protected def readerOf(et: DataType): (ArrayData, Int) => Double = et match {
+  def readerOf(et: DataType): (ArrayData, Int) => Double = et match {
     case DoubleType => (a, i) => a.getDouble(i)
     case FloatType  => (a, i) => a.getFloat(i).toDouble
     case IntegerType => (a, i) => a.getInt(i).toDouble
@@ -146,12 +144,71 @@ private[functions] trait VectorKernel { self: BinaryExpression =>
     case ShortType  => (a, i) => a.getShort(i).toDouble
     case ByteType   => (a, i) => a.getByte(i).toDouble
   }
+}
+
+private[functions] trait VectorKernel { self: BinaryExpression =>
+  protected def leftElem: DataType = VectorElem.elemType(left.dataType).get
+  protected def rightElem: DataType = VectorElem.elemType(right.dataType).get
+  protected def elemGet(arr: String, i: String, et: DataType): String =
+    VectorElem.elemGet(arr, i, et)
+  protected def readerOf(et: DataType): (ArrayData, Int) => Double =
+    VectorElem.readerOf(et)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+    if (VectorElem.elemType(left.dataType).isDefined &&
+        VectorElem.elemType(right.dataType).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects numeric array inputs, got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
+}
+
+/** L2 norm (sqrt of the sum of squares) — the per-SIDE half of the
+  * cosine denominator, codegen'd. Computing it once per row lets pair
+  * scorers run a dot-only loop: `dot/(norm_a*norm_b)` with norms from
+  * this kernel is BIT-identical to `graft_cosine` (same left-to-right
+  * accumulation, same `sqrt(nx)*sqrt(ny)` product, same zero guard on
+  * the caller side), at one third of the per-pair arithmetic. On a
+  * probes × corpus scorer the norms amortize over every pair the row
+  * participates in.
+  */
+case class Norm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm2"
+  private def elem: DataType = VectorElem.elemType(child.dataType).get
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorElem.elemType(child.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric array input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VectorElem.readerOf(elem)
+    var nx = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = g(x, i); nx += v * v; i += 1 }
+    math.sqrt(nx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${VectorElem.elemGet(a, i, elem)};
+         |  $nx += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($nx);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorFunctions {
@@ -171,6 +228,11 @@ object VectorFunctions {
       "graft_dot", exprs => {
         graft.GraftExtensions.requireArity("graft_dot", exprs, 2)
         DotProduct(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_norm2", exprs => {
+        graft.GraftExtensions.requireArity("graft_norm2", exprs, 1)
+        Norm2(exprs.head)
       }, "built-in")
   }
 
@@ -193,4 +255,13 @@ object VectorFunctions {
   /** L2 norm via built-ins (used rarely; not on the hot path). */
   def l2Norm(c: Column): Column =
     sqrt(aggregate(asDouble(c), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Codegen'd L2 norm — the per-side cosine denominator half (see
+    * [[Norm2]]); pair scorers combine it with [[dot]] for a one-loop
+    * per-pair kernel that is bit-identical to [[cosine]].
+    */
+  def norm2(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_norm2", c)
+  }
 }

@@ -974,8 +974,13 @@ object Dedup {
       probeFilter: Column,
       threshold: Double): DataFrame = {
     val spark = emb.sparkSession
+    import graft.functions.VectorFunctions
+    // norms once per SIDE row, dot alone per pair: bit-identical to the
+    // cosine kernel (same accumulation, same sqrt-product denominator —
+    // Similarity.splitScore scaladoc) at a third of the per-pair work
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
     // the corpus side streams past the broadcast probes; rebalance so
     // a single-row-group embedding file doesn't serialize the
     // |probes|×|corpus| cosine loop on one core (no-op at multi-split
@@ -983,9 +988,12 @@ object Dedup {
     val all = rebalance(
       emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
       Seq(col("cand_id")))
+      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+    val denom = col("probe_norm") * col("cand_norm")
+    val cos = when(denom === 0.0, 0.0).otherwise(
+      VectorFunctions.dot(spark, col("probe_vec"), col("cand_vec")) / denom)
     all.join(broadcast(probes), col("probe_id") < col("cand_id"))
-      .where(graft.functions.VectorFunctions
-        .cosine(spark, col("probe_vec"), col("cand_vec")) > threshold)
+      .where(cos > threshold)
       .select(col("probe_id"), col("cand_id"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -32,25 +31,62 @@ object Similarity {
   private def score(df: DataFrame, a: Column, b: Column): Column =
     round(VectorFunctions.cosine(df.sparkSession, a, b), 6)
 
+  /** The same score from PRE-COMPUTED per-side norms: bit-identical to
+    * `score` (graft_cosine computes `dot/(sqrt(nx)*sqrt(ny))` with the
+    * zero-denominator guard replicated here; graft_norm2 IS sqrt(nx)
+    * with the same accumulation order), but the per-PAIR loop is dot
+    * alone — one third of the cosine kernel's arithmetic, with each
+    * row's norm amortized over every pair it joins into. On a probes ×
+    * corpus scorer that is the difference between 3 and 1 passes over
+    * every vector element ever paired.
+    */
+  private def splitScore(
+      spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    round(when(denom === 0.0, 0.0)
+      .otherwise(VectorFunctions.dot(spark, a, b) / denom), 6)
+  }
+
+  /** Per-probe (rank, cand_id, sim) for the k best candidates of a
+    * scored frame, via the mergeable bounded-top-k aggregate
+    * (TopKFunctions scaladoc). The window formulation
+    * (`row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC,
+    * cand_id)`) is semantically identical but shuffles EVERY scored
+    * row — probes × corpus, the cross product these operators never
+    * materialize elsewhere; the aggregate partial-reduces each map
+    * task to k rows per probe, so the exchange is corpus-size-free.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopKFunctions
+        .topK(spark, col("sim"), col("cand_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+  }
+
   def bruteForceTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       probeFilter: Column,
       k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
     // rebalance: a single-row-group embedding file scans as ONE task,
     // which would serialize the |probes|×|corpus| cosine loop on one
     // core; no-op on multi-split tables (Dedup.rebalance)
     val corpus = Dedup.rebalance(
       emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
     val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+        col("probe_norm"), col("cand_norm")))
+    rankTopK(scored, k)
   }
 
   /** Deterministic hyperplane component for plane `p`, dim `d`:
@@ -129,16 +165,16 @@ object Similarity {
     val corpus = Dedup.rebalance(
       emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
       .withColumn("list_id", element_at(nearestLists(emb, col("cand_vec"), 1), 1))
+      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .withColumn("list_id", explode(nearestLists(emb, col("probe_vec"), nProbe)))
+      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
     val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+        col("probe_norm"), col("cand_norm")))
+    rankTopK(scored, k)
   }
 
   /** ANN via LSH bucketing: exact rank within the probe's bucket. */
@@ -149,19 +185,20 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       planes: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
     val probes = emb.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
+      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
     val cands = Dedup.rebalance(
       emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
       .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
+      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
     val scored = cands.join(broadcast(probes), Seq("sig"))
       .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", score(emb, col("probe_vec"), col("cand_vec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"), col("sim"))
+      .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+        col("probe_norm"), col("cand_norm")))
+    rankTopK(scored, k)
   }
 }

@@ -30,6 +30,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(sq.head().getDouble(0) == 10.0)
   }
 
+  test("norm2-split cosine is BIT-identical to the fused cosine kernel") {
+    // the split form (norm2 per side, dot per pair) backs every pair
+    // scorer; the contract is exact double equality with graft_cosine,
+    // not approximate agreement — the oracle hash gate depends on it
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map { i =>
+      val d = 1 + rnd.nextInt(7) * 9
+      val mk = () => Array.fill(d)((rnd.nextGaussian() * 100).toFloat)
+      (i, if (i % 17 == 0) Array.fill(d)(0.0f) else mk(), mk())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val denom = VectorFunctions.norm2(spark, $"a") * VectorFunctions.norm2(spark, $"b")
+    val split = when(denom === 0.0, 0.0)
+      .otherwise(VectorFunctions.dot(spark, $"a", $"b") / denom)
+    val diff = df.select(VectorFunctions.cosine(spark, $"a", $"b").as("fused"),
+        split.as("split"))
+      .where(not($"fused" <=> $"split")).count()
+    assert(diff == 0, "split cosine must be bit-identical to the fused kernel")
+  }
+
   // ---- dedup family -------------------------------------------------------
 
   private val docs = Seq(
@@ -315,6 +335,43 @@ class OperatorSpec extends AnyFunSuite {
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("graft_top_k aggregate == window row_number formulation (randomized, merged partials)") {
+    import graft.functions.TopKFunctions
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815)
+    // ~40 groups x ~200 rows with DELIBERATE sim ties (3-decimal grid)
+    // so the (sim DESC, id ASC) tie-break is actually exercised; 16
+    // partitions force partial-heap serialization + merges
+    val rows = (1 to 8000).map { i =>
+      (rnd.nextInt(40).toLong, math.floor(rnd.nextDouble() * 1000) / 1000.0, i.toLong)
+    }
+    val df = rows.toDF("probe_id", "sim", "cand_id").repartition(16)
+    for (k <- Seq(1, 5, 23)) {
+      val viaAgg = df.groupBy("probe_id")
+        .agg(TopKFunctions.topK(spark, $"sim", $"cand_id", k).as("tk"))
+        .select($"probe_id", posexplode($"tk").as(Seq("pos", "e")))
+        .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+          $"e.cand_id".as("cand_id"), $"e.sim".as("sim"))
+      val w = Window.partitionBy("probe_id").orderBy($"sim".desc, $"cand_id")
+      val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+        .where($"rank" <= k)
+        .select($"probe_id", $"rank", $"cand_id", $"sim")
+      assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+        s"k=$k mismatch")
+    }
+    // SQL surface + null sims never rank
+    TopKFunctions.register(spark)
+    df.limit(100).withColumn("sim", when($"cand_id" % 2 === 0, $"sim"))
+      .createOrReplaceTempView("topk_in")
+    val sql = spark.sql(
+      "SELECT probe_id, graft_top_k(sim, cand_id, 3) AS tk FROM topk_in GROUP BY probe_id")
+    sql.collect().foreach { r =>
+      val tk = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(tk.length <= 3)
+      assert(tk.forall(_.getLong(0) % 2 == 0), "null sims must never rank")
     }
   }
 
