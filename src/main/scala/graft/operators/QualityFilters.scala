@@ -84,26 +84,42 @@ object QualityFilters {
       config.minUniqueWordRatio.map(_ => 0), config.maxPunctRatio.map(_ => 0))
     if (needsMeanLen || tokenRules.forall(_.isEmpty))
       return docs.where(predicate(config, text, lang))
-    // kernel route: ONE compiled pass per doc; computed in a Project
-    // (guaranteed single evaluation), consumed by the filter, dropped
-    val st = graft.functions.TextKernelFunctions.textStats(trim(text))
+    // kernel route: ONE compiled pass per doc, GUARANTEED. A plain
+    // Project(stats)+Filter(fields) shape does not guarantee it —
+    // predicate pushdown substitutes the alias into the condition,
+    // re-evaluating the kernel once per field access (measured 5x at
+    // sf10: 17.9 s where one kernel pass costs ~5), and neither
+    // filter-predicate codegen nor Catalyst's `With` common-expression
+    // survives that substitution. The OncePerRow barrier (its scaladoc
+    // documents the mechanism) pins the kernel in its own projection.
+    // Rule split: cheap rules (char length, lang) filter BELOW the
+    // projection — they reach the parquet scan as pushed filters and
+    // shrink the rows the kernel ever touches; kernel rules filter
+    // above it.
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val cheap = Seq(
+      config.minChars.map(v => length(text) >= v),
+      config.maxChars.map(v => length(text) <= v),
+      if (config.langAllow.isEmpty) None
+      else Some(lang.isin(config.langAllow.map(l => l: Any): _*)),
+    ).flatten
+    val st = SparkBridge.column(graft.functions.OncePerRow(
+      SparkBridge.expression(
+        graft.functions.TextKernelFunctions.textStats(trim(text)))))
     def ratio(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
     val qs = col("__graft_qs")
-    val rules = Seq(
-      config.minChars.map(v => length(text) >= v),
-      config.maxChars.map(v => length(text) <= v),
+    val kernelRules = Seq(
       config.minWords.map(v => qs.getField("n_words") >= v),
       config.maxWords.map(v => qs.getField("n_words") <= v),
       config.maxPunctRatio.map(v =>
         ratio(qs.getField("n_punct"), length(text)) <= v),
       config.minUniqueWordRatio.map(v =>
         ratio(qs.getField("n_uniq"), qs.getField("n_words")) >= v),
-      if (config.langAllow.isEmpty) None
-      else Some(lang.isin(config.langAllow.map(l => l: Any): _*)),
     ).flatten
-    docs.withColumn("__graft_qs", st)
-      .where(rules.reduce(_ && _))
+    cheap.reduceOption(_ && _).map(docs.where).getOrElse(docs)
+      .withColumn("__graft_qs", st)
+      .where(kernelRules.reduce(_ && _))
       .drop("__graft_qs")
   }
 }

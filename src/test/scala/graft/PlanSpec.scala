@@ -114,10 +114,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("top-k under total order uses the group-limit pushdown, not a full sort") {
+  test("ANN top-k rides partial aggregation; the exchange never carries scored pairs") {
+    // the window formulation (row_number over probe partitions) would
+    // shuffle the whole probes x corpus scored frame; the graft_top_k
+    // aggregate reduces each map task to k rows per probe BEFORE the
+    // exchange — corpus-size-independent shuffle. WindowGroupLimit
+    // (the old pin) capped the sort, not the exchange width.
     val p = plan("q25_ann_bruteforce")
-    assert(p.contains("WindowGroupLimit"))
-    assert(p.contains("Partial")) // rank limit applied before the shuffle too
+    assert(p.contains("partial_graft_top_k"), p.take(600))
+    assert(!p.contains("Window"), "scored frame must not reach a window sort")
+    // per-side norms are projected below the join: the per-pair kernel
+    // is the dot product alone
+    assert(p.contains("graft_norm2") && p.contains("graft_dot"))
   }
 
   test("as-of join: one hash exchange, no range blowup") {
