@@ -62,7 +62,11 @@ object SubstringDedup {
       textCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    docs
+    // rebalance BEFORE the per-window md5 kernel: a single-row-group
+    // corpus file scans as one task, which would serialize the whole
+    // gram enumeration on one core (16 s of a 36 s sf10 run was this
+    // map stage on 2 of 32 cores); no-op on multi-split tables
+    Dedup.rebalance(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
       .select(col(idCol), posexplode(
         GramMd5Functions.wordGramMd5(col(textCol), windowTokens)).as(Seq("pos", "h")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
