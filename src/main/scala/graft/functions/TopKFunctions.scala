@@ -193,6 +193,285 @@ object TopKFunctions {
       copy(sim = newChildren(0), id = newChildren(1))
   }
 
+  /** `graft_probe_topk` — single-pass brute-force k-NN of an EMBEDDED
+    * probe matrix against the corpus, as one mergeable aggregate.
+    *
+    * The join formulation (corpus ⋈ broadcast(probes) → score →
+    * graft_top_k) is already exchange-optimal, but it MATERIALIZES a
+    * joined row per (probe, candidate) pair — 400M UnsafeRow copies
+    * carrying two embedding arrays each at sf10, ~1.9 µs/pair of pure
+    * plumbing around a ~30 ns dot product. When the probe set fits in
+    * memory (it is already driver-collected for the broadcast build),
+    * this aggregate embeds it in the expression and scans the corpus
+    * ONCE: per candidate row, a tight probes × dims loop feeds
+    * per-probe bounded heaps; partial heaps merge across tasks
+    * (`partitions × probes × k` state through the exchange — the same
+    * width graft_top_k achieves, with zero joined rows).
+    *
+    * Exactness contract (spec-pinned ≡ the join formulation): scoring
+    * replays `Similarity.splitScore` bit-for-bit — per-side norms with
+    * the kernel's accumulation order, dot in pair order, the zero-
+    * denominator guard, and Catalyst `round(_, 6)`'s exact
+    * BigDecimal(HALF_UP) rounding BEFORE ranking (ties rank on the
+    * rounded value, so rounding after would reorder them).
+    */
+  case class ProbeTopKAgg(
+      candId: Expression,
+      candVec: Expression,
+      probeIds: Array[Long],
+      probeVecs: Array[Array[Double]],
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[TopKHeap]] {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    require(probeIds.length == probeVecs.length, "ids/vecs length mismatch")
+    override def prettyName: String = "graft_probe_topk"
+    override def children: Seq[Expression] = Seq(candId, candVec)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("probe_id", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+    // norms once per probe, driver-side, in the kernel's own
+    // accumulation order (sum of squares left-to-right, sqrt at end) —
+    // identical doubles to graft_norm2 over the same vectors
+    private val probeNorms: Array[Double] = probeVecs.map { v =>
+      var nx = 0.0; var i = 0
+      while (i < v.length) { nx += v(i) * v(i); i += 1 }
+      math.sqrt(nx)
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val idOk = candId.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val vecOk = VectorElem.elemType(candVec.dataType).isDefined
+      if (!idOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: cand id must be integral, got ${candId.dataType.catalogString}")
+      else if (!vecOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: cand vec must be a numeric array, got ${candVec.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def createAggregationBuffer(): Array[TopKHeap] =
+      Array.fill(probeIds.length)(new TopKHeap(k))
+
+    override def update(buf: Array[TopKHeap], input: InternalRow): Array[TopKHeap] = {
+      val idv = candId.eval(input)
+      val vecv = candVec.eval(input)
+      if (idv == null || vecv == null) return buf
+      val cid = idv match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      val arr = vecv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val get = VectorElem.readerOf(
+        VectorElem.elemType(candVec.dataType).get)
+      val n = arr.numElements()
+      // candidate materialized once to a double array: the probe loop
+      // then reads flat primitives (same exact widened values the
+      // codegen'd kernels consume)
+      val cv = new Array[Double](n)
+      var cn = 0.0
+      var i = 0
+      while (i < n) { val v = get(arr, i); cv(i) = v; cn += v * v; i += 1 }
+      val candNorm = math.sqrt(cn)
+      var p = 0
+      while (p < probeIds.length) {
+        if (probeIds(p) != cid) {
+          val pv = probeVecs(p)
+          val d = math.min(pv.length, n)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += pv(j) * cv(j); j += 1 }
+          val denom = probeNorms(p) * candNorm
+          val sim = if (denom == 0.0) 0.0 else dot / denom
+          val h = buf(p)
+          // exact early-reject BEFORE the (expensive) rounding:
+          // rounding to 6 decimals moves a value by < 1e-6, so a raw
+          // sim more than 1e-6 below the heap's worst ROUNDED value
+          // cannot round into contention — no BigDecimal needed for
+          // the overwhelming majority of losing candidates
+          if (h.size < k || sim + 1e-6 >= h.sims(0)) {
+            // Catalyst round(_, 6) on double codegens
+            // BigDecimal.valueOf(x).setScale(6, HALF_UP).doubleValue()
+            // — valueOf (the Double.toString path), NOT the
+            // exact-binary constructor, which rounds boundary values
+            // differently. Rank on the ROUNDED value: ties rank on
+            // it, so rounding after ranking would reorder them.
+            val rounded = java.math.BigDecimal.valueOf(sim)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            h.offer(rounded, cid)
+          }
+        }
+        p += 1
+      }
+      buf
+    }
+
+    override def merge(buf: Array[TopKHeap], other: Array[TopKHeap]): Array[TopKHeap] = {
+      var p = 0
+      while (p < buf.length) {
+        val o = other(p)
+        var i = 0
+        while (i < o.size) { buf(p).offer(o.sims(i), o.ids(i)); i += 1 }
+        p += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[TopKHeap]): Any = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < buf.length) {
+        val idx = buf(p).sortedIdx()
+        var r = 0
+        while (r < idx.length) {
+          rows += InternalRow(probeIds(p), (r + 1).toLong,
+            buf(p).ids(idx(r)), buf(p).sims(idx(r)))
+          r += 1
+        }
+        p += 1
+      }
+      new GenericArrayData(rows.toArray)
+    }
+
+    override def serialize(buf: Array[TopKHeap]): Array[Byte] = {
+      var bytes = 8
+      var p = 0
+      while (p < buf.length) { bytes += 4 + 16 * buf(p).size; p += 1 }
+      val bb = java.nio.ByteBuffer.allocate(bytes)
+      bb.putInt(k).putInt(buf.length)
+      p = 0
+      while (p < buf.length) {
+        bb.putInt(buf(p).size)
+        var i = 0
+        while (i < buf(p).size) {
+          bb.putDouble(buf(p).sims(i)).putLong(buf(p).ids(i)); i += 1
+        }
+        p += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[TopKHeap] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val kk = bb.getInt()
+      val nProbes = bb.getInt()
+      val out = Array.fill(nProbes)(new TopKHeap(kk))
+      var p = 0
+      while (p < nProbes) {
+        val sz = bb.getInt()
+        var i = 0
+        while (i < sz) {
+          val s = bb.getDouble(); val d = bb.getLong()
+          out(p).offer(s, d)
+          i += 1
+        }
+        p += 1
+      }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): ProbeTopKAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): ProbeTopKAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(candId = newChildren(0), candVec = newChildren(1))
+  }
+
+  /** `graft_probe_matches(cand_id, cand_vec)` — scalar companion to
+    * [[ProbeTopKAgg]] for THRESHOLD pair search (embedding near-dup):
+    * per candidate row, the array of embedded-probe ids with
+    * `probe_id < cand_id` and `cosine > threshold`, scored with the
+    * split-norm arithmetic (bit-identical to the join formulation —
+    * same zero-denominator guard, no rounding: the threshold compares
+    * the raw quotient, as the operator always has). Exploding the
+    * result reproduces the join's output rows with zero joined-row
+    * materialization.
+    */
+  case class ProbeMatches(
+      candId: Expression,
+      candVec: Expression,
+      probeIds: Array[Long],
+      probeVecs: Array[Array[Double]],
+      threshold: Double)
+      extends org.apache.spark.sql.catalyst.expressions.Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(probeIds.length == probeVecs.length, "ids/vecs length mismatch")
+    override def prettyName: String = "graft_probe_matches"
+    override def children: Seq[Expression] = Seq(candId, candVec)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private val probeNorms: Array[Double] = probeVecs.map { v =>
+      var nx = 0.0; var i = 0
+      while (i < v.length) { nx += v(i) * v(i); i += 1 }
+      math.sqrt(nx)
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val idOk = candId.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!idOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: cand id must be integral, got ${candId.dataType.catalogString}")
+      else if (VectorElem.elemType(candVec.dataType).isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: cand vec must be a numeric array, got ${candVec.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val idv = candId.eval(input)
+      val vecv = candVec.eval(input)
+      if (idv == null || vecv == null) return new GenericArrayData(Array.empty[Long])
+      val cid = idv match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      val arr = vecv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val get = VectorElem.readerOf(VectorElem.elemType(candVec.dataType).get)
+      val n = arr.numElements()
+      val cv = new Array[Double](n)
+      var cn = 0.0
+      var i = 0
+      while (i < n) { val v = get(arr, i); cv(i) = v; cn += v * v; i += 1 }
+      val candNorm = math.sqrt(cn)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < probeIds.length) {
+        if (probeIds(p) < cid) {
+          val pv = probeVecs(p)
+          val d = math.min(pv.length, n)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += pv(j) * cv(j); j += 1 }
+          val denom = probeNorms(p) * candNorm
+          val sim = if (denom == 0.0) 0.0 else dot / denom
+          if (sim > threshold) out += probeIds(p)
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(candId = newChildren(0), candVec = newChildren(1))
+  }
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     graft.GraftExtensions.requireArity("graft_top_k", exprs, 3)
     TopKAgg(exprs(0), exprs(1),

@@ -972,9 +972,36 @@ object Dedup {
       idCol: String,
       vecCol: String,
       probeFilter: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
     val spark = emb.sparkSession
     import graft.functions.VectorFunctions
+    // EMBEDDED regime (probes fit in one bounded collect — the same
+    // data a broadcast join would driver-collect): per corpus row the
+    // graft_probe_matches kernel emits matching probe ids directly,
+    // with no joined-row materialization; scoring is bit-identical to
+    // the join form (split norms, dot per pair, zero guard). Fallback
+    // above the gate: broadcast join + split-norm predicate.
+    val maxEmbedded = maxEmbeddedProbes
+    val collected = emb.where(probeFilter)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxEmbedded + 1).collect()
+    if (collected.length <= maxEmbedded) {
+      import org.apache.spark.sql.graftbridge.SparkBridge
+      val usable = collected.filter(!_.isNullAt(1))
+      val pIds = usable.map(_.getLong(0))
+      val pVecs = usable.map(_.getSeq[Double](1).toArray)
+      val all = rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
+        Seq(col("cand_id")))
+      val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
+        SparkBridge.expression(all("cand_id")),
+        SparkBridge.expression(all("cand_vec")),
+        pIds, pVecs, threshold))
+      return all
+        .select(col("cand_id"), explode(matches).as("probe_id"))
+        .select(col("probe_id"), col("cand_id"))
+    }
     // norms once per SIDE row, dot alone per pair: bit-identical to the
     // cosine kernel (same accumulation, same sqrt-product denominator —
     // Similarity.splitScore scaladoc) at a third of the per-pair work

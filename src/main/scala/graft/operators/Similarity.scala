@@ -67,26 +67,62 @@ object Similarity {
         col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
   }
 
+  /** Exact brute-force top-k. Two regimes, identical results
+    * (spec-pinned):
+    *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): the probe set — which
+    *    a broadcast join would driver-collect anyway — embeds in a
+    *    single `graft_probe_topk` aggregate; the corpus is scanned
+    *    once with NO join-row materialization (the join formulation
+    *    paid ~1.9 µs/pair of UnsafeRow plumbing around a ~30 ns dot at
+    *    sf10). Exchange carries partitions × probes × k heap entries.
+    *  - JOIN (probes above the gate): broadcast join + split-norm
+    *    scoring + the graft_top_k aggregate — the same exchange width,
+    *    for probe sets too large to embed per-task.
+    */
   def bruteForceTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       probeFilter: Column,
-      k: Int): DataFrame = {
+      k: Int,
+      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
     val spark = emb.sparkSession
-    val probes = emb.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-    // rebalance: a single-row-group embedding file scans as ONE task,
-    // which would serialize the |probes|×|corpus| cosine loop on one
-    // core; no-op on multi-split tables (Dedup.rebalance)
-    val corpus = Dedup.rebalance(
-      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-    val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
-        col("probe_norm"), col("cand_norm")))
-    rankTopK(scored, k)
+    // one bounded collect decides the regime AND supplies the matrix:
+    // limit(gate+1) keeps the job O(gate) even on a pathological
+    // probe filter that matches the whole corpus
+    val collected = emb.where(probeFilter)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxEmbeddedProbes + 1).collect()
+    if (collected.length <= maxEmbeddedProbes) {
+      import org.apache.spark.sql.graftbridge.SparkBridge
+      val usable = collected.filter(!_.isNullAt(1))
+      val pIds = usable.map(_.getLong(0))
+      val pVecs = usable.map(_.getSeq[Double](1).toArray)
+      val corpus = Dedup.rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+        SparkBridge.expression(corpus("cand_id")),
+        SparkBridge.expression(corpus("cand_vec")),
+        pIds, pVecs, k).toAggregateExpression())
+      corpus.agg(agg.as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+    } else {
+      val probes = emb.where(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+        .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
+      // rebalance: a single-row-group embedding file scans as ONE task,
+      // which would serialize the |probes|×|corpus| cosine loop on one
+      // core; no-op on multi-split tables (Dedup.rebalance)
+      val corpus = Dedup.rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+        .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+      val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+          col("probe_norm"), col("cand_norm")))
+      rankTopK(scored, k)
+    }
   }
 
   /** Deterministic hyperplane component for plane `p`, dim `d`:

@@ -375,6 +375,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force topK: embedded-probe regime == join regime, row for row") {
+    // the embedded graft_probe_topk aggregate must replay the join
+    // formulation's scoring bit-for-bit (rounded sims included) and
+    // its ranking exactly; maxEmbeddedProbes=0 forces the join path
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7) // force partial-heap merges in the embedded regime
+    val embd = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 9 === 0, k = 6)
+    val joind = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 9 === 0, k = 6, maxEmbeddedProbes = 0)
+    assert(embd.except(joind).isEmpty && joind.except(embd).isEmpty,
+      "embedded and join regimes must agree exactly")
+    assert(embd.count() > 0)
+  }
+
+  test("embedding near-dup: embedded-probe regime == join regime, row for row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(5)
+    val embd = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      col("vec_id") % 4 === 0, threshold = 0.15)
+    val joind = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      col("vec_id") % 4 === 0, threshold = 0.15, maxEmbeddedProbes = 0)
+    assert(embd.except(joind).isEmpty && joind.except(embd).isEmpty,
+      "embedded and join regimes must agree exactly")
+    assert(embd.count() > 0)
+  }
+
   test("LSH topK returns a subset of brute-force candidates with same scoring") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 100)
