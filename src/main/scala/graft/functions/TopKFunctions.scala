@@ -221,11 +221,23 @@ object TopKFunctions {
       probeIds: Array[Long],
       probeVecs: Array[Array[Double]],
       k: Int,
+      // IVF restriction (both empty = brute force over every probe):
+      // `centroids` defines the coarse quantizer — each candidate row
+      // is assigned its nearest centroid by (max dot, min index), the
+      // exact tie rule of Similarity.nearestLists' (-dot, id) ascending
+      // sort — and only the probes registered for that list in
+      // `probesByList` are scored against the row.
+      centroids: Array[Array[Double]] = Array.empty,
+      probesByList: Array[Array[Int]] = Array.empty,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Array[TopKHeap]] {
     require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
     require(probeIds.length == probeVecs.length, "ids/vecs length mismatch")
+    require(centroids.isEmpty == probesByList.isEmpty,
+      "centroids and probesByList come together")
+    require(probesByList.isEmpty || probesByList.length == centroids.length,
+      "probesByList must map every centroid list")
     override def prettyName: String = "graft_probe_topk"
     override def children: Seq[Expression] = Seq(candId, candVec)
     override def nullable: Boolean = false
@@ -282,8 +294,30 @@ object TopKFunctions {
       var i = 0
       while (i < n) { val v = get(arr, i); cv(i) = v; cn += v * v; i += 1 }
       val candNorm = math.sqrt(cn)
-      var p = 0
-      while (p < probeIds.length) {
+      // IVF: score only the probes probing this row's inverted list
+      val active: Array[Int] =
+        if (centroids.isEmpty) null
+        else {
+          var best = 0
+          var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < centroids.length) {
+            val cw = centroids(c)
+            val d = math.min(cw.length, n)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += cw(j) * cv(j); j += 1 }
+            // nearestLists sorts (-dot, id) ascending: strict > keeps
+            // the LOWEST index on dot ties
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          probesByList(best)
+        }
+      val nActive = if (active == null) probeIds.length else active.length
+      var a = 0
+      while (a < nActive) {
+        val p = if (active == null) a else active(a)
         if (probeIds(p) != cid) {
           val pv = probeVecs(p)
           val d = math.min(pv.length, n)
@@ -310,7 +344,7 @@ object TopKFunctions {
             h.offer(rounded, cid)
           }
         }
-        p += 1
+        a += 1
       }
       buf
     }

@@ -171,7 +171,8 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      trainedCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+      trainedCentroids: Option[Array[Seq[Double]]] = None,
+      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
     val spark = emb.sparkSession
     // Coarse quantizer: nCentroids vectors collected to the driver
     // (metadata-scale) and embedded as literals, so list assignment is
@@ -184,6 +185,48 @@ object Similarity {
       emb.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol).cast("array<double>")).collect()
         .map(_.getSeq[Double](0)))
+
+    // EMBEDDED regime (same gate/rationale as bruteForceTopK): probes
+    // collect once, each probe's nProbe nearest lists resolve
+    // driver-side with nearestLists' exact (-dot, id) ordering, and a
+    // single graft_probe_topk aggregate scans the corpus with the
+    // centroid assignment and the per-list probe index INSIDE the
+    // kernel — no exploded probe frame, no joined rows.
+    val collectedProbes = emb.where(probeFilter)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxEmbeddedProbes + 1).collect()
+    if (collectedProbes.length <= maxEmbeddedProbes) {
+      import org.apache.spark.sql.graftbridge.SparkBridge
+      val cents: Array[Array[Double]] = centroids.map(_.toArray)
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        val d = math.min(a.length, b.length)
+        var s = 0.0; var i = 0
+        while (i < d) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val usable = collectedProbes.filter(!_.isNullAt(1))
+      val pIds = usable.map(_.getLong(0))
+      val pVecs = usable.map(_.getSeq[Double](1).toArray)
+      val byList = Array.fill(cents.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      pVecs.zipWithIndex.foreach { case (v, pi) =>
+        cents.indices
+          .sortBy(c => (-dotD(v, cents(c)), c)).take(nProbe)
+          .foreach(c => byList(c) += pi)
+      }
+      val corpus = Dedup.rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+        SparkBridge.expression(corpus("cand_id")),
+        SparkBridge.expression(corpus("cand_vec")),
+        pIds, pVecs, k,
+        centroids = cents, probesByList = byList.map(_.toArray))
+        .toAggregateExpression())
+      return corpus.agg(agg.as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+    }
 
     /** top-`n` nearest centroid ids for a vector, as an array column:
       * sort a tiny struct array of (-dot, id) — map-side only.

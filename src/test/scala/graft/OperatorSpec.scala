@@ -390,6 +390,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(embd.count() > 0)
   }
 
+  test("IVF topK: embedded-probe regime == join regime, row for row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(5)
+    val embd = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, nCentroids = 8, nProbe = 3)
+    val joind = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, nCentroids = 8, nProbe = 3,
+      maxEmbeddedProbes = 0)
+    assert(embd.except(joind).isEmpty && joind.except(embd).isEmpty,
+      "embedded and join IVF regimes must agree exactly")
+    assert(embd.count() > 0)
+  }
+
   test("embedding near-dup: embedded-probe regime == join regime, row for row") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .repartition(5)
