@@ -114,18 +114,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("ANN top-k rides partial aggregation; the exchange never carries scored pairs") {
-    // the window formulation (row_number over probe partitions) would
-    // shuffle the whole probes x corpus scored frame; the graft_top_k
-    // aggregate reduces each map task to k rows per probe BEFORE the
-    // exchange — corpus-size-independent shuffle. WindowGroupLimit
-    // (the old pin) capped the sort, not the exchange width.
+  test("ANN top-k: embedded regime has no join at all; fallback rides partial aggregation") {
+    // embedded regime (probes within the gate — q25's default): the
+    // probe matrix lives inside one graft_probe_topk aggregate over
+    // the corpus scan — no joined rows, no Window, exchange carries
+    // partial heaps only
     val p = plan("q25_ann_bruteforce")
-    assert(p.contains("partial_graft_top_k"), p.take(600))
+    assert(p.contains("graft_probe_topk"), p.take(600))
     assert(!p.contains("Window"), "scored frame must not reach a window sort")
-    // per-side norms are projected below the join: the per-pair kernel
-    // is the dot product alone
-    assert(p.contains("graft_norm2") && p.contains("graft_dot"))
+    assert(!p.contains("NestedLoop"), "embedded regime must not join")
+    // join fallback (probes above the gate): broadcast join feeding
+    // the graft_top_k aggregate — partial per map task BEFORE the
+    // exchange (the window formulation would shuffle every scored
+    // pair), per-side norms below the join so the per-pair kernel is
+    // the dot alone
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val jp = operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, k = 5,
+        maxEmbeddedProbes = 0)
+      .queryExecution.executedPlan.toString
+    assert(jp.contains("partial_graft_top_k"), jp.take(600))
+    assert(!jp.contains("Window"))
+    assert(jp.contains("graft_norm2") && jp.contains("graft_dot"))
   }
 
   test("as-of join: one hash exchange, no range blowup") {
