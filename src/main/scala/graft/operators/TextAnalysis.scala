@@ -92,7 +92,10 @@ object TextAnalysis {
   def textStats(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val st = graft.functions.TextKernelFunctions.textStats(col(textCol))
-    docs.select(col(idCol), st.as("st"))
+    // rebalance before the per-doc kernel: a single-row-group corpus
+    // file scans as one task (no-op on multi-split tables)
+    Dedup.rebalance(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+      .select(col(idCol), st.as("st"))
       .select(col(idCol),
         col("st.n_words").as("n_words"),
         col("st.n_uniq").as("n_uniq"),

@@ -578,8 +578,9 @@ object Queries {
 
     // rolling-hash document fingerprint
     "q29_fingerprint" -> QueryDef(
-      (s, d) => tbl(s, d, "documents").select(
-        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      (s, d) => Dedup.rebalance(
+          tbl(s, d, "documents").select("doc_id", "text"), Seq(col("doc_id")))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
       Some("""WITH w AS (SELECT doc_id,
              |  list_transform(string_split_regex(text, '\s+'),
              |    wd -> CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT)) AS vals FROM documents)
@@ -758,7 +759,9 @@ object Queries {
         val st = graft.functions.TextKernelFunctions.textStats(col("text"))
         val score = col("st.n_uniq") * 3 - col("st.n_punct") * 2 +
           least(col("st.n_words"), lit(100L))
-        tbl(s, d, "documents").select(col("doc_id"), st.as("st"))
+        Dedup.rebalance(
+            tbl(s, d, "documents").select("doc_id", "text"), Seq(col("doc_id")))
+          .select(col("doc_id"), st.as("st"))
           .select(col("doc_id"), score.as("quality"),
             (score >= 150L).as("keep"))
       },
@@ -1355,7 +1358,14 @@ object Queries {
     // FreqSketchSpec's job.
     "q63_freq_terms" -> QueryDef(
       (s, d) => {
-        val toks = tbl(s, d, "documents")
+        // rebalance before tokenize+explode+partial-sketch: a
+        // single-row-group corpus file would run the whole map stage
+        // on one core (Dedup.rebalance scaladoc; no-op on multi-split).
+        // Keyed on doc_id — lang has ~12 skewed values, useless as a
+        // partitioning key; the sketch merges per-lang regardless.
+        val toks = Dedup.rebalance(
+            tbl(s, d, "documents").select("doc_id", "lang", "text"),
+            Seq(col("doc_id")))
           .select(col("lang"),
             explode(TextAnalysis.words(col("text"))).as("word"))
           .where(length(col("word")) > 0)
