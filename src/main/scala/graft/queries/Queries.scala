@@ -789,7 +789,8 @@ object Queries {
 
     // token explosion with position (UDTF/generator shape)
     "q41_token_explode" -> QueryDef(
-      (s, d) => tbl(s, d, "documents")
+      (s, d) => Dedup.rebalance(
+          tbl(s, d, "documents").select("doc_id", "text"), Seq(col("doc_id")))
         .select(col("doc_id"),
           posexplode(slice(TextAnalysis.words(col("text")), 1, 5)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word")),
