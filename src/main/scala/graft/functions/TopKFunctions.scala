@@ -20,8 +20,14 @@ import org.apache.spark.sql.{Column, SparkSession}
   * top-k aggregate instead rides standard two-phase aggregation:
   * each map task keeps a k-element heap per probe and the exchange
   * carries `partitions × probes × k` rows — independent of corpus
-  * size. Semantics are pinned to the window formulation exactly:
-  * order by (sim DESC, id ASC), nulls never ranked.
+  * size. Ordering is the window formulation's (sim DESC, id ASC),
+  * with ONE deliberate deviation: null-sim (or null-id) rows are
+  * DROPPED, where `row_number() ... ORDER BY sim DESC` ranks them
+  * LAST — so a probe with fewer than k non-null-scored candidates
+  * returns only the non-null ones here, never null-scored filler.
+  * (A null id is not addressable output and a null sim is not a
+  * similarity; callers wanting the filler rows should coalesce sims
+  * before aggregating.)
   *
   * State is two primitive arrays (k doubles + k longs) managed as a
   * binary min-heap rooted at the WORST kept element, so update is
@@ -215,6 +221,11 @@ object TopKFunctions {
     * BigDecimal(HALF_UP) rounding BEFORE ranking (ties rank on the
     * rounded value, so rounding after would reorder them).
     */
+  object ProbeTopKAgg {
+    /** shared empty active-probe set for unmapped LSH signatures */
+    private[functions] val NoActive: Array[Int] = Array.empty[Int]
+  }
+
   case class ProbeTopKAgg(
       candId: Expression,
       candVec: Expression,
@@ -229,6 +240,15 @@ object TopKFunctions {
       // `probesByList` are scored against the row.
       centroids: Array[Array[Double]] = Array.empty,
       probesByList: Array[Array[Int]] = Array.empty,
+      // LSH restriction (alternative to IVF, Similarity.lshTopK's
+      // embedded regime): `planes` are the random hyperplanes — each
+      // candidate row hashes to the sign-bit signature Σ (dot(plane_p,
+      // v) >= 0 ? 1<<p : 0), exactly Similarity.lshSignature's rule —
+      // and only the probes registered for that signature's bucket in
+      // `probesBySig` are scored (an unmapped signature scores NO
+      // probes: the bucket equi-join admits exact matches only).
+      planes: Array[Array[Double]] = Array.empty,
+      probesBySig: Map[Long, Array[Int]] = Map.empty,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Array[TopKHeap]] {
@@ -238,6 +258,10 @@ object TopKFunctions {
       "centroids and probesByList come together")
     require(probesByList.isEmpty || probesByList.length == centroids.length,
       "probesByList must map every centroid list")
+    require(planes.isEmpty || probesBySig.nonEmpty || probeIds.isEmpty,
+      "planes without a signature index scores nothing — pass probesBySig")
+    require(planes.isEmpty || centroids.isEmpty,
+      "IVF and LSH restrictions are mutually exclusive")
     override def prettyName: String = "graft_probe_topk"
     override def children: Seq[Expression] = Seq(candId, candVec)
     override def nullable: Boolean = false
@@ -294,10 +318,11 @@ object TopKFunctions {
       var i = 0
       while (i < n) { val v = get(arr, i); cv(i) = v; cn += v * v; i += 1 }
       val candNorm = math.sqrt(cn)
-      // IVF: score only the probes probing this row's inverted list
+      // IVF: score only the probes probing this row's inverted list;
+      // LSH: only the probes sharing this row's sign-bit signature;
+      // null = brute force (every probe)
       val active: Array[Int] =
-        if (centroids.isEmpty) null
-        else {
+        if (centroids.nonEmpty) {
           var best = 0
           var bestDot = Double.NegativeInfinity
           var c = 0
@@ -313,7 +338,23 @@ object TopKFunctions {
             c += 1
           }
           probesByList(best)
-        }
+        } else if (planes.nonEmpty) {
+          // lshSignature's exact rule: bit p set iff dot(plane_p, v)
+          // >= 0, dot over min(plane dims, vec length) left-to-right —
+          // the same arithmetic the column form's dot kernel runs
+          var sig = 0L
+          var p = 0
+          while (p < planes.length) {
+            val pl = planes(p)
+            val d = math.min(pl.length, n)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += pl(j) * cv(j); j += 1 }
+            if (dot >= 0) sig |= 1L << p
+            p += 1
+          }
+          probesBySig.getOrElse(sig, ProbeTopKAgg.NoActive)
+        } else null
       val nActive = if (active == null) probeIds.length else active.length
       var a = 0
       while (a < nActive) {
@@ -339,8 +380,15 @@ object TopKFunctions {
             // exact-binary constructor, which rounds boundary values
             // differently. Rank on the ROUNDED value: ties rank on
             // it, so rounding after ranking would reorder them.
-            val rounded = java.math.BigDecimal.valueOf(sim)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            // NaN/Infinity pass through unrounded, exactly as
+            // Catalyst's Round codegen does (BigDecimal.valueOf would
+            // throw NumberFormatException) — so a NaN embedding row
+            // degrades identically to the join regime instead of
+            // failing the query.
+            val rounded =
+              if (java.lang.Double.isNaN(sim) || java.lang.Double.isInfinite(sim)) sim
+              else java.math.BigDecimal.valueOf(sim)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             h.offer(rounded, cid)
           }
         }
@@ -494,7 +542,11 @@ object TopKFunctions {
           while (j < d) { dot += pv(j) * cv(j); j += 1 }
           val denom = probeNorms(p) * candNorm
           val sim = if (denom == 0.0) 0.0 else dot / denom
-          if (sim > threshold) out += probeIds(p)
+          // Double.compare, NOT the primitive >: Spark's GreaterThan
+          // orders NaN ABOVE every double (SQL total order), so a
+          // NaN-scored pair passes the join regime's `cos > threshold`
+          // filter — the kernel must match (regime-parity spec)
+          if (java.lang.Double.compare(sim, threshold) > 0) out += probeIds(p)
         }
         p += 1
       }

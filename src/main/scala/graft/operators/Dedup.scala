@@ -988,7 +988,9 @@ object Dedup {
       .limit(maxEmbedded + 1).collect()
     if (collected.length <= maxEmbedded) {
       import org.apache.spark.sql.graftbridge.SparkBridge
-      val usable = collected.filter(!_.isNullAt(1))
+      // null id or vector: dropped (the join regime's null-condition
+      // semantics), never an NPE on getLong
+      val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       val pIds = usable.map(_.getLong(0))
       val pVecs = usable.map(_.getSeq[Double](1).toArray)
       val all = rebalance(
@@ -1019,7 +1021,11 @@ object Dedup {
     val denom = col("probe_norm") * col("cand_norm")
     val cos = when(denom === 0.0, 0.0).otherwise(
       VectorFunctions.dot(spark, col("probe_vec"), col("cand_vec")) / denom)
-    all.join(broadcast(probes), col("probe_id") < col("cand_id"))
+    // no broadcast hint above the embedded gate: the probe count is
+    // known only to exceed 2^16 and can grow ∝ corpus — a forced
+    // broadcast is a driver-OOM at 100×; the planner sizes the build
+    // side from its stats (Similarity.bruteForceTopK's join regime)
+    all.join(probes, col("probe_id") < col("cand_id"))
       .where(cos > threshold)
       .select(col("probe_id"), col("cand_id"))
   }

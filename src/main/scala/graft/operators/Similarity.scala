@@ -39,6 +39,15 @@ object Similarity {
     * row's norm amortized over every pair it joins into. On a probes ×
     * corpus scorer that is the difference between 3 and 1 passes over
     * every vector element ever paired.
+    *
+    * PRECONDITION — uniform embedding dimension. The fused cosine
+    * kernel accumulates BOTH norms over min(len_a, len_b), while
+    * graft_norm2 (and ProbeTopKAgg's per-side norms) cover each side's
+    * FULL length; the two agree exactly iff every paired vector has
+    * the same dimension, which an embedding column has by
+    * construction. On mixed-dimension rows the split form scores with
+    * full-length norms (the mathematically saner choice) and the
+    * bit-identity claim does not apply.
     */
   private def splitScore(
       spark: org.apache.spark.sql.SparkSession,
@@ -52,8 +61,11 @@ object Similarity {
     * scored frame, via the mergeable bounded-top-k aggregate
     * (TopKFunctions scaladoc). The window formulation
     * (`row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC,
-    * cand_id)`) is semantically identical but shuffles EVERY scored
-    * row — probes × corpus, the cross product these operators never
+    * cand_id)`) is semantically identical on non-null scores (the
+    * aggregate DROPS null-scored rows where the window ranks them
+    * last — no null sims arise here: splitScore/graft_cosine are
+    * null only on null inputs, which the joins never pair) but
+    * shuffles EVERY scored row — probes × corpus, the cross product these operators never
     * materialize elsewhere; the aggregate partial-reduces each map
     * task to k rows per probe, so the exchange is corpus-size-free.
     */
@@ -95,7 +107,10 @@ object Similarity {
       .limit(maxEmbeddedProbes + 1).collect()
     if (collected.length <= maxEmbeddedProbes) {
       import org.apache.spark.sql.graftbridge.SparkBridge
-      val usable = collected.filter(!_.isNullAt(1))
+      // null id OR null vector: the join regime silently drops such
+      // probes (a null-valued join/score condition never matches), so
+      // the embedded regime must too, not NPE on getLong
+      val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       val pIds = usable.map(_.getLong(0))
       val pVecs = usable.map(_.getSeq[Double](1).toArray)
       val corpus = Dedup.rebalance(
@@ -118,7 +133,15 @@ object Similarity {
       val corpus = Dedup.rebalance(
         emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
         .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-      val scored = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      // NO broadcast hint above the embedded gate: the probe count is
+      // known only to exceed 2^16 and can grow ∝ corpus, so a forced
+      // broadcast is the one driver-OOM shape left at 100× (an 10^8-row
+      // probe filter heads straight for the 8 GB cap). The planner
+      // decides from its stats (AQE can still promote a genuinely small
+      // side at runtime) — the same force-under-threshold /
+      // planner-above pattern as the MoR DV anti-join
+      // (LakeTable.DvBroadcastBytes).
+      val scored = corpus.join(probes, col("probe_id") =!= col("cand_id"))
         .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
           col("probe_norm"), col("cand_norm")))
       rankTopK(scored, k)
@@ -204,7 +227,8 @@ object Similarity {
         while (i < d) { s += a(i) * b(i); i += 1 }
         s
       }
-      val usable = collectedProbes.filter(!_.isNullAt(1))
+      // drop null-id AND null-vector probes, like the join regime does
+      val usable = collectedProbes.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       val pIds = usable.map(_.getLong(0))
       val pVecs = usable.map(_.getSeq[Double](1).toArray)
       val byList = Array.fill(cents.length)(
@@ -249,35 +273,102 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
       .withColumn("list_id", explode(nearestLists(emb, col("probe_vec"), nProbe)))
       .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+    // no broadcast hint above the embedded gate (see bruteForceTopK):
+    // probe counts can grow ∝ corpus; the planner sizes the build side
+    val scored = corpus.join(probes, Seq("list_id"))
       .where(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
         col("probe_norm"), col("cand_norm")))
     rankTopK(scored, k)
   }
 
-  /** ANN via LSH bucketing: exact rank within the probe's bucket. */
+  /** ANN via LSH bucketing: exact rank within the probe's bucket.
+    *
+    * Same two-regime structure as bruteForceTopK/ivfTopK
+    * (spec-pinned equal):
+    *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): probe signatures
+    *    resolve driver-side against the deterministic hyperplanes and
+    *    one `graft_probe_topk` aggregate scans the corpus with the
+    *    signature hash and the per-bucket probe index INSIDE the
+    *    kernel — the bucket equi-join's semantics with zero joined
+    *    rows, zero signature column, zero shuffle before the k-bounded
+    *    exchange.
+    *  - JOIN (above the gate): signature bucket equi-join — WITHOUT a
+    *    broadcast hint (probe counts can grow ∝ corpus; the planner
+    *    sizes the build side, see bruteForceTopK).
+    *
+    * The embedding dimension comes from the first collected probe
+    * (uniform dims — splitScore's precondition), folding the one-row
+    * `head()` sizing job the previous formulation paid; only the
+    * over-gate regime with an all-null collected prefix still asks the
+    * corpus.
+    */
   def lshTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       probeFilter: Column,
       k: Int,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12,
+      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
     val spark = emb.sparkSession
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    val probes = emb.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-      .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
-      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-    val cands = Dedup.rebalance(
-      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
-      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-    val scored = cands.join(broadcast(probes), Seq("sig"))
-      .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
-        col("probe_norm"), col("cand_norm")))
-    rankTopK(scored, k)
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+    val collected = emb.where(probeFilter)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxEmbeddedProbes + 1).collect()
+    // null id or vector: dropped, like the bucket join drops them
+    val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    if (collected.length <= maxEmbeddedProbes) {
+      import org.apache.spark.sql.graftbridge.SparkBridge
+      val pIds = usable.map(_.getLong(0))
+      val pVecs = usable.map(_.getSeq[Double](1).toArray)
+      val dims = if (pVecs.isEmpty) 0 else pVecs(0).length
+      val planeMat: Array[Array[Double]] =
+        Array.tabulate(planes, dims)((p, d) => planeComponent(p, d))
+      def sigOf(v: Array[Double]): Long = {
+        var sig = 0L
+        var p = 0
+        while (p < planes) {
+          val pl = planeMat(p)
+          val d = math.min(pl.length, v.length)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += pl(j) * v(j); j += 1 }
+          if (dot >= 0) sig |= 1L << p
+          p += 1
+        }
+        sig
+      }
+      val bySig: Map[Long, Array[Int]] =
+        pVecs.indices.groupBy(pi => sigOf(pVecs(pi)))
+          .map { case (s, idxs) => s -> idxs.toArray }
+      val corpus = Dedup.rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+        SparkBridge.expression(corpus("cand_id")),
+        SparkBridge.expression(corpus("cand_vec")),
+        pIds, pVecs, k,
+        planes = planeMat, probesBySig = bySig).toAggregateExpression())
+      corpus.agg(agg.as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+    } else {
+      val dims = usable.headOption.map(_.getSeq[Double](1).length)
+        .getOrElse(emb.select(size(col(vecCol))).head().getInt(0))
+      val probes = emb.where(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+        .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
+        .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
+      val cands = Dedup.rebalance(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+        .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
+        .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+      val scored = cands.join(probes, Seq("sig"))
+        .where(col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+          col("probe_norm"), col("cand_norm")))
+      rankTopK(scored, k)
+    }
   }
 }

@@ -415,6 +415,75 @@ class OperatorSpec extends AnyFunSuite {
     assert(embd.count() > 0)
   }
 
+  test("LSH topK: embedded-probe regime == join regime, row for row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(5)
+    val embd = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, planes = 6)
+    val joind = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, planes = 6, maxEmbeddedProbes = 0)
+    assert(embd.except(joind).isEmpty && joind.except(embd).isEmpty,
+      "embedded and join LSH regimes must agree exactly")
+    assert(embd.count() > 0)
+  }
+
+  test("ANN regimes degrade identically on NaN embeddings and null probe ids (no crash)") {
+    // one NaN element makes every sim involving that row NaN; the
+    // embedded kernel must pass it through rounding (Catalyst Round's
+    // non-finite pass-through), NOT throw NumberFormatException, and a
+    // null probe id must drop like the join regime's null join
+    // condition, not NPE the probe collect. NaN ORDER among ranked
+    // rows is Java-sort unspecified in both regimes, so k >= corpus
+    // here (no eviction): both regimes keep every candidate and the
+    // non-NaN row sets must agree exactly.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 20L).map(i =>
+      (Option(i), Array.fill(8)(rnd.nextGaussian())))
+    val nanRow = (Option(20L), Array.fill(8)(rnd.nextGaussian()).updated(3, Double.NaN))
+    val nullId = (Option.empty[Long], Array.fill(8)(rnd.nextGaussian()))
+    val nullVec = (Option(21L), null.asInstanceOf[Array[Double]])
+    val emb = (base :+ nanRow :+ nullId :+ nullVec)
+      .toDF("vec_id", "embedding").repartition(4)
+    val probe = col("vec_id") < 3 || col("vec_id").isNull
+    val embd = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, k = 50)
+    val joind = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, k = 50,
+      maxEmbeddedProbes = 0)
+    val e = embd.where(!isnan($"sim")).select($"probe_id", $"cand_id", $"sim")
+    val j = joind.where(!isnan($"sim")).select($"probe_id", $"cand_id", $"sim")
+    assert(e.except(j).isEmpty && j.except(e).isEmpty,
+      "non-NaN rows must agree across regimes")
+    // the NaN candidate is ranked (not dropped, not a crash) by both
+    assert(embd.where(isnan($"sim")).count() > 0)
+    assert(joind.where(isnan($"sim")).count() > 0)
+    // no probe_id from the null-id row in either output
+    assert(embd.where($"probe_id".isNull).count() == 0)
+    // near-dup path: same probe frame, threshold form (raw sims —
+    // NaN > threshold is false, so the NaN candidate simply never
+    // matches; the null id must not NPE the embedded collect)
+    val nd = Dedup.embeddingNearDup(emb, "vec_id", "embedding", probe, threshold = -1.0)
+    val ndJ = Dedup.embeddingNearDup(emb, "vec_id", "embedding", probe, threshold = -1.0,
+      maxEmbeddedProbes = 0)
+    assert(nd.except(ndJ).isEmpty && ndJ.except(nd).isEmpty)
+  }
+
+  test("graft_top_k: a group with fewer than k non-null sims returns only those (no null filler)") {
+    import graft.functions.TopKFunctions
+    // window row_number ranks null sims LAST but still ranks them;
+    // graft_top_k DROPS them (TopKFunctions scaladoc) — the deliberate
+    // deviation pinned here: 2 non-null + 3 null sims, k = 4 -> 2 rows
+    val df = Seq(
+      (1L, Option(0.9), 10L), (1L, Option(0.8), 11L),
+      (1L, Option.empty[Double], 12L), (1L, Option.empty[Double], 13L),
+      (1L, Option.empty[Double], 14L)
+    ).toDF("probe_id", "sim", "cand_id")
+    val out = df.groupBy("probe_id")
+      .agg(TopKFunctions.topK(spark, $"sim", $"cand_id", 4).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.cand_id", $"e.sim").orderBy($"sim".desc).collect()
+    assert(out.length == 2, s"expected 2 ranked rows, got ${out.length}")
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+  }
+
   test("LSH topK returns a subset of brute-force candidates with same scoring") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 100)

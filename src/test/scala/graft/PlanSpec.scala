@@ -138,6 +138,41 @@ class PlanSpec extends AnyFunSuite {
     assert(jp.contains("graft_norm2") && jp.contains("graft_dot"))
   }
 
+  test("ANN join fallbacks: probe broadcast is planner-gated, never forced") {
+    // above the embedded-probe gate the probe count is known only to
+    // exceed 2^16 and grows ∝ corpus — a forced broadcast(probes) is a
+    // driver-OOM at 100×. With the hint dropped, the PLANNER sizes the
+    // build side: under a tiny autoBroadcastJoinThreshold (simulating
+    // a probe side past the cap) no BroadcastExchange may appear.
+    // (AQE promoting a genuinely small side at runtime stays allowed —
+    // that is the point of planner-gating.)
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    val prev = spark0.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark0.read.parquet(s"$dir/embeddings.parquet")
+      val plans = Seq(
+        "bruteForceTopK" -> operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5,
+          maxEmbeddedProbes = 0),
+        "ivfTopK" -> operators.Similarity.ivfTopK(
+          emb, "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5,
+          nCentroids = 4, nProbe = 2, maxEmbeddedProbes = 0),
+        "lshTopK" -> operators.Similarity.lshTopK(
+          emb, "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5,
+          planes = 6, maxEmbeddedProbes = 0),
+        "embeddingNearDup" -> operators.Dedup.embeddingNearDup(
+          emb, "vec_id", "embedding", col("vec_id") % 100 === 0,
+          threshold = 0.5, maxEmbeddedProbes = 0))
+      for ((name, df) <- plans) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"$name forces a probe broadcast above the gate:\n${p.take(800)}")
+      }
+    } finally spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join: one hash exchange, no range blowup") {
     val p = plan("q18_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
