@@ -197,6 +197,67 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Spanning forest of an edge set: a connectivity-equivalent edge
+    * set whose SIZE is bounded by the number of distinct vertices, not
+    * by the number of edges — the linear-output reduction for
+    * producers whose raw edge set grows quadratically (a thresholded
+    * pair-verification stage emits ~n² pairs inside a near-dup
+    * cluster; its closure needs only ~n of them).
+    *
+    * One map-side pass, NO shuffle: each task runs union-find
+    * (union-by-min-root + path compression — the same kernel as the
+    * small-graph fast path above) over its partition's edges and emits
+    * one star edge per non-root vertex it saw. Correctness is the
+    * classical composition fact: a spanning forest of each partition's
+    * edge subset preserves that subset's transitive closure exactly,
+    * and the closure of a union of edge sets depends only on the
+    * closures of its parts — so `labels(spanningForest(E)) ==
+    * labels(E)` for every vertex (spec-pinned; isolated vertices never
+    * appear in either edge set and label themselves in both).
+    *
+    * Output is ≤ (distinct vertex ids in the partition) rows per
+    * partition — for a verify stage over candidate pairs that is
+    * corpus-linear where the pair set is cluster-size-quadratic. Task
+    * memory is one LongMap entry per distinct id in the partition
+    * (pair-verification frames touch few distinct ids by construction;
+    * for arbitrary edge frames size partitions so ids-per-partition
+    * fits the executor, as any groupBy there would anyway).
+    */
+  def spanningForest(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    Seq(edges.schema(ea), edges.schema(eb)).foreach { f =>
+      if (!integral(f.dataType))
+        throw new IllegalArgumentException(
+          s"spanningForest requires integral ids; column ${f.name} is " +
+            s"${f.dataType.simpleString} (hash it to a long first)")
+    }
+    edges.select(col(ea).cast("long"), col(eb).cast("long"))
+      .where(col(ea) =!= col(eb)) // drops self-loops AND null endpoints
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val ks = parent.keysIterator.toArray
+        ks.iterator.map(k => (k, find(k))).filter { case (k, r) => k != r }
+      }
+      .toDF(ea, eb)
+  }
+
   /** Duplicate-cluster summary: one row per component with its size and
     * the kept (minimum-id) representative — the shape an ingest
     * pipeline joins back against to drop all-but-one copy.

@@ -927,6 +927,72 @@ object Dedup {
       pairs, hashElements = false)
   }
 
+  /** LINEAR-OUTPUT form of the candidate-verification stage, for
+    * consumers that feed ConnectedComponents / a keep-one-per-cluster
+    * decision rather than scoring: verify the candidate pairs
+    * (shingleOverlap), keep those at Jaccard >= `minJaccard`, and
+    * reduce the surviving edge set to a spanning forest
+    * (ConnectedComponents.spanningForest — one map-side union-find
+    * pass, no shuffle).
+    *
+    * Why this exists: the pair-product form's OUTPUT is the scale
+    * problem — a near-dup cluster of size m yields ~m²/2 verified
+    * pairs (82M/66M rows for q23/q45 at sf10, growing quadratically
+    * with cluster size), yet its transitive closure needs only ~m
+    * edges. The forest's labels are identical to the full pair set's
+    * (spec-pinned: labels(forest) == labels(thresholded pairs)), and
+    * its size is bounded by the distinct doc ids the pairs touch —
+    * corpus-LINEAR. Keep shingleOverlap itself for scoring consumers
+    * (q23/q45's oracles stay pair-form).
+    *
+    * The Jaccard gate compares `n_inter >= minJaccard * n_union`
+    * (integer-exact: no division; two empty docs — n_union = 0 — pass,
+    * the "identical empty sets are duplicates" convention).
+    */
+  def shingleVerifyEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      minJaccard: Double,
+      compact: Boolean = true): DataFrame = {
+    val passing = shingleOverlap(docs, idCol, textCol, pairs, compact)
+      .where(col("n_inter") >= lit(minJaccard) * col("n_union"))
+      .select(col("id_a"), col("id_b"))
+    ConnectedComponents.spanningForest(passing)
+  }
+
+  /** The VERIFIED dedup pipeline applied end to end: LSH candidate
+    * pairs → exact shingle-Jaccard verification at `minJaccard` →
+    * spanning-forest reduction → connected components → keep the
+    * minimum-id representative per verified cluster. This is
+    * dedupCorpus with the false-positive filter a production pipeline
+    * runs: LSH buckets admit pairs whose true Jaccard is below
+    * threshold (banding is probabilistic), and those stay SEPARATE
+    * here where dedupCorpus would merge them.
+    *
+    * Scale shape: candidate pairs are enumerated once (inherent to
+    * verification — each pair needs a score), but nothing quadratic is
+    * ever shuffled or returned: the verify plan's exchanges are
+    * set-cardinality-bounded (setOverlap) or broadcast-pruned
+    * (setOverlapCompact), and the verified pair set collapses to
+    * forest edges map-side before CC.
+    */
+  def dedupCorpusVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
+    val edges = shingleVerifyEdges(docs, idCol, textCol, pairs, minJaccard)
+    val keep = ConnectedComponents.labels(docs, idCol, edges)
+      .where(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Char n-gram Jaccard stats for candidate pairs — the char-level
     * complement of shingleOverlap, same exploded plan but joining on
     * the raw n-gram (it is already fixed-width; no digest needed).

@@ -1453,6 +1453,46 @@ object Queries {
              |              ELSE 'truncated' END
              |       ELSE NULL END AS error
              |FROM documents""".stripMargin)),
+
+    // VERIFIED dedup applied end to end: LSH candidates → exact
+    // shingle-Jaccard verification (>= 0.5) → spanning-forest
+    // reduction (linear output — ConnectedComponents.spanningForest)
+    // → components → keep min-id per VERIFIED cluster. The oracle
+    // closes over the full thresholded pair set, so the hash match
+    // proves labels(forest(verified)) == labels(verified pairs) on
+    // real data — the q50 pipeline plus the false-positive filter.
+    "q66_verified_dedup" -> QueryDef(
+      (s, d) => Dedup.dedupCorpusVerified(
+          tbl(s, d, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept")),
+      Some {
+        val buckets = (0 until 4).map(b =>
+          s"(CAST($b AS BIGINT) << 60) | CAST(('0x' || substr(md5(mh${2 * b} || mh${2 * b + 1}), 1, 15)) AS BIGINT)").mkString(", ")
+        s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+           |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS shs FROM w),
+           |sd AS (SELECT doc_id, list_distinct(shs) AS s FROM sh),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |ab AS (SELECT doc_id, $duckAb FROM ex),
+           |mh AS (SELECT doc_id, ${duckMinhash(8)} FROM ab GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest([$buckets]) AS bucket FROM mh),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |ver AS (SELECT p.id_a, p.id_b,
+           |    len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS ni,
+           |    len(sa.s) + len(sb.s) AS nab
+           |  FROM pairs p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b),
+           |vp AS (SELECT id_a, id_b FROM ver WHERE ni >= 0.5 * (nab - ni)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+           |  UNION ALL SELECT id_b, id_a FROM vp),
+           |cc(id, x) AS (SELECT doc_id, doc_id FROM documents
+           |  UNION SELECT cc.id, e.v FROM cc JOIN edges e ON cc.x = e.u),
+           |keep AS (SELECT id AS doc_id FROM cc GROUP BY id HAVING id = min(x))
+           |SELECT d.lang, COUNT(*) AS n_kept
+           |FROM documents d JOIN keep USING (doc_id) GROUP BY d.lang""".stripMargin
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

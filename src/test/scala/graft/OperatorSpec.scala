@@ -94,6 +94,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(stars.count() <= pairs.count())
   }
 
+  test("spanningForest: labels identical to the full edge set; output vertex-bounded") {
+    // random multi-partition graph with dense cliques (the verify-stage
+    // shape: ~m² edges per cluster) — the forest must preserve every
+    // component exactly while its size is bounded by distinct vertices
+    val rnd = new scala.util.Random(20260815)
+    val cliqueEdges = (0 until 6).flatMap { c =>
+      val ids = (0 until 40).map(i => (c * 1000 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val randomEdges = (1 to 500).map { _ =>
+      (rnd.nextInt(8000).toLong, rnd.nextInt(8000).toLong)
+    }
+    val edges = (cliqueEdges ++ randomEdges).toDF("id_a", "id_b").repartition(16)
+    val verts = edges.select($"id_a".as("id"))
+      .union(edges.select($"id_b".as("id"))).distinct()
+    val forest = ConnectedComponents.spanningForest(edges)
+    val viaForest = ConnectedComponents.labels(verts, "id", forest)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaEdges = ConnectedComponents.labels(verts, "id", edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaForest == viaEdges)
+    // ≤ one forest edge per distinct vertex (per partition; here the
+    // clique edges dominate and the bound is far below the edge count)
+    val nVerts = verts.count()
+    val nForest = forest.count()
+    assert(nForest <= nVerts * 16, s"forest $nForest not vertex-bounded")
+    assert(nForest < edges.count(), "forest must shrink a clique-heavy edge set")
+  }
+
+  test("shingleVerifyEdges: labels == labels of the thresholded pair set (linear output)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", k = 8, bands = 4)
+    // the pair-product form a scoring consumer gets
+    val verified = Dedup.shingleOverlap(corpus, "doc_id", "text", pairs)
+      .where($"n_inter" >= lit(0.5) * $"n_union")
+      .select($"id_a", $"id_b")
+    // the linear form a clustering consumer gets
+    val forest = Dedup.shingleVerifyEdges(corpus, "doc_id", "text", pairs, minJaccard = 0.5)
+    val viaPairs = ConnectedComponents.labels(corpus, "doc_id", verified)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaForest = ConnectedComponents.labels(corpus, "doc_id", forest)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaPairs == viaForest)
+    assert(forest.count() <= verified.count())
+    // end-to-end: verified dedup equals the direct recomputation and
+    // never keeps FEWER docs than unverified dedup (verification only
+    // removes edges, so clusters only split)
+    val kept = Dedup.dedupCorpusVerified(corpus, "doc_id", "text",
+      k = 8, bands = 4, minJaccard = 0.5)
+    val direct = {
+      val keep = ConnectedComponents.labels(corpus, "doc_id", verified)
+        .where($"id" === $"component").select($"id".as("doc_id"))
+      corpus.join(keep, Seq("doc_id"), "left_semi")
+    }
+    assert(kept.except(direct).isEmpty && direct.except(kept).isEmpty)
+    assert(kept.count() >=
+      Dedup.dedupCorpus(corpus, "doc_id", "text", k = 8, bands = 4).count())
+  }
+
   test("minhash duplicate-id contract: one signature row per input row; banding never self-pairs") {
     // the per-row kernel form emits exactly one row per INPUT row —
     // duplicated ids are NOT merged (that is minhashSignaturesByKey's
