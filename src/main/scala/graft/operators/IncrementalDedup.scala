@@ -264,19 +264,31 @@ object IncrementalDedup {
   /** Ingest `shard` and return only its rows that survive dedup
     * against everything ingested so far (including the shard itself) —
     * the per-arrival output of the standing pipeline.
+    *
+    * Routed through the LABEL STORE ([[ingestShardLabeled]] +
+    * [[labeledKeptIds]]): per-arrival cost is bounded by the shard's
+    * component NEIGHBORHOOD, not by the accumulated edge store — the
+    * earlier formulation re-ran the full transitive closure
+    * ([[keptIds]]) over the ever-growing store on EVERY arrival, a
+    * per-day cost that grows with corpus lifetime. All arrivals must
+    * flow through this method (or [[ingestShardLabeled]]) so the label
+    * store stays complete; one-shot audits over stores built without
+    * labels use [[ingestShard]] + [[keptIds]] directly.
     */
   def dedupShard(
       sigStore: LakeTable,
       pairStore: LakeTable,
+      labelStore: LakeTable,
       shard: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8,
       bands: Int = 4,
       storePairs: Boolean = false): DataFrame = {
-    ingestShard(sigStore, pairStore, shard, idCol, textCol, k, bands, storePairs)
+    ingestShardLabeled(sigStore, pairStore, labelStore, shard, idCol, textCol,
+      k, bands, storePairs)
     shard.join(
-      keptIds(sigStore, pairStore).withColumnRenamed("id", idCol),
+      labeledKeptIds(labelStore).withColumnRenamed("id", idCol),
       Seq(idCol), "left_semi")
   }
 }

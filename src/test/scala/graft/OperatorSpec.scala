@@ -621,12 +621,14 @@ class OperatorSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
     val sigStore = graft.lake.LakeTable.forPath(spark, s"$base/sigs")
     val pairStore = graft.lake.LakeTable.forPath(spark, s"$base/pairs")
+    val labelStore = graft.lake.LakeTable.forPath(spark, s"$base/labels")
     val shards = Seq(
       corpus.where($"doc_id" % 3 === 0),
       corpus.where($"doc_id" % 3 === 1),
       corpus.where($"doc_id" % 3 === 2))
 
-    val v0 = IncrementalDedup.ingestShard(sigStore, pairStore, shards(0), "doc_id", "text")
+    val v0 = IncrementalDedup.ingestShardLabeled(
+      sigStore, pairStore, labelStore, shards(0), "doc_id", "text")
     // CDC transport check: the commit's changes() are exactly the
     // shard's signature rows — not a store rescan, not the corpus
     val cdc = sigStore.changes(-1L, v0)
@@ -638,20 +640,28 @@ class OperatorSpec extends AnyFunSuite {
     // so the edge store's transitive closure is always the closure of
     // bandingPairs(union) even though the stored EDGES are the linear-
     // growth star set, not all pairs
-    IncrementalDedup.ingestShard(sigStore, pairStore, shards(1), "doc_id", "text")
+    IncrementalDedup.ingestShardLabeled(
+      sigStore, pairStore, labelStore, shards(1), "doc_id", "text")
     val partial = IncrementalDedup.keptIds(sigStore, pairStore)
       .as[Long].collect().sorted.toSeq
     val fullPartial = Dedup.dedupCorpus(
       corpus.where($"doc_id" % 3 =!= 2), "doc_id", "text", 8, 4)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(partial == fullPartial)
+    // the label store agrees with full CC after every arrival
+    assert(IncrementalDedup.labeledKeptIds(labelStore)
+      .as[Long].collect().sorted.toSeq == partial)
 
-    // final shard through dedupShard (ingest + surviving-rows join)
+    // final shard through dedupShard — the standing-pipeline entry
+    // point rides the LABEL STORE (O(shard neighborhood) per arrival),
+    // and its output must still equal the full-CC answer
     val kept3 = IncrementalDedup.dedupShard(
-      sigStore, pairStore, shards(2), "doc_id", "text")
+      sigStore, pairStore, labelStore, shards(2), "doc_id", "text")
     val incremental = IncrementalDedup.keptIds(sigStore, pairStore)
       .as[Long].collect().sorted.toSeq
     assert(incremental == full)
+    assert(IncrementalDedup.labeledKeptIds(labelStore)
+      .as[Long].collect().sorted.toSeq == full)
     // the shard's surviving rows are exactly the full answer ∩ shard
     assert(kept3.select("doc_id").as[Long].collect().sorted.toSeq ==
       full.filter(_ % 3 == 2))

@@ -44,11 +44,17 @@ object DriveIncDedup {
             IncrementalDedup.ingestShard(sig, store, sh, "doc_id", "text",
               storePairs = pairsMode)
           }
+          // the full-CC per-arrival cost the OLD dedupShard paid: one
+          // transitive closure over the whole accumulated edge store
+          val (_, tKeptFull) =
+            if (pairsMode) (0L, Double.NaN)
+            else time { IncrementalDedup.keptIds(sig, store).count() }
           ingested += sh.count()
           val stored = store.read().count()
           println(f"[incdedup $d mode=${if (pairsMode) "all-pairs" else "stars"} " +
             f"shard=${i + 1}/$nShards] ingested=$ingested storedEdges=$stored " +
-            f"edgesPerDoc=${stored.toDouble / ingested}%.2f tIngest=$tIngest%.1f")
+            f"edgesPerDoc=${stored.toDouble / ingested}%.2f tIngest=$tIngest%.1f" +
+            (if (pairsMode) "" else f" tKeptFullCC=$tKeptFull%.1f"))
         }
         if (!pairsMode) {
           // closure equivalence at the end of the star run
@@ -57,6 +63,32 @@ object DriveIncDedup {
           println(f"[incdedup $d] keptIds(incremental)=$inc dedupCorpus(batch)=$full " +
             f"equal=${inc == full} docs=$nDocs")
         }
+      }
+      // LABELED standing pipeline (what dedupShard now runs): per
+      // arrival, quotient-CC over the shard's neighborhood + a label
+      // upsert + the metadata-cheap labeledKeptIds filter — the
+      // per-arrival cost must stay FLAT across arrivals where
+      // tKeptFullCC above grows with the accumulated store
+      locally {
+        val base = java.nio.file.Files.createTempDirectory("graft-inclabeled").toString
+        val sig = LakeTable.forPath(spark, s"$base/sigs")
+        val store = LakeTable.forPath(spark, s"$base/edges")
+        val labels = LakeTable.forPath(spark, s"$base/labels")
+        var ingested = 0L
+        shards.zipWithIndex.foreach { case (sh, i) =>
+          val (_, tArrival) = time {
+            IncrementalDedup.ingestShardLabeled(
+              sig, store, labels, sh, "doc_id", "text")
+          }
+          val (nKept, tKept) = time { IncrementalDedup.labeledKeptIds(labels).count() }
+          ingested += sh.count()
+          println(f"[incdedup $d mode=labeled shard=${i + 1}/$nShards] " +
+            f"ingested=$ingested kept=$nKept tArrival=$tArrival%.1f tKept=$tKept%.1f")
+        }
+        val viaLabels = IncrementalDedup.labeledKeptIds(labels).count()
+        val viaFullCC = IncrementalDedup.keptIds(sig, store).count()
+        println(f"[incdedup $d mode=labeled] labeledKeptIds=$viaLabels " +
+          f"keptIds(fullCC)=$viaFullCC equal=${viaLabels == viaFullCC}")
       }
     }
     spark.stop()
