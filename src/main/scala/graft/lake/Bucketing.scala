@@ -68,4 +68,13 @@ object Bucketing {
     case bucketed(_) => true
     case _ => false
   }
+
+  /** The bucket id Spark's scan-side parser will assign this file —
+    * the `_NNNNN` suffix before the extension (mirror of
+    * BucketingUtils.getBucketId; None when the name carries none).
+    */
+  def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case bucketed(id) => Some(id.toInt)
+    case _ => None
+  }
 }

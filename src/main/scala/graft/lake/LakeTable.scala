@@ -1184,6 +1184,39 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         else routed.sortWithinPartitions(b.sortColumns.map(col): _*)
     }
 
+  /** Snapshot restricted to the files that can contain a row matched
+    * by `src` on `keys`, under the table's bucketing: when the bucket
+    * columns are a subset of the merge keys, a matching target row's
+    * bucket id is DERIVABLE from the source row (same hash Spark's
+    * repartition assigned at write time — `pmod(murmur3(bucketCols),
+    * n)`, `functions.hash` is that murmur3), so every file in a bucket
+    * the source never hashes into is pruned from the probe and the
+    * rewrite read WITHOUT being scanned. One map-side pass over the
+    * source computes the ≤ numBuckets distinct ids.
+    *
+    * On top of the layout's plan win (the bucketed scan reports
+    * HashPartitioning, so the probe join's TARGET side needs no
+    * exchange — only the small source side shuffles), this makes a
+    * key-local merge scan O(touched buckets / numBuckets) of the
+    * table. Unbucketed tables, bucket columns outside the keys, or
+    * any unsuffixed file fall back to the full snapshot.
+    */
+  private def bucketPrunedSnapshot(
+      snap: Snapshot, src: DataFrame, keys: Seq[String]): Snapshot =
+    bucketingOf(snap) match {
+      case Some(b) if b.columns.forall(keys.contains) && snap.files.nonEmpty &&
+          snap.files.forall(f => Bucketing.bucketIdOf(fileNameOf(f.path)).isDefined) =>
+        val ids = dbgTime("merge.bucketIds") {
+          src.select(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(b.columns.map(col): _*),
+              lit(b.numBuckets)).as("__graft_bucket"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        }
+        snap.copy(files = snap.files.filter(f =>
+          Bucketing.bucketIdOf(fileNameOf(f.path)).exists(ids.contains)))
+      case _ => snap
+    }
+
   /** MERGE upsert (U3): update-all-when-matched / insert-all-when-not,
     * keys from the table manifest PKs
     * (/root/reference/src/component.py:238-260). Copy-on-write with
@@ -1208,7 +1241,9 @@ final class LakeTable(spark: SparkSession, val path: Path) {
         // DV pairs instead of rewriting the touched files
         import spark.implicits._
         val srcK = src.select(keys.map(col): _*).dropDuplicates(keys)
-        val withProv = readWithProvenance(snap)
+        // bucket-derived file pruning (scaladoc above): the probe scan
+        // only reads files in buckets the source keys hash into
+        val withProv = readWithProvenance(bucketPrunedSnapshot(snap, srcK, keys))
         val cond = keys.map(k => withProv(k) === srcK(k)).reduce(_ && _)
         val scanToRel = snap.files.map(f => (scanPathOf(f), f.path))
           .toDF("__graft_file", "file")
@@ -1224,8 +1259,12 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       // File pruning: which live files contain rows whose key matches a
       // source key? `__graft_file` is the scan's per-row file
       // provenance — distinct over the inner join gives exactly the
-      // files MERGE must rewrite.
-      val withFile = readWithProvenance(snap)
+      // files MERGE must rewrite. On a bucketed target the scan list
+      // itself is first cut to the buckets the source keys hash into
+      // (bucketPrunedSnapshot), and the bucketed scan's
+      // HashPartitioning means the probe join never exchanges the
+      // target side.
+      val withFile = readWithProvenance(bucketPrunedSnapshot(snap, srcKeys, keys))
       val joinCond = keys.map(k => withFile(k) === srcKeys(k)).reduce(_ && _)
       val touchedFiles: Set[String] = withFile
         .join(srcKeys, joinCond, "left_semi")

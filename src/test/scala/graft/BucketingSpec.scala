@@ -125,6 +125,71 @@ class BucketingSpec extends AnyFunSuite {
     intercept[graft.core.UserException](t.compactZOrder(Seq("k", "v")))
   }
 
+  test("merge on a key-bucketed target: probe prunes to source buckets, target never shuffles") {
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    val data = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    t.write(data, "overwrite", bucketBy = Some(Bucketing(8, Seq("k"))))
+    val before = t.snapshotNow.files.map(_.path).toSet
+    assert(before.size >= 8)
+
+    // source keys confined to ONE bucket (Spark's own hash picks it)
+    def bucketOf(k: Long): Int =
+      Seq(k).toDF("k").select(pmod(hash($"k"), lit(8))).as[Int].head()
+    val b0 = bucketOf(1L)
+    val updKeys = (1L to 4000L).filter(bucketOf(_) == b0).take(40)
+    val newKey = (4001L to 5000L).find(bucketOf(_) == b0).get
+    val source = (updKeys.map(k => (k, "UPD")) :+ (newKey, "NEW")).toDF("k", "v")
+
+    t.merge(source, Seq("k"))
+    // correctness first
+    assert(t.read().where($"k".isin(updKeys: _*)).select("v")
+      .as[String].collect().forall(_ == "UPD"))
+    assert(t.read().where($"k" === newKey).select("v").as[String].head() == "NEW")
+    assert(t.read().count() == 4001)
+    // bucket-derived pruning: every file the merge REMOVED lives in the
+    // source's bucket — files of the other 7 buckets were never
+    // rewritten (and therefore never probed: the probe scan list is cut
+    // before any row is read)
+    val after = t.snapshotNow.files.map(_.path).toSet
+    val removed = before -- after
+    assert(removed.nonEmpty)
+    removed.foreach { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      assert(Bucketing.bucketIdOf(name).contains(b0),
+        s"merge rewrote a file outside the source bucket: $p")
+    }
+    assert((before -- removed).subsetOf(after), "untouched-bucket files must survive")
+
+    // plan shape of the probe join on a bucketed target: the TARGET
+    // side arrives HashPartitioning'd from the files, so the one
+    // exchange is the (small) source side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = t.read().join(source.select("k"), Seq("k"), "left_semi")
+      assert(countExchanges(probe) == 1,
+        s"expected exactly the source-side exchange:\n${probe.queryExecution.executedPlan}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // merge-on-read targets take the same pruned probe: only the
+    // source bucket's files gain DV entries
+    val dir2 = tmp()
+    val t2 = LakeTable.forPath(spark, dir2)
+    t2.write(data, "overwrite", bucketBy = Some(Bucketing(8, Seq("k"))))
+    t2.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+    t2.merge(source, Seq("k"))
+    assert(t2.read().where($"k".isin(updKeys: _*)).select("v")
+      .as[String].collect().forall(_ == "UPD"))
+    assert(t2.read().count() == 4001)
+    val dvFiles = t2.snapshotNow.files.filter(_.dv.isDefined).map(_.path)
+    assert(dvFiles.nonEmpty)
+    dvFiles.foreach { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      assert(Bucketing.bucketIdOf(name).contains(b0),
+        s"MoR merge deleted rows outside the source bucket: $p")
+    }
+  }
+
   test("add-column evolution on a bucketed table keeps the layout live") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
