@@ -123,18 +123,43 @@ object Multimodal {
     Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
         Seq(col("media_id")))
       .mapPartitions { rows =>
+        // reader SPIs resolved ONCE per partition, tried in sticky
+        // last-success-first order (decodeAudio's pattern):
+        // ImageIO.getImageReaders walks the IIORegistry per payload
+        // and runs every earlier provider's canDecodeInput sniff
+        // (mark + magic-byte read + reset each) before reaching the
+        // matching one — on a format-homogeneous partition the sticky
+        // order makes that exactly one sniff per payload.
+        val spis = imageReaderSpis()
+        val sticky = new StickyIndex
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
-          decodeOne(id, payload, fmt, maxDecodeBytes)
+          decodeOne(id, payload, fmt, maxDecodeBytes, spis, sticky)
         }
       }(enc)
   }
 
+  /** The registered image reader providers, in registry order — the
+    * same set `ImageIO.getImageReaders` consults, resolved once
+    * instead of per payload.
+    */
+  private def imageReaderSpis(): Array[javax.imageio.spi.ImageReaderSpi] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[javax.imageio.spi.ImageReaderSpi]
+    try {
+      val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      while (it.hasNext) out += it.next()
+    } catch { case scala.util.control.NonFatal(_) => }
+    out.toArray
+  }
+
   private def decodeOne(
-      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int): Row = {
-    import javax.imageio.ImageIO
+      id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int,
+      spis: Array[javax.imageio.spi.ImageReaderSpi],
+      sticky: StickyIndex): Row = {
     val nullRow = (err: String) =>
       Row(id, fmt, null, null, null, null, null, null, err)
     if (payload == null || payload.length == 0) return nullRow("empty_payload")
@@ -148,9 +173,21 @@ object Multimodal {
       // byte arrays; a heap-backed stream is strictly better here.
       stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = ImageIO.getImageReaders(stream)
-      if (!readers.hasNext) return nullRow("unsupported_format")
-      val reader = readers.next()
+      // sticky-first provider sniff (canDecodeInput's contract restores
+      // the stream position, so successive sniffs compose)
+      val s = stream
+      def sniffs(spi: javax.imageio.spi.ImageReaderSpi): Boolean =
+        try spi.canDecodeInput(s) catch { case _: Exception => false }
+      var spi: javax.imageio.spi.ImageReaderSpi = null
+      if (sticky.i >= 0 && sticky.i < spis.length && sniffs(spis(sticky.i)))
+        spi = spis(sticky.i)
+      var i = 0
+      while (spi == null && i < spis.length) {
+        if (i != sticky.i && sniffs(spis(i))) { spi = spis(i); sticky.i = i }
+        i += 1
+      }
+      if (spi == null) return nullRow("unsupported_format")
+      val reader = spi.createReaderInstance()
       try {
         reader.setInput(stream, true, true)
         // header-only: IHDR/SOF parse, no pixel decode
