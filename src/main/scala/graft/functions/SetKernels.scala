@@ -51,6 +51,22 @@ object SetKernels {
     c
   }
 
+  /** JVM-array twin of [[sortedIntersectCountLong]] for group-local
+    * verification loops (Dedup.lshVerifiedClusterEdges) that hold
+    * plain `Array[Long]` gram sets rather than Catalyst ArrayData.
+    */
+  def sortedIntersectCountLongArrays(a: Array[Long], b: Array[Long]): Int = {
+    val na = a.length; val nb = b.length
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** |A ∩ B| for ascending-sorted (UTF8 binary order) distinct string
     * arrays.
     */

@@ -962,21 +962,126 @@ object Dedup {
     ConnectedComponents.spanningForest(passing)
   }
 
-  /** The VERIFIED dedup pipeline applied end to end: LSH candidate
-    * pairs → exact shingle-Jaccard verification at `minJaccard` →
-    * spanning-forest reduction → connected components → keep the
-    * minimum-id representative per verified cluster. This is
-    * dedupCorpus with the false-positive filter a production pipeline
-    * runs: LSH buckets admit pairs whose true Jaccard is below
-    * threshold (banding is probabilistic), and those stay SEPARATE
-    * here where dedupCorpus would merge them.
+  /** Member cap per band bucket for BUCKET-LOCAL verification
+    * ([[lshVerifiedClusterEdges]]): one task holds one bucket's gram
+    * arrays (~1 KB/doc) and pays up to |bucket|²/2 merge-counts for a
+    * bucket where nothing verifies, so the guard is tighter than
+    * bandingPairs' output-side MaxBucketSize. 2¹⁷ docs ≈ 150 MB of
+    * grams — comfortable; a bucket past it is degenerate boilerplate
+    * that exact dedup should collapse FIRST (same advice as the
+    * MaxBucketSize error).
+    */
+  val VerifiedBucketMaxIds: Int = 1 << 17
+
+  /** Verified duplicate-cluster edges for the LSH pipeline, computed
+    * BUCKET-LOCALLY — the 100 TB path behind [[dedupCorpusVerified]].
     *
-    * Scale shape: candidate pairs are enumerated once (inherent to
-    * verification — each pair needs a score), but nothing quadratic is
-    * ever shuffled or returned: the verify plan's exchanges are
-    * set-cardinality-bounded (setOverlap) or broadcast-pruned
-    * (setOverlapCompact), and the verified pair set collapses to
-    * forest edges map-side before CC.
+    * Why not verify a candidate-pair FRAME? At sf10 the band buckets
+    * yield 31.4M candidate pairs over 466k distinct ids: past the
+    * broadcast-verify gate (CompactVerifyMaxIds) AND wide enough that
+    * the exploded-hash plan's pair×grams join fans out to billions of
+    * rows. But verification is bucket-DECOMPOSABLE: every candidate
+    * pair shares a bucket, so shipping each doc's sorted gram array TO
+    * its buckets (one shuffle, ≤ `bands` copies per doc — corpus-
+    * linear) lets each bucket verify its own pairs in place with the
+    * sorted-merge kernel, no pair frame, no broadcast, no corpus-sized
+    * driver state.
+    *
+    * Inside a bucket, pairs are checked in sorted-id order under a
+    * local union-find, and a pair whose endpoints are ALREADY
+    * connected is skipped without scoring — closure-exact (adding an
+    * edge inside one component never changes the transitive closure,
+    * verified or not), and it collapses the all-duplicates bucket from
+    * m²/2 scores to ~m. Emitted edges are the union-find's successful
+    * merges: ≤ |bucket|−1 rows per bucket, corpus-linear overall.
+    * labels(these edges) ≡ labels(ALL thresholded candidate pairs) —
+    * spec-pinned against the pair-frame formulation, and q66's oracle
+    * closes over the full thresholded pair set in DuckDB.
+    *
+    * Scoring is the compact verify plan's arithmetic exactly: distinct
+    * 60-bit gram hashes (TextKernels.shingleHashes), sorted once per
+    * doc, |A∩B| by merge-count, Jaccard gate
+    * `n_inter >= minJaccard * (n_a + n_b - n_inter)` in double
+    * arithmetic — identical to the `n_inter >= lit(j) * n_union`
+    * column form and to the DuckDB oracle.
+    */
+  def lshVerifiedClusterEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = bandBuckets(minhashSignatures(docs, idCol, textCol, k), k, bands)
+    val grams = rebalance(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("t")))
+      .where(col("t").isNotNull)
+      .select(col("id"), sort_array(
+        graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
+    buckets.join(grams, Seq("id"))
+      .select(col("bucket"), col("id"), col("elems"))
+      .as[(Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long, Array[Long])]) =>
+        val members = it.map(m => (m._2, m._3)).toArray
+        if (members.length > VerifiedBucketMaxIds)
+          throw new IllegalStateException(
+            s"LSH bucket exceeds $VerifiedBucketMaxIds ids (bucket $bucket, " +
+              s"${members.length} ids) for bucket-local verification — " +
+              "run exact dedup first to collapse degenerate boilerplate")
+        // sorted-id order: deterministic pair iteration (and therefore
+        // deterministic emitted edges) under task retries
+        scala.util.Sorting.quickSort(members)(Ordering.by(_._1))
+        val n = members.length
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) {
+            val ri = find(i); val rj = find(j)
+            if (ri != rj) {
+              val ea = members(i)._2; val eb = members(j)._2
+              val ni = graft.functions.SetKernels
+                .sortedIntersectCountLongArrays(ea, eb)
+              if (ni >= minJaccard * (ea.length + eb.length - ni)) {
+                if (ri < rj) parent(rj) = ri else parent(ri) = rj
+                out += ((members(i)._1, members(j)._1))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
+  /** The VERIFIED dedup pipeline applied end to end: LSH candidates →
+    * exact shingle-Jaccard verification at `minJaccard` → connected
+    * components → keep the minimum-id representative per verified
+    * cluster. This is dedupCorpus with the false-positive filter a
+    * production pipeline runs: LSH buckets admit pairs whose true
+    * Jaccard is below threshold (banding is probabilistic), and those
+    * stay SEPARATE here where dedupCorpus would merge them.
+    *
+    * Scale shape: verification runs bucket-locally
+    * ([[lshVerifiedClusterEdges]]) — no candidate-pair frame, no
+    * broadcast, shuffle ≤ `bands` gram-array copies per doc, edge
+    * output corpus-linear. Callers verifying an ARBITRARY pair frame
+    * (blocking strategies other than these buckets) use
+    * [[shingleVerifyEdges]] instead.
     */
   def dedupCorpusVerified(
       docs: DataFrame,
@@ -985,8 +1090,7 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
-    val edges = shingleVerifyEdges(docs, idCol, textCol, pairs, minJaccard)
+    val edges = lshVerifiedClusterEdges(docs, idCol, textCol, k, bands, minJaccard)
     val keep = ConnectedComponents.labels(docs, idCol, edges)
       .where(col("id") === col("component"))
       .select(col("id").as(idCol))

@@ -138,6 +138,14 @@ class OperatorSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(viaPairs == viaForest)
     assert(forest.count() <= verified.count())
+    // the bucket-local formulation (no pair frame at all — the 100 TB
+    // path dedupCorpusVerified runs) must close identically too
+    val bucketLocal = Dedup.lshVerifiedClusterEdges(
+      corpus, "doc_id", "text", k = 8, bands = 4, minJaccard = 0.5)
+    val viaBucketLocal = ConnectedComponents.labels(corpus, "doc_id", bucketLocal)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaBucketLocal == viaPairs,
+      "bucket-local verification must close like the thresholded pair set")
     // end-to-end: verified dedup equals the direct recomputation and
     // never keeps FEWER docs than unverified dedup (verification only
     // removes edges, so clusters only split)
