@@ -1203,19 +1203,76 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     */
   private def bucketPrunedSnapshot(
       snap: Snapshot, src: DataFrame, keys: Seq[String]): Snapshot =
-    bucketingOf(snap) match {
-      case Some(b) if b.columns.forall(keys.contains) && snap.files.nonEmpty &&
-          snap.files.forall(f => Bucketing.bucketIdOf(fileNameOf(f.path)).isDefined) =>
-        val ids = dbgTime("merge.bucketIds") {
-          src.select(org.apache.spark.sql.functions.pmod(
-              org.apache.spark.sql.functions.hash(b.columns.map(col): _*),
-              lit(b.numBuckets)).as("__graft_bucket"))
-            .distinct().collect().map(_.getInt(0)).toSet
-        }
-        snap.copy(files = snap.files.filter(f =>
-          Bucketing.bucketIdOf(fileNameOf(f.path)).exists(ids.contains)))
+    prunableBucketing(snap) match {
+      case Some(b) if b.columns.forall(keys.contains) =>
+        pruneToBuckets(snap,
+          sourceBucketIds(src, b.columns.map(c => src(c)), b.numBuckets))
       case _ => snap
     }
+
+  /** The table's bucketing iff every live file carries a parseable
+    * bucket suffix (the precondition for file-level bucket pruning).
+    */
+  private def prunableBucketing(snap: Snapshot): Option[Bucketing] =
+    bucketingOf(snap).filter(_ => snap.files.nonEmpty &&
+      snap.files.forall(f => Bucketing.bucketIdOf(fileNameOf(f.path)).isDefined))
+
+  /** Distinct bucket ids the source side hashes into — ONE map-side
+    * pass + a ≤ numBuckets-row collect. `exprs` must produce, in
+    * bucket-column order, values equal to the STORED bucket-column
+    * values of any row they can match (same type ⇒ same murmur3).
+    */
+  private def sourceBucketIds(
+      src: DataFrame, exprs: Seq[Column], numBuckets: Int): Set[Int] =
+    dbgTime("merge.bucketIds") {
+      src.select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(exprs: _*),
+          lit(numBuckets)).as("__graft_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
+
+  private def pruneToBuckets(snap: Snapshot, ids: Set[Int]): Snapshot =
+    snap.copy(files = snap.files.filter(f =>
+      Bucketing.bucketIdOf(fileNameOf(f.path)).exists(ids.contains)))
+
+  /** For a general MERGE ON condition: the source-side expressions
+    * equi-joined to each bucket column, when the condition's top-level
+    * conjuncts pin EVERY bucket column as `target.<bucketCol> =
+    * <source-only expression>` (either side). The analyzer has already
+    * type-aligned both sides of each equality, and a coerced target
+    * side appears as a Cast (not a bare attribute) and disqualifies
+    * the conjunct — so a returned expression's murmur3 over equal
+    * values equals the write-time bucket hash of the stored column.
+    * None ⇒ the condition does not determine the bucket ⇒ no pruning.
+    */
+  private def equiSourceExprsForBuckets(
+      b: Bucketing, probe: DataFrame, src: DataFrame,
+      cond: Column): Option[Seq[Column]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression => CExpr}
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val probeAttrName: Map[Long, String] = probe.queryExecution.analyzed.output
+      .map(a => a.exprId.id -> a.name).toMap
+    val srcIds: Set[Long] = src.queryExecution.analyzed.output.map(_.exprId.id).toSet
+    def sourceOnly(e: CExpr): Boolean =
+      e.references.nonEmpty && e.references.forall(a => srcIds(a.exprId.id)) &&
+        e.deterministic
+    val eqMap: Map[String, CExpr] = conjuncts(SparkBridge.expression(cond))
+      .flatMap {
+        case EqualTo(a: AttributeReference, rhs)
+            if probeAttrName.contains(a.exprId.id) && sourceOnly(rhs) =>
+          Some(probeAttrName(a.exprId.id) -> rhs)
+        case EqualTo(lhs, a: AttributeReference)
+            if probeAttrName.contains(a.exprId.id) && sourceOnly(lhs) =>
+          Some(probeAttrName(a.exprId.id) -> lhs)
+        case _ => None
+      }.toMap
+    val exprs = b.columns.map(eqMap.get)
+    if (exprs.forall(_.isDefined)) Some(exprs.flatten.map(SparkBridge.column))
+    else None
+  }
 
   /** MERGE upsert (U3): update-all-when-matched / insert-all-when-not,
     * keys from the table manifest PKs
@@ -1322,13 +1379,31 @@ final class LakeTable(spark: SparkSession, val path: Path) {
       // the probe carries __graft_file/__graft_row provenance (derived
       // below any DV filter); extra columns are invisible to clause
       // expressions, which bind by name to the schema columns
-      val probe = readWithProvenance(snap)
-      val probeSpec = build(probe, src)
-      probeSpec.matched.foreach {
+      val fullProbe = readWithProvenance(snap)
+      val fullSpec = build(fullProbe, src)
+      fullSpec.matched.foreach {
         case _: MergeClause.Insert => throw UserException(
           "MERGE: INSERT is not a valid WHEN MATCHED action")
         case _ => ()
       }
+      // Bucket-derived probe pruning (bucketPrunedSnapshot's scaladoc),
+      // generalized to the SQL MERGE's ON condition: when the
+      // condition's conjuncts pin every bucket column to a source-only
+      // expression, matches (and therefore inserts' anti-join misses)
+      // can only involve files in the buckets the source hashes into.
+      // NOT MATCHED BY SOURCE disqualifies pruning outright — an
+      // unmatched target row can live in any bucket.
+      val (probe, probeSpec) =
+        (if (fullSpec.notMatchedBySource.nonEmpty) None
+         else prunableBucketing(snap).flatMap { b =>
+           equiSourceExprsForBuckets(b, fullProbe, src, fullSpec.condition)
+             .map { exprs =>
+               val pruned = pruneToBuckets(snap,
+                 sourceBucketIds(src, exprs, b.numBuckets))
+               val p = readWithProvenance(pruned)
+               (p, build(p, src))
+             }
+         }).getOrElse((fullProbe, fullSpec))
       if (mergeModeOf(snap) == "merge-on-read") {
         morMergeInto(snap, src, probe, probeSpec)
         return

@@ -134,7 +134,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: java.util.Map[String, String],
       constraints: Array[Constraint]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
+    // CLUSTERED BY (cols) INTO n BUCKETS arrives as a bucket transform;
+    // record it as the table's Bucketing config so every INSERT routes
+    // rows into suffix-named bucket files and reads report
+    // HashPartitioning (zero-exchange key joins, bucket-pruned MERGE
+    // probes) — the SQL spelling of LakeTable.write(bucketBy = …).
+    val (bucketTs, otherTs) = partitions.toSeq
+      .partition(t => t.name == "bucket" || t.name == "sorted_bucket")
+    val bucketing: Option[graft.lake.Bucketing] = bucketTs match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val num = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw UserException(
+          "CLUSTERED BY requires INTO <n> BUCKETS"))
+        Some(graft.lake.Bucketing(num,
+          t.references.map(_.fieldNames.mkString(".")).toSeq))
+      case _ => throw UserException(
+        "graft tables support a single CLUSTERED BY (…) INTO n BUCKETS " +
+          "clause (SORTED BY bucketing is not supported)")
+    }
+    bucketing.foreach { b =>
+      val missing = b.columns.filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty) throw UserException(
+        s"CLUSTERED BY columns not in schema: ${missing.mkString(",")}")
+    }
+    val partCols = otherTs.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case other => throw UserException(
@@ -160,7 +187,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val dir = dirFor(ident)
     new LakeTable(spark, dir).createEmpty(schema, partCols,
-      userProps ++ constraintProps)
+      userProps ++ constraintProps ++
+        bucketing.map(graft.lake.Bucketing.toConfig).getOrElse(Map.empty))
     new GraftTableV2(spark, dir, fullName(ident))
   }
 

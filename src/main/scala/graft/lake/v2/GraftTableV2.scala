@@ -148,11 +148,18 @@ final class GraftWriteBuilder(lake: LakeTable, partCols: Seq[String])
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit =
+        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          val ow = overwriteAll || overwrite
           lake.write(data,
-            mode = if (overwriteAll || overwrite) "overwrite" else "append",
+            mode = if (ow) "overwrite" else "append",
             partitionBy = partCols,
-            mergeSchema = false)
+            mergeSchema = false,
+            // SQL INSERT OVERWRITE must keep the DDL-declared layout
+            // (the API's overwrite may change/drop bucketing; a
+            // CLUSTERED BY table's layout is table state, not a
+            // per-write choice)
+            bucketBy = if (ow) lake.bucketing else None)
+        }
       }
   }
 }

@@ -190,6 +190,62 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: CLUSTERED BY DDL, INSERT inherits, MERGE INTO probe prunes") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.bspec_sql")
+    spark.sql("""CREATE TABLE graft.default.bspec_sql (k BIGINT, v STRING)
+      USING graft CLUSTERED BY (k) INTO 8 BUCKETS""")
+    val dir = s"${graft.SparkEntry.warehouseDir}/default/bspec_sql"
+    val t = LakeTable.forPath(spark, dir)
+    assert(t.bucketing.contains(Bucketing(8, Seq("k"))),
+      "CLUSTERED BY must record the layout in table config")
+    (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("bspec_src")
+    spark.sql("INSERT INTO graft.default.bspec_sql SELECT * FROM bspec_src")
+    // every inserted file carries a bucket suffix (layout inherited)
+    val before = t.snapshotNow.files.map(_.path).toSet
+    assert(before.nonEmpty && before.forall(p =>
+      Bucketing.hasBucketSuffix(p.substring(p.lastIndexOf('/') + 1))))
+    // INSERT OVERWRITE keeps the DDL-declared layout
+    spark.sql(
+      "INSERT OVERWRITE graft.default.bspec_sql SELECT k, v FROM bspec_src")
+    assert(t.bucketing.contains(Bucketing(8, Seq("k"))))
+    assert(t.snapshotNow.files.forall(p =>
+      Bucketing.hasBucketSuffix(p.path.substring(p.path.lastIndexOf('/') + 1))))
+
+    // MERGE INTO with an equi-key ON: the probe prunes to the source
+    // buckets even through the SQL path (general-condition extraction)
+    def bucketOf(k: Long): Int =
+      Seq(k).toDF("k").select(pmod(hash($"k"), lit(8))).as[Int].head()
+    val b0 = bucketOf(1L)
+    val updKeys = (1L to 4000L).filter(bucketOf(_) == b0).take(30)
+    val newKey = (4001L to 5000L).find(bucketOf(_) == b0).get
+    (updKeys.map(k => (k, "UPD")) :+ (newKey, "NEW")).toDF("k", "v")
+      .createOrReplaceTempView("bspec_delta")
+    val preMerge = t.snapshotNow.files.map(_.path).toSet
+    spark.sql("""MERGE INTO graft.default.bspec_sql AS tgt
+      USING bspec_delta AS s ON tgt.k = s.k
+      WHEN MATCHED THEN UPDATE SET tgt.v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val postMerge = t.snapshotNow.files.map(_.path).toSet
+    val removed = preMerge -- postMerge
+    assert(removed.nonEmpty)
+    removed.foreach { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      assert(Bucketing.bucketIdOf(name).contains(b0),
+        s"SQL MERGE rewrote a file outside the source bucket: $p")
+    }
+    // correctness
+    assert(spark.sql(
+      s"SELECT v FROM graft.default.bspec_sql WHERE k = ${updKeys.head}")
+      .as[String].head() == "UPD")
+    assert(spark.sql(
+      s"SELECT v FROM graft.default.bspec_sql WHERE k = $newKey")
+      .as[String].head() == "NEW")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.default.bspec_sql")
+      .as[Long].head() == 4001L)
+    spark.sql("DROP TABLE graft.default.bspec_sql")
+  }
+
   test("add-column evolution on a bucketed table keeps the layout live") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
