@@ -208,7 +208,17 @@ object IncrementalDedup {
     val newPairs = pairStore.changes(pairsBefore)
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val newIds = shard.select(col(idCol).cast("long").as("id")).distinct()
+    updateLabels(labelStore, newPairs, newIds)
+    v
+  }
 
+  /** The label-store maintenance step shared by [[ingestShardLabeled]]
+    * and [[ingestShardVerified]]: fold ONE arrival's new edges into the
+    * persisted `(id, component)` store via the quotient-graph
+    * contraction described on ingestShardLabeled.
+    */
+  private def updateLabels(
+      labelStore: LakeTable, newPairs: DataFrame, newIds: DataFrame): Unit = {
     val labels =
       if (labelStore.exists) labelStore.read()
       else newIds.sparkSession.createDataFrame(
@@ -252,7 +262,6 @@ object IncrementalDedup {
       // standing scattered-key upserts: merge-on-read from day one
       labelStore.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
     } else labelStore.merge(upsert, Seq("id"))
-    v
   }
 
   /** Kept ids straight off the incrementally-maintained label store —
@@ -260,6 +269,151 @@ object IncrementalDedup {
     */
   def labeledKeptIds(labelStore: LakeTable): DataFrame =
     labelStore.read().where(col("id") === col("component")).select(col("id"))
+
+  /** Shard-incremental VERIFIED near-dup detection — [[ingestShard]]'s
+    * candidate connectivity replaced by exact shingle-Jaccard
+    * verification at `minJaccard` (the incremental counterpart of
+    * [[Dedup.dedupCorpusVerified]]). One more lake table carries the
+    * verification-side state:
+    *  - `gramStore` `(id, elems: array<long>)`: each doc's DISTINCT
+    *    60-bit gram hashes, sorted once at arrival — ~8 B per distinct
+    *    gram, so the text is scanned exactly once, on arrival, and
+    *    never again;
+    *  - `edgeStore` accumulates VERIFIED edges (pairs that passed the
+    *    Jaccard gate), ≤ bucket−1 per touched bucket per arrival;
+    *  - `labelStore` is maintained by the same quotient contraction as
+    *    [[ingestShardLabeled]].
+    *
+    * Per arrival, verification runs BUCKET-LOCALLY
+    * ([[Dedup.lshVerifiedClusterEdges]]'s kernel) over the buckets the
+    * shard touches, restricted to pairs WITH A NEW ENDPOINT: an
+    * old-old candidate pair was already checked in its later doc's
+    * arrival round, so every candidate pair of the accumulated corpus
+    * is verified exactly once across the shard sequence. The local
+    * union-find's skip-if-connected applies within an arrival
+    * (closure-safe: an edge inside one component never changes the
+    * closure), and the closure of the accumulated edge store equals
+    * the closure of ALL thresholded candidate pairs of the union —
+    * [[dedupShardVerified]]'s output is spec-pinned identical to a
+    * from-scratch `dedupCorpusVerified` over the concatenated corpus
+    * after every arrival. Per-arrival cost is bounded by the shard's
+    * bucket neighborhood (members × grams of touched buckets), never
+    * corpus size.
+    */
+  def ingestShardVerified(
+      sigStore: LakeTable,
+      gramStore: LakeTable,
+      edgeStore: LakeTable,
+      labelStore: LakeTable,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      minJaccard: Double = 0.5): Long = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    val before = if (sigStore.exists) sigStore.version else -1L
+    val sigs = Dedup.minhashSignatures(shard, idCol, textCol, k)
+    sigStore.write(sigs, if (before < 0L) "error" else "append")
+    val v = sigStore.version
+    val shardGrams = Dedup.rebalance(
+        shard.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .where(col("t").isNotNull)
+      .select(col("id"), sort_array(
+        graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
+    gramStore.write(shardGrams, if (gramStore.exists) "append" else "error")
+
+    // CDC transport, exactly as ingestShard: the shard's signatures
+    // come back off the lake without touching the rest of the store
+    val newSigs = sigStore.changes(before, v).drop("_commit_version")
+    val newBuckets = Dedup.bandBuckets(newSigs, k, bands)
+    val allBuckets = Dedup.bandBuckets(sigStore.read(), k, bands)
+    val touched = newBuckets.select("bucket").distinct()
+    val newIds = newSigs.select(col("id"))
+    val members = allBuckets.join(touched, Seq("bucket"), "left_semi")
+      .join(gramStore.read(), Seq("id"))
+      .join(newIds.withColumn("_new", lit(true)), Seq("id"), "left")
+      .select(col("bucket"), col("id"), col("elems"),
+        coalesce(col("_new"), lit(false)).as("is_new"))
+      .as[(Long, Long, Array[Long], Boolean)]
+    val edges = members.groupByKey(_._1)
+      .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long, Array[Long], Boolean)]) =>
+        val ms = it.map(m => (m._2, m._3, m._4)).toArray
+        if (ms.length > Dedup.VerifiedBucketMaxIds)
+          throw new IllegalStateException(
+            s"LSH bucket exceeds ${Dedup.VerifiedBucketMaxIds} ids (bucket " +
+              s"$bucket, ${ms.length} ids) for bucket-local verification — " +
+              "run exact dedup first to collapse degenerate boilerplate")
+        scala.util.Sorting.quickSort(ms)(Ordering.by(_._1))
+        val n = ms.length
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) {
+            // only pairs with a NEW endpoint: old-old pairs were
+            // verified in their own (later doc's) arrival round
+            if (ms(i)._3 || ms(j)._3) {
+              val ri = find(i); val rj = find(j)
+              if (ri != rj) {
+                val ea = ms(i)._2; val eb = ms(j)._2
+                val ni = graft.functions.SetKernels
+                  .sortedIntersectCountLongArrays(ea, eb)
+                if (ni >= minJaccard * (ea.length + eb.length - ni)) {
+                  if (ri < rj) parent(rj) = ri else parent(ri) = rj
+                  out += ((ms(i)._1, ms(j)._1))
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+    val edgesBefore = if (edgeStore.exists) edgeStore.version else -1L
+    edgeStore.write(edges, if (edgesBefore < 0L) "error" else "append")
+    val newEdges = edgeStore.changes(edgesBefore)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    updateLabels(labelStore,
+      newEdges, shard.select(col(idCol).cast("long").as("id")).distinct())
+    v
+  }
+
+  /** Ingest `shard` with VERIFICATION and return only its rows that
+    * survive verified dedup against everything ingested so far —
+    * identical after every arrival to a from-scratch
+    * [[Dedup.dedupCorpusVerified]] over the concatenated corpus
+    * (spec-pinned), at O(shard bucket neighborhood) per arrival.
+    */
+  def dedupShardVerified(
+      sigStore: LakeTable,
+      gramStore: LakeTable,
+      edgeStore: LakeTable,
+      labelStore: LakeTable,
+      shard: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    ingestShardVerified(sigStore, gramStore, edgeStore, labelStore, shard,
+      idCol, textCol, k, bands, minJaccard)
+    shard.join(
+      labeledKeptIds(labelStore).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_semi")
+  }
 
   /** Ingest `shard` and return only its rows that survive dedup
     * against everything ingested so far (including the shard itself) —

@@ -701,6 +701,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(storedPairs == fullPairs)
   }
 
+  test("incremental VERIFIED dedup: sharded ingest equals batch dedupCorpusVerified per arrival") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def batchKept(docs: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Dedup.dedupCorpusVerified(docs, "doc_id", "text", 8, 4, minJaccard = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft-incverified").toString
+    val sigs = graft.lake.LakeTable.forPath(spark, s"$base/sigs")
+    val grams = graft.lake.LakeTable.forPath(spark, s"$base/grams")
+    val edges = graft.lake.LakeTable.forPath(spark, s"$base/edges")
+    val labels = graft.lake.LakeTable.forPath(spark, s"$base/labels")
+    val shards = Seq(
+      corpus.where($"doc_id" % 3 === 0),
+      corpus.where($"doc_id" % 3 === 1),
+      corpus.where($"doc_id" % 3 === 2))
+
+    // arrival 1: survivors == batch verified dedup over shard 0 alone
+    val kept1 = IncrementalDedup.dedupShardVerified(
+      sigs, grams, edges, labels, shards(0), "doc_id", "text", minJaccard = 0.5)
+    assert(kept1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      batchKept(shards(0)))
+
+    // arrival 2: label store == batch over shards 0 ∪ 1
+    IncrementalDedup.ingestShardVerified(
+      sigs, grams, edges, labels, shards(1), "doc_id", "text", minJaccard = 0.5)
+    assert(IncrementalDedup.labeledKeptIds(labels)
+      .as[Long].collect().sorted.toSeq ==
+      batchKept(corpus.where($"doc_id" % 3 =!= 2)))
+
+    // arrival 3 through the consumer API; final state == batch over all
+    val kept3 = IncrementalDedup.dedupShardVerified(
+      sigs, grams, edges, labels, shards(2), "doc_id", "text", minJaccard = 0.5)
+    val full = batchKept(corpus)
+    assert(IncrementalDedup.labeledKeptIds(labels)
+      .as[Long].collect().sorted.toSeq == full)
+    assert(kept3.select("doc_id").as[Long].collect().sorted.toSeq ==
+      full.filter(_ % 3 == 2))
+    // verified store grows linearly: every edge passed the Jaccard
+    // gate inside some bucket, ≤ |bucket|−1 per touched bucket
+    val nDocs = corpus.where($"text".isNotNull).count()
+    assert(edges.read().count() <= 2L * 4 * nDocs)
+    // and verification keeps MORE docs than unverified incremental
+    // dedup would (threshold splits LSH false-positive clusters)
+    assert(full.size >= Dedup.dedupCorpus(corpus, "doc_id", "text", 8, 4).count())
+  }
+
   test("overlap on an empty candidate frame: empty, correctly-typed, no corpus work") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
