@@ -317,27 +317,53 @@ object IncrementalDedup {
     val sigs = Dedup.minhashSignatures(shard, idCol, textCol, k)
     sigStore.write(sigs, if (before < 0L) "error" else "append")
     val v = sigStore.version
-    val shardGrams = Dedup.rebalance(
-        shard.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      .where(col("t").isNotNull)
-      .select(col("id"), sort_array(
-        graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
-    gramStore.write(shardGrams, if (gramStore.exists) "append" else "error")
+    gramStore.write(shardGramSets(shard, idCol, textCol),
+      if (gramStore.exists) "append" else "error")
 
     // CDC transport, exactly as ingestShard: the shard's signatures
     // come back off the lake without touching the rest of the store
     val newSigs = sigStore.changes(before, v).drop("_commit_version")
+    val edges = verifiedArrivalEdges(
+      newSigs, sigStore.read(), gramStore.read(), k, bands, minJaccard)
+    val edgesBefore = if (edgeStore.exists) edgeStore.version else -1L
+    edgeStore.write(edges, if (edgesBefore < 0L) "error" else "append")
+    val newEdges = edgeStore.changes(edgesBefore)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    updateLabels(labelStore,
+      newEdges, shard.select(col(idCol).cast("long").as("id")).distinct())
+    v
+  }
+
+  /** The verified edges ONE arrival adds (the kernel behind
+    * [[ingestShardVerified]] and the streaming front end): bucket-local
+    * verification of the buckets `newSigs` touches, restricted to
+    * pairs with a new endpoint — see ingestShardVerified's scaladoc for
+    * the exactly-once-per-pair and closure arguments. `allSigs` /
+    * `allGrams` are the signature and gram stores INCLUDING this
+    * arrival (streaming callers pass version-pinned reads so replays
+    * are bit-identical).
+    */
+  def verifiedArrivalEdges(
+      newSigs: DataFrame,
+      allSigs: DataFrame,
+      allGrams: DataFrame,
+      k: Int,
+      bands: Int,
+      minJaccard: Double): DataFrame = {
+    val spark = newSigs.sparkSession
+    import spark.implicits._
     val newBuckets = Dedup.bandBuckets(newSigs, k, bands)
-    val allBuckets = Dedup.bandBuckets(sigStore.read(), k, bands)
+    val allBuckets = Dedup.bandBuckets(allSigs, k, bands)
     val touched = newBuckets.select("bucket").distinct()
     val newIds = newSigs.select(col("id"))
     val members = allBuckets.join(touched, Seq("bucket"), "left_semi")
-      .join(gramStore.read(), Seq("id"))
+      .join(allGrams, Seq("id"))
       .join(newIds.withColumn("_new", lit(true)), Seq("id"), "left")
       .select(col("bucket"), col("id"), col("elems"),
         coalesce(col("_new"), lit(false)).as("is_new"))
       .as[(Long, Long, Array[Long], Boolean)]
-    val edges = members.groupByKey(_._1)
+    members.groupByKey(_._1)
       .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long, Array[Long], Boolean)]) =>
         val ms = it.map(m => (m._2, m._3, m._4)).toArray
         if (ms.length > Dedup.VerifiedBucketMaxIds)
@@ -381,15 +407,18 @@ object IncrementalDedup {
         out.iterator
       }
       .toDF("id_a", "id_b")
-    val edgesBefore = if (edgeStore.exists) edgeStore.version else -1L
-    edgeStore.write(edges, if (edgesBefore < 0L) "error" else "append")
-    val newEdges = edgeStore.changes(edgesBefore)
-      .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
-    updateLabels(labelStore,
-      newEdges, shard.select(col(idCol).cast("long").as("id")).distinct())
-    v
   }
+
+  /** The sorted distinct 60-bit gram sets of one shard — the
+    * verification-side state [[ingestShardVerified]] persists (shared
+    * with the streaming front end).
+    */
+  def shardGramSets(shard: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.rebalance(
+        shard.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      .where(col("t").isNotNull)
+      .select(col("id"), sort_array(
+        graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
 
   /** Ingest `shard` with VERIFICATION and return only its rows that
     * survive verified dedup against everything ingested so far —

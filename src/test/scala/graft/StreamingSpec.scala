@@ -323,6 +323,66 @@ class StreamingSpec extends AnyFunSuite {
     assert((sig.version, pair.version, out.version) == ((vS, vP, vO)))
   }
 
+  test("streaming VERIFIED dedup: closure equals batch dedupCorpusVerified; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingVerifiedDedup
+    import graft.operators.{ConnectedComponents, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft-streamverified")
+    val sigPath = root.resolve("sigs"); val gramPath = root.resolve("grams")
+    val edgePath = root.resolve("edges"); val outPath = root.resolve("out")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingVerifiedDedup.dedupedIngest(
+      mem.toDF.toDF("doc_id", "text"), sigPath, gramPath, edgePath, outPath,
+      root.resolve("ckpt").toString, "doc_id", "text", minJaccard = 0.5)
+    val shards = Seq(
+      corpus.where($"doc_id" % 2 === 0),
+      corpus.where($"doc_id" % 2 === 1))
+    shards.foreach { sh =>
+      mem.addData(sh.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // retroactive kept set off the streamed stores == one batch
+    // dedupCorpusVerified over the concatenated corpus
+    val sig = new LakeTable(spark, sigPath)
+    val edge = new LakeTable(spark, edgePath)
+    val out = new LakeTable(spark, outPath)
+    val streamedKept = ConnectedComponents.labels(
+        sig.read().select("id"), "id", edge.read().select("id_a", "id_b"))
+      .where($"id" === $"component").select($"id")
+      .as[Long].collect().sorted.toSeq
+    val batchKept = Dedup.dedupCorpusVerified(corpus, "doc_id", "text", 8, 4, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamedKept == batchKept)
+
+    // appended output == union of arrival-time survivor sets under the
+    // VERIFIED batch recomputation of each prefix
+    val outIds = out.read().select("doc_id").as[Long].collect().sorted.toSeq
+    val expectedArrival: Set[Long] = shards.indices.flatMap { k =>
+      val prefix = shards.take(k + 1).reduce(_ unionByName _)
+      val prefixKept = Dedup.dedupCorpusVerified(prefix, "doc_id", "text", 8, 4, 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      val shardIds = shards(k).select("doc_id").as[Long].collect().toSet
+      prefixKept intersect shardIds
+    }.toSet
+    assert(outIds.toSet == expectedArrival)
+    // verification keeps more than the unverified stream would
+    assert(outIds.size >= Dedup.dedupCorpus(corpus, "doc_id", "text", 8, 4).count())
+
+    // exactly-once: replaying batch 0 adds NO commits to any store
+    val gram = new LakeTable(spark, gramPath)
+    val (vS, vG, vE, vO) = (sig.version, gram.version, edge.version, out.version)
+    StreamingVerifiedDedup.ingestBatch(shards(0), 0L, sigPath, gramPath,
+      edgePath, outPath, "doc_id", "text", 8, 4, 0.5)
+    assert((sig.version, gram.version, edge.version, out.version) ==
+      ((vS, vG, vE, vO)))
+  }
+
   test("streaming substring dedup: stores converge to batch repeatedSpans; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.SubstringDedup
