@@ -64,6 +64,33 @@ object DriveIncDedup {
             f"equal=${inc == full} docs=$nDocs")
         }
       }
+      // VERIFIED standing pipeline (dedupShardVerified): per arrival,
+      // gram-set commit + bucket-local verification of the touched
+      // buckets + label upsert — the full exact-Jaccard pipeline
+      locally {
+        val base = java.nio.file.Files.createTempDirectory("graft-incver").toString
+        val sig = LakeTable.forPath(spark, s"$base/sigs")
+        val gram = LakeTable.forPath(spark, s"$base/grams")
+        val edge = LakeTable.forPath(spark, s"$base/edges")
+        val labels = LakeTable.forPath(spark, s"$base/labels")
+        var ingested = 0L
+        shards.zipWithIndex.foreach { case (sh, i) =>
+          val (_, tArrival) = time {
+            IncrementalDedup.ingestShardVerified(
+              sig, gram, edge, labels, sh, "doc_id", "text", minJaccard = 0.5)
+          }
+          val (nKept, tKept) = time { IncrementalDedup.labeledKeptIds(labels).count() }
+          ingested += sh.count()
+          val stored = edge.read().count()
+          println(f"[incdedup $d mode=verified shard=${i + 1}/$nShards] " +
+            f"ingested=$ingested verifiedEdges=$stored kept=$nKept " +
+            f"tArrival=$tArrival%.1f tKept=$tKept%.1f")
+        }
+        val viaLabels = IncrementalDedup.labeledKeptIds(labels).count()
+        val batch = Dedup.dedupCorpusVerified(docs, "doc_id", "text", 8, 4, 0.5).count()
+        println(f"[incdedup $d mode=verified] labeledKeptIds=$viaLabels " +
+          f"batchVerified=$batch equal=${viaLabels == batch}")
+      }
       // LABELED standing pipeline (what dedupShard now runs): per
       // arrival, quotient-CC over the shard's neighborhood + a label
       // upsert + the metadata-cheap labeledKeptIds filter — the
