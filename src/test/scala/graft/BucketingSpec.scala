@@ -246,6 +246,63 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.bspec_sql")
   }
 
+  test("MERGE INTO bucket pruning: transformed keys prune correctly; NOT MATCHED BY SOURCE disables it") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.bspec_adv")
+    spark.sql("""CREATE TABLE graft.default.bspec_adv (k BIGINT, v STRING)
+      USING graft CLUSTERED BY (k) INTO 8 BUCKETS""")
+    (1L to 1000L).map(i => (i, "old")).toDF("k", "v")
+      .createOrReplaceTempView("bspec_adv_seed")
+    spark.sql("INSERT INTO graft.default.bspec_adv SELECT * FROM bspec_adv_seed")
+
+    // 1) equi on a TRANSFORMED source key (ON t.k = s.k0 + 10): the
+    //    pruning hashes the source EXPRESSION's values — matched rows
+    //    11,12,13 must update even though s.k0 itself is 1,2,3
+    Seq(1L, 2L, 3L).map(i => (i, "m")).toDF("k0", "nv")
+      .createOrReplaceTempView("bspec_adv_d1")
+    spark.sql("""MERGE INTO graft.default.bspec_adv AS t
+      USING bspec_adv_d1 AS s ON t.k = s.k0 + 10
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv""")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.bspec_adv WHERE v = 'm'")
+      .as[Long].head() == 3L)
+    assert(spark.sql(
+      "SELECT collect_set(v) FROM graft.default.bspec_adv WHERE k IN (11,12,13)")
+      .as[Seq[String]].head() == Seq("m"))
+
+    // 2) NOT MATCHED BY SOURCE must reach rows in EVERY bucket — the
+    //    pruning is disabled for it (an unmatched target row can live
+    //    anywhere); a wrongly-pruned probe would leave other buckets'
+    //    rows untouched
+    Seq(11L, 12L, 13L).map(i => (i, "m2")).toDF("k", "nv")
+      .createOrReplaceTempView("bspec_adv_d2")
+    spark.sql("""MERGE INTO graft.default.bspec_adv AS t
+      USING bspec_adv_d2 AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = 'nms'""")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.bspec_adv WHERE v = 'nms'")
+      .as[Long].head() == 997L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.bspec_adv WHERE v = 'm2'")
+      .as[Long].head() == 3L)
+
+    // 3) non-equi ON: no conjunct pins the bucket column -> no pruning;
+    //    correctness must hold across buckets (single source row keeps
+    //    the ANSI cardinality rule satisfiable: each target row matches
+    //    at most one source row)
+    Seq((998L, "hi")).toDF("lo", "nv").createOrReplaceTempView("bspec_adv_d3")
+    spark.sql("""MERGE INTO graft.default.bspec_adv AS t
+      USING bspec_adv_d3 AS s ON t.k > s.lo
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv""")
+    assert(spark.sql(
+      "SELECT collect_set(v) FROM graft.default.bspec_adv WHERE k > 998")
+      .as[Seq[String]].head() == Seq("hi"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.bspec_adv WHERE v = 'hi'")
+      .as[Long].head() == 2L)
+    spark.sql("DROP TABLE graft.default.bspec_adv")
+  }
+
   test("add-column evolution on a bucketed table keeps the layout live") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
