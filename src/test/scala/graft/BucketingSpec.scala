@@ -163,12 +163,20 @@ class BucketingSpec extends AnyFunSuite {
 
     // plan shape of the probe join on a bucketed target: the TARGET
     // side arrives HashPartitioning'd from the files, so the one
-    // exchange is the (small) source side
+    // exchange is the (small) source side — and a source staged in an
+    // IDENTICALLY bucketed table probes with ZERO exchanges total
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val probe = t.read().join(source.select("k"), Seq("k"), "left_semi")
       assert(countExchanges(probe) == 1,
         s"expected exactly the source-side exchange:\n${probe.queryExecution.executedPlan}")
+      val srcDir = tmp()
+      LakeTable.forPath(spark, srcDir).write(source, "overwrite",
+        bucketBy = Some(Bucketing(8, Seq("k"))))
+      val coProbe = t.read().join(
+        LakeTable.forPath(spark, srcDir).read().select("k"), Seq("k"), "left_semi")
+      assert(countExchanges(coProbe) == 0,
+        s"co-bucketed probe must be exchange-free:\n${coProbe.queryExecution.executedPlan}")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     // merge-on-read targets take the same pruned probe: only the
