@@ -311,6 +311,30 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.default.bspec_adv")
   }
 
+  test("merge into an empty bucket: pruned-to-nothing probe still inserts (CoW and MoR)") {
+    // 64 buckets over 6 rows leaves most buckets file-less; a source
+    // key hashing into one of those prunes the probe scan list to
+    // EMPTY — the merge must still insert, not lose the row
+    def bucketOf(k: Long, n: Int): Int =
+      Seq(k).toDF("k").select(pmod(hash($"k"), lit(n))).as[Int].head()
+    val seed = (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v")
+    val occupied = (1L to 6L).map(bucketOf(_, 64)).toSet
+    val newKey = (100L to 1000L).find(k => !occupied(bucketOf(k, 64))).get
+    for (mor <- Seq(false, true)) {
+      val dir = tmp()
+      val t = LakeTable.forPath(spark, dir)
+      t.write(seed, "overwrite", bucketBy = Some(Bucketing(64, Seq("k"))))
+      if (mor) t.alterSetProperties(Map("graft.merge.mode" -> "merge-on-read"))
+      t.merge(Seq((newKey, "NEW")).toDF("k", "v"), Seq("k"))
+      assert(t.read().count() == 7, s"mor=$mor lost the insert")
+      assert(t.read().where($"k" === newKey).select("v")
+        .as[String].head() == "NEW")
+      // and the insert landed with the layout intact (bucket suffix)
+      assert(t.snapshotNow.files.forall(f =>
+        Bucketing.hasBucketSuffix(f.path.substring(f.path.lastIndexOf('/') + 1))))
+    }
+  }
+
   test("add-column evolution on a bucketed table keeps the layout live") {
     val dir = tmp()
     val t = LakeTable.forPath(spark, dir)
