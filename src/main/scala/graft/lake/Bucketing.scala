@@ -52,10 +52,12 @@ object Bucketing {
   private val partPrefix = "part-(\\d+)-.*".r
 
   /** Task/partition index encoded in a parquet part-file name — under a
-    * bucketed write this IS the bucket id.
+    * bucketed write this IS the bucket id. A digit run that overflows
+    * Int is no index (Try, not toInt: a foreign file must degrade to
+    * None, never throw inside a merge).
     */
   def partIndexOf(fileName: String): Option[Int] = fileName match {
-    case partPrefix(idx) => Some(idx.toInt)
+    case partPrefix(idx) => scala.util.Try(idx.toInt).toOption
     case _ => None
   }
 
@@ -71,10 +73,12 @@ object Bucketing {
 
   /** The bucket id Spark's scan-side parser will assign this file —
     * the `_NNNNN` suffix before the extension (mirror of
-    * BucketingUtils.getBucketId; None when the name carries none).
+    * BucketingUtils.getBucketId; None when the name carries none OR
+    * the digit run overflows Int — a live file named like
+    * `x_99999999999.parquet` must disqualify pruning, not throw).
     */
   def bucketIdOf(fileName: String): Option[Int] = fileName match {
-    case bucketed(id) => Some(id.toInt)
+    case bucketed(id) => scala.util.Try(id.toInt).toOption
     case _ => None
   }
 }

@@ -119,9 +119,14 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     val dataSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields.filterNot(f => snap.metadata.partitionColumns.contains(f.name))
         .map(f => StructField(physicalOf(mapping, f.name), f.dataType, f.nullable)))
+    // the suffix must also be IN RANGE: Spark's bucketed read groups
+    // files into buckets 0..n-1 and a file parsed to id ≥ n would be
+    // silently DROPPED from every scan (vanishing rows) — such a
+    // layout reads as unbucketed instead (correct, just re-shuffles)
     val bucketSpec = bucketingOf(snap)
-      .filter(_ => snap.files.forall(f =>
-        Bucketing.hasBucketSuffix(fileNameOf(f.path))))
+      .filter(b => snap.files.forall(f =>
+        Bucketing.bucketIdOf(fileNameOf(f.path))
+          .exists(id => id >= 0 && id < b.numBuckets)))
       .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
         b.numBuckets, b.columns.map(physicalOf(mapping, _)),
         b.sortColumns.map(physicalOf(mapping, _))))
@@ -1211,11 +1216,17 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     }
 
   /** The table's bucketing iff every live file carries a parseable
-    * bucket suffix (the precondition for file-level bucket pruning).
+    * bucket suffix IN RANGE (< numBuckets) — the precondition for
+    * file-level bucket pruning. An out-of-range suffix (a foreign file
+    * whose name happens to end in digits) can never be hashed into by
+    * any source row, so allowing it would silently exclude that file
+    * from every pruned probe (missed matches); it must disqualify
+    * pruning instead.
     */
   private def prunableBucketing(snap: Snapshot): Option[Bucketing] =
-    bucketingOf(snap).filter(_ => snap.files.nonEmpty &&
-      snap.files.forall(f => Bucketing.bucketIdOf(fileNameOf(f.path)).isDefined))
+    bucketingOf(snap).filter(b => snap.files.nonEmpty &&
+      snap.files.forall(f => Bucketing.bucketIdOf(fileNameOf(f.path))
+        .exists(id => id >= 0 && id < b.numBuckets)))
 
   /** Distinct bucket ids the source side hashes into — ONE map-side
     * pass + a ≤ numBuckets-row collect. `exprs` must produce, in
@@ -1238,11 +1249,20 @@ final class LakeTable(spark: SparkSession, val path: Path) {
   /** For a general MERGE ON condition: the source-side expressions
     * equi-joined to each bucket column, when the condition's top-level
     * conjuncts pin EVERY bucket column as `target.<bucketCol> =
-    * <source-only expression>` (either side). The analyzer has already
-    * type-aligned both sides of each equality, and a coerced target
-    * side appears as a Cast (not a bare attribute) and disqualifies
-    * the conjunct — so a returned expression's murmur3 over equal
-    * values equals the write-time bucket hash of the stored column.
+    * <source-only expression>` (either side). For SQL MERGE the
+    * analyzer has already type-aligned both sides of each equality
+    * (a coerced target side appears as a Cast, not a bare attribute,
+    * and disqualifies the conjunct) — but `mergeInto` is a public API
+    * and a programmatic condition arrives UN-coerced, so a bare
+    * target attribute can sit against a source expression of a
+    * DIFFERENT type (INT bucket column = LONG source attr). Murmur3
+    * is type-dependent (hash(1: Int) ≠ hash(1L)), so such a conjunct
+    * would prune buckets that contain real matches. Both cases
+    * therefore also require the source expression's dataType to equal
+    * the target attribute's — mismatched (or unresolvable) types fall
+    * back to the unpruned probe, which is always correct.
+    * A returned expression's murmur3 over equal values then equals
+    * the write-time bucket hash of the stored column.
     * None ⇒ the condition does not determine the bucket ⇒ no pruning.
     */
   private def equiSourceExprsForBuckets(
@@ -1259,13 +1279,19 @@ final class LakeTable(spark: SparkSession, val path: Path) {
     def sourceOnly(e: CExpr): Boolean =
       e.references.nonEmpty && e.references.forall(a => srcIds(a.exprId.id)) &&
         e.deterministic
+    // dataType throws on unresolved expressions — treat those as a
+    // type mismatch (disqualify), never as a crash
+    def sameType(a: AttributeReference, e: CExpr): Boolean =
+      scala.util.Try(e.dataType).toOption.contains(a.dataType)
     val eqMap: Map[String, CExpr] = conjuncts(SparkBridge.expression(cond))
       .flatMap {
         case EqualTo(a: AttributeReference, rhs)
-            if probeAttrName.contains(a.exprId.id) && sourceOnly(rhs) =>
+            if probeAttrName.contains(a.exprId.id) && sourceOnly(rhs) &&
+              sameType(a, rhs) =>
           Some(probeAttrName(a.exprId.id) -> rhs)
         case EqualTo(lhs, a: AttributeReference)
-            if probeAttrName.contains(a.exprId.id) && sourceOnly(lhs) =>
+            if probeAttrName.contains(a.exprId.id) && sourceOnly(lhs) &&
+              sameType(a, lhs) =>
           Some(probeAttrName(a.exprId.id) -> lhs)
         case _ => None
       }.toMap

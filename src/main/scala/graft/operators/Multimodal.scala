@@ -123,20 +123,26 @@ object Multimodal {
     Dedup.rebalance(media.select("media_id", "payload", "format", "n_bytes"),
         Seq(col("media_id")))
       .mapPartitions { rows =>
-        // reader SPIs resolved ONCE per partition, tried in sticky
-        // last-success-first order (decodeAudio's pattern):
-        // ImageIO.getImageReaders walks the IIORegistry per payload
-        // and runs every earlier provider's canDecodeInput sniff
-        // (mark + magic-byte read + reset each) before reaching the
-        // matching one — on a format-homogeneous partition the sticky
-        // order makes that exactly one sniff per payload.
+        // reader SPIs resolved ONCE per partition (not the per-payload
+        // IIORegistry walk ImageIO.getImageReaders pays), but tried in
+        // strict REGISTRY order, first claimant wins — exactly
+        // ImageIO.getImageReaders' selection. A sticky
+        // last-success-first order (decodeAudio's pattern) was
+        // measured NEUTRAL here (BENCHNOTES_r12 §5: no global lock in
+        // the IIORegistry walk, unlike AudioSystem) and is NOT
+        // order-stable: when two providers claim the same payload
+        // (two TIFF readers, a lenient third-party SPI), sticky picks
+        // whichever decoded last, so the same payload's metadata could
+        // depend on partition history — non-deterministic output in an
+        // engine whose correctness gate is hash equality. Audio keeps
+        // sticky because there it is a measured 146x win and the
+        // deviation is documented at the decodeAudio site.
         val spis = imageReaderSpis()
-        val sticky = new StickyIndex
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
-          decodeOne(id, payload, fmt, maxDecodeBytes, spis, sticky)
+          decodeOne(id, payload, fmt, maxDecodeBytes, spis)
         }
       }(enc)
   }
@@ -158,8 +164,7 @@ object Multimodal {
 
   private def decodeOne(
       id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int,
-      spis: Array[javax.imageio.spi.ImageReaderSpi],
-      sticky: StickyIndex): Row = {
+      spis: Array[javax.imageio.spi.ImageReaderSpi]): Row = {
     val nullRow = (err: String) =>
       Row(id, fmt, null, null, null, null, null, null, err)
     if (payload == null || payload.length == 0) return nullRow("empty_payload")
@@ -173,17 +178,17 @@ object Multimodal {
       // byte arrays; a heap-backed stream is strictly better here.
       stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // sticky-first provider sniff (canDecodeInput's contract restores
-      // the stream position, so successive sniffs compose)
+      // registry-order provider sniff, first claimant wins (the
+      // ImageIO.getImageReaders selection rule; canDecodeInput's
+      // contract restores the stream position, so successive sniffs
+      // compose)
       val s = stream
       def sniffs(spi: javax.imageio.spi.ImageReaderSpi): Boolean =
         try spi.canDecodeInput(s) catch { case _: Exception => false }
       var spi: javax.imageio.spi.ImageReaderSpi = null
-      if (sticky.i >= 0 && sticky.i < spis.length && sniffs(spis(sticky.i)))
-        spi = spis(sticky.i)
       var i = 0
       while (spi == null && i < spis.length) {
-        if (i != sticky.i && sniffs(spis(i))) { spi = spis(i); sticky.i = i }
+        if (sniffs(spis(i))) spi = spis(i)
         i += 1
       }
       if (spi == null) return nullRow("unsupported_format")
@@ -309,6 +314,15 @@ object Multimodal {
         // synchronized provider lock on every attempt, which at 32
         // threads serializes the stage (measured: 200k tiny WAVs in
         // 28 ms wave-first vs 4.1 s in ServiceLoader order).
+        // DOCUMENTED ORDERING DEVIATION: if two providers both accept
+        // the same payload (they signal rejection by exception, so a
+        // lenient third-party reader could shadow a stock one), sticky
+        // picks whichever decoded last instead of ServiceLoader order.
+        // On the stock JDK provider set (WAVE/AU/AIFF/MIDI) claims are
+        // disjoint container magics, so decoded output is unaffected;
+        // the deviation is accepted here — unlike decodeImages, where
+        // the sticky order was measured neutral and strict registry
+        // order is kept — because this one is the 146x win above.
         val sticky = new StickyIndex
         rows.map { r =>
           decodeOneAudio(r.getLong(0), r.getAs[Array[Byte]](1),

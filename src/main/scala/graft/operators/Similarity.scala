@@ -354,8 +354,15 @@ object Similarity {
         .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
           col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
     } else {
+      // all-null collected prefix: ask the corpus, but only non-null
+      // vectors (size(null) is null → getInt NPEs) and tolerate an
+      // all-null / empty corpus (head() on empty throws) — 0 dims then,
+      // and every signature collapses to one bucket, which is correct
+      // (the per-pair splitScore over null vectors yields no rows).
       val dims = usable.headOption.map(_.getSeq[Double](1).length)
-        .getOrElse(emb.select(size(col(vecCol))).head().getInt(0))
+        .getOrElse(emb.where(col(vecCol).isNotNull)
+          .select(size(col(vecCol))).head(1)
+          .headOption.map(_.getInt(0)).getOrElse(0))
       val probes = emb.where(probeFilter)
         .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
         .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))

@@ -402,6 +402,90 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket suffix parsing: overflow digit runs are no bucket id") {
+    // a foreign file named like x_99999999999.parquet must degrade to
+    // None (disqualifying pruning / the BucketSpec), never throw a
+    // NumberFormatException inside a merge
+    assert(Bucketing.bucketIdOf("x_99999999999.parquet").isEmpty)
+    assert(Bucketing.bucketIdOf("part-00001-abc_00007.snappy.parquet").contains(7))
+    assert(Bucketing.partIndexOf("part-99999999999-abc.parquet").isEmpty)
+    assert(Bucketing.partIndexOf("part-00012-abc.parquet").contains(12))
+  }
+
+  test("un-coerced programmatic MERGE condition with mismatched key types never mis-prunes") {
+    // mergeInto is a public API: a programmatic MergeSpec condition is
+    // NOT analyzer-coerced, so `target(k): INT === source(sk): LONG`
+    // reaches the bucket-pruning extractor with a bare INT target
+    // attribute against a LONG source attr. Murmur3 is type-dependent
+    // (hash(1) != hash(1L)) — hashing the LONG values would prune
+    // buckets holding real matches: silently lost updates plus
+    // duplicate inserts. The type guard must fall back to the
+    // unpruned probe instead.
+    import graft.lake.{MergeClause, MergeSpec}
+    val dir = tmp()
+    val t = LakeTable.forPath(spark, dir)
+    val data = (1 to 4000).map(i => (i, s"v$i")).toDF("k", "v") // k: INT
+    t.write(data, "overwrite", bucketBy = Some(Bucketing(8, Seq("k"))))
+    val source = (1L to 40L).map(i => (i, "UPD")).toDF("sk", "nv") // sk: LONG
+    // sanity of the fixture: at least one key buckets differently as
+    // LONG than as INT, so a mis-typed pruning WOULD drop real matches
+    val intBuckets = (1 to 40).map(k =>
+      Seq(k).toDF("k").select(pmod(hash($"k"), lit(8))).as[Int].head())
+    val longBuckets = (1L to 40L).map(k =>
+      Seq(k).toDF("k").select(pmod(hash($"k"), lit(8))).as[Int].head())
+    assert(intBuckets != longBuckets, "fixture no longer exercises the type split")
+    t.mergeInto(source) { (target, s) =>
+      MergeSpec(
+        target("k") === s("sk"),
+        matched = Seq(MergeClause.Update(None, Map("v" -> s("nv")))),
+        notMatched = Seq(MergeClause.Insert(None,
+          Map("k" -> s("sk"), "v" -> s("nv")))),
+        notMatchedBySource = Nil)
+    }
+    val got = t.read().where($"k" <= 40).select("v").as[String].collect()
+    assert(got.length == 40 && got.forall(_ == "UPD"),
+      s"lost updates: ${got.count(_ != "UPD")} of 40 rows kept their old value")
+    assert(t.read().count() == 4000, "duplicate inserts: matched rows were re-inserted")
+  }
+
+  test("foreign out-of-range bucket suffix: rows stay readable, merges fall back to the full probe") {
+    // A live file whose name parses to bucket 99 of an 8-bucket layout
+    // can never be hashed into by any source row. If the layout were
+    // still trusted: (a) Spark's bucketed read tabulates groups
+    // 0..n-1, so the file's rows VANISH from every scan; (b) the
+    // pruned merge probe never reads it, silently missing matches.
+    // Both paths must instead degrade to the unbucketed plan.
+    import graft.lake.TransactionLog
+    for (suffix <- Seq("00099", "99999999999")) { // out-of-range; Int overflow
+      val dir = tmp()
+      val t = LakeTable.forPath(spark, dir)
+      t.write((1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v"),
+        "overwrite", bucketBy = Some(Bucketing(8, Seq("k"))))
+      // stage ten extra rows as a plain parquet and graft it into the
+      // log under a foreign bucket-suffixed name
+      val stage = tmp()
+      (4001L to 4010L).map(i => (i, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val foreign = s"foreign_$suffix.parquet"
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, foreign))
+      val table = java.nio.file.Paths.get(dir)
+      assert(TransactionLog.tryCommit(table, TransactionLog.latestVersion(table) + 1,
+        Seq(TransactionLog.addAction(TransactionLog.AddFile(
+          foreign, Map.empty, java.nio.file.Files.size(part.toPath),
+          System.currentTimeMillis())))))
+      // (a) no vanishing rows: the scan must not trust the layout
+      assert(t.read().count() == 4010, s"suffix=$suffix dropped the foreign file's rows")
+      // (b) merge updates a row INSIDE the foreign file (4005) and one
+      // in a regular bucket (1) — the probe must not be bucket-pruned
+      t.merge(Seq((4005L, "UPD"), (1L, "UPD")).toDF("k", "v"), Seq("k"))
+      assert(t.read().where($"k".isin(1L, 4005L)).select("v")
+        .as[String].collect().toSeq == Seq("UPD", "UPD"))
+      assert(t.read().count() == 4010)
+    }
+  }
+
   test("format(\"graft\") writer honors bucketing options") {
     val dir = tmp()
     (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

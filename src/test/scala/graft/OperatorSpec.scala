@@ -533,6 +533,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(nd.except(ndJ).isEmpty && ndJ.except(nd).isEmpty)
   }
 
+  test("lshTopK over-gate regime: all-null collected prefix cannot crash the dims probe") {
+    // the over-gate branch sizes the LSH planes from the collected
+    // probes; when every collected probe has a null vector it must ask
+    // the corpus for dims over NON-NULL vectors only (size(null) is
+    // null -> getInt NPE) and tolerate an all-null / empty corpus
+    // (head() on empty throws). Pinned: no crash, empty result.
+    val allNull = (0L until 5L)
+      .map(i => (Option(i), null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    // maxEmbeddedProbes = 2 forces the over-gate branch with 5 probes
+    val outNull = Similarity.lshTopK(allNull, "vec_id", "embedding",
+      col("vec_id") >= 0, k = 3, planes = 4, maxEmbeddedProbes = 2)
+    assert(outNull.count() == 0)
+    // mixed corpus: null-vector probes, real candidate vectors — dims
+    // must come from the non-null corpus rows and scoring proceed
+    val rnd = new scala.util.Random(3)
+    val mixed = ((0L until 5L).map(i => (i, null.asInstanceOf[Array[Double]])) ++
+      (5L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val outMixed = Similarity.lshTopK(mixed, "vec_id", "embedding",
+      col("vec_id") < 7, k = 3, planes = 4, maxEmbeddedProbes = 2)
+    // the two non-null probes (5, 6) may rank; the null ones never do
+    assert(outMixed.where($"probe_id" < 5).count() == 0)
+  }
+
   test("graft_top_k: a group with fewer than k non-null sims returns only those (no null filler)") {
     import graft.functions.TopKFunctions
     // window row_number ranks null sims LAST but still ranks them;
