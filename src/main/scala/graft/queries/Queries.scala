@@ -839,19 +839,17 @@ object Queries {
              |FROM g a, g b WHERE a.doc_id % 53 = 0 AND b.doc_id % 59 = 0 AND a.doc_id < b.doc_id""".stripMargin)),
 
     // exact quantiles via deterministic rank selection (portable across
-    // engines, unlike interpolating quantile functions); the rank comes
-    // from the distributed two-pass Ranking.globalRowNumber, not a
-    // global window (single-partition at scale)
+    // engines, unlike interpolating quantile functions). Extraction
+    // only needs FOUR order statistics, so GroupQuantiles' sketch-
+    // bracketed selection (constant group) beats even the distributed
+    // range-sort (Ranking.globalRowNumber stays for consumers that
+    // need EVERY row ranked): three parallel scans and a bracket-sized
+    // sort replace shuffling the whole table into range partitions.
     "q46_quantiles" -> QueryDef(
-      (s, d) => {
-        val o = tbl(s, d, "orders")
-        val n = o.count()
-        val ranked = Ranking.globalRowNumber(
-          o, Seq(col("o_totalprice"), col("o_orderkey")))
-        val picks = Seq(0.25, 0.5, 0.75, 0.95).map(q => math.ceil(q * n).toLong)
-        ranked.where(col("rk").isin(picks: _*))
-          .select(col("rk").cast("long").as("rk"), col("o_totalprice"))
-      },
+      (s, d) => GroupQuantiles.exact(
+          tbl(s, d, "orders").withColumn("g", lit(1)),
+          Seq("g"), "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("rk"), col("o_totalprice")),
       Some("""WITH r AS (SELECT o_totalprice,
              |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
              |  COUNT(*) OVER () AS n FROM orders)
@@ -1006,19 +1004,17 @@ object Queries {
     // group-wise complement of q46 (whose rank is global): windows
     // partition by the group key, so every group sorts independently
     // and no single task ever sees more than one group's rows
+    // exact per-group median/p95 by distributed SELECTION, not a
+    // per-group sort: the window formulation funnels each priority
+    // class through ONE task (5 reducers sort 3M rows each at sf10;
+    // 20 TB per task at 100 TB). GroupQuantiles brackets the target
+    // rank with a mergeable KLL sketch, then sorts only the ~7% of
+    // rows inside the bracket — same rows, no group-wide sort.
     "q51_group_quantiles" -> QueryDef(
-      (s, d) => {
-        val o = tbl(s, d, "orders")
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        val ranked = o
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
-        ranked.where(
-          col("rk") === ceil(lit(0.5) * col("n")).cast("long") ||
-            col("rk") === ceil(lit(0.95) * col("n")).cast("long"))
-          .select(col("o_orderpriority"), col("rk"), col("o_totalprice"))
-      },
+      (s, d) => GroupQuantiles.exact(
+          tbl(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice",
+          Seq(0.5, 0.95))
+        .select(col("o_orderpriority"), col("rk"), col("o_totalprice")),
       Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
              |  row_number() OVER (PARTITION BY o_orderpriority
              |    ORDER BY o_totalprice, o_orderkey) AS rk,
