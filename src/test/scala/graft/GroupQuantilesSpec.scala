@@ -78,6 +78,24 @@ class GroupQuantilesSpec extends AnyFunSuite {
     assert(ex.count() == 12) // 6 groups x 2 distinct ranks
   }
 
+  test("decimal values: bracket comparisons in double space still select the exact value") {
+    // values sit on a DECIMAL(12,4) grid denser than doubles can hold
+    // exactly; the bracket/below comparisons run in the double image,
+    // but boundary ties fall INTO the bracket on both ends, so the
+    // selected decimal comes back exact and the window agrees
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 30000).map { i =>
+      ("d" + (i % 3), BigDecimal(rnd.nextInt(100000000)) / 10000)
+    }
+    val df = rows.toDF("grp", "v")
+      .select($"grp", $"v".cast("decimal(12,4)").as("v")).repartition(6)
+    val ex = GroupQuantiles.exact(df, Seq("grp"), "v", probs)
+    val win = GroupQuantiles.windowExact(df, Seq("grp"), "v", probs)
+    assertSameRows(ex, win, "decimal corpus")
+    assert(ex.schema("v").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 4))
+  }
+
   test("plan shape: no group-wide window — the only window partitions by bracket id") {
     // the whole point: on a low-cardinality group column the table is
     // never sorted per group. Pass 2's window partitions by __tid
