@@ -201,10 +201,20 @@ object GroupQuantiles {
       .distinct() // probs landing on the same rank emit one row
   }
 
-  /** The single-task-per-group window formulation — the semantic spec
-    * `exact` is pinned against, and its unconditional fallback.
+  /** The window formulation — the semantic spec `exact` is pinned
+    * against, its unconditional fallback, and the right tool in ONE
+    * regime: very many SMALL groups. Measured crossover at sf10
+    * (orders, 15M rows, 32 cores; BENCHNOTES_r13 §2): 5 groups
+    * selection 2.7 s vs window 11–12.5 s; 125 groups ≈ parity;
+    * 3125 groups window 1.5 s vs selection 3.5 s — because 4.8k-row
+    * per-group sorts parallelize across every core. The decision
+    * variable at scale is rows-per-group versus what one task can
+    * sort: with groups ≳ cores AND per-group data that fits a task
+    * comfortably, use this; with few groups or task-dwarfing groups
+    * (the 100 TB corpus-statistics shape), `exact`'s cost stays ~3
+    * scans regardless.
     */
-  private[graft] def windowExact(
+  def windowExact(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
