@@ -41,4 +41,43 @@ object Sampling {
     }
     df.where(keyCoin(key) < rate)
   }
+
+  /** EXACTLY `k` rows per stratum (balanced subsets: equal
+    * per-language / per-source quotas), chosen deterministically by
+    * md5 rank — the quota complement to rate-based `stratifiedSample`,
+    * whose output size only tracks the rate in expectation.
+    *
+    * The naive shape — `row_number() OVER (PARTITION BY stratum ORDER
+    * BY md5(key))` then `rn <= k` — shuffles the whole table and sorts
+    * each stratum inside ONE task (the few-strata single-reducer trap,
+    * see GroupQuantiles). This rides the mergeable bounded-heap
+    * aggregate instead (`graft_top_k`): every map task keeps at most k
+    * candidates per stratum and the exchange carries
+    * partitions × strata × k rows — corpus-size-independent.
+    *
+    * Rank = the integer value of the FIRST 13 HEX CHARS of md5(key):
+    * 52 bits, exact in the aggregate's double ordering, ties broken by
+    * key ascending (the heap's own rule). Any engine with md5 states
+    * the same order as `ORDER BY substr(md5(key), 1, 13), key` —
+    * fixed-width lowercase hex string order IS the numeric order — so
+    * the selection is reproducible across engines, layouts and reruns
+    * like every sampler here (no 53-bit-collision ambiguity: both
+    * sides rank by exactly those 52 bits). Null keys are dropped (not
+    * addressable output); strata holding fewer than k rows keep them
+    * all.
+    *
+    * Output: (stratum, key) with the key widened to BIGINT (the heap's
+    * id slot); join back on the key for full rows.
+    */
+  def stratifiedExactK(
+      df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rank = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    df.groupBy(col(stratumCol))
+      .agg(graft.functions.TopKFunctions.topK(
+        spark, negate(rank), col(keyCol), k).as("__tk"))
+      .select(col(stratumCol), explode(col("__tk")).as("__e"))
+      .select(col(stratumCol), col(s"__e.cand_id").as(keyCol))
+  }
 }

@@ -1489,6 +1489,20 @@ object Queries {
            |SELECT d.lang, COUNT(*) AS n_kept
            |FROM documents d JOIN keep USING (doc_id) GROUP BY d.lang""".stripMargin
       }),
+
+    // exact per-stratum quotas (balanced training subsets): exactly k
+    // docs per language, deterministically chosen by md5 rank — a
+    // mergeable bounded-heap aggregation (partitions x strata x k
+    // exchange rows), never a per-stratum window sort
+    "q67_stratified_quota" -> QueryDef(
+      (s, d) => Sampling.stratifiedExactK(
+        tbl(s, d, "documents"), "lang", "doc_id", k = 50),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+             |  FROM documents WHERE doc_id IS NOT NULL)
+             |WHERE rn <= 50""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

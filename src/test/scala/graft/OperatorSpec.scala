@@ -1585,6 +1585,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(byLang("fr") / 15000.0 - 0.3) < 0.02)
   }
 
+  test("stratified exact-k quota: window-equal, layout-independent, short strata kept whole") {
+    val df = ((1L to 20000L).map(i => (i, if (i % 4 == 0) "en" else "fr")) ++
+      (90001L to 90007L).map(i => (i, "rare")) ++ // stratum with < k rows
+      Seq((0L, null.asInstanceOf[String]))) // NULL stratum is a real stratum
+      .toDF("id", "lang")
+    val k = 25
+    // the semantic spec: per-stratum row_number over (md5 prefix, id)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(substring(md5($"id".cast("string")), 1, 13), $"id")
+    val expect = df.withColumn("rn", row_number().over(w)).where($"rn" <= k)
+      .select($"lang", $"id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Sampling.stratifiedExactK(df, "lang", "id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // quotas: full strata yield exactly k, the 7-row stratum all 7,
+    // the null stratum its single row
+    val counts = Sampling.stratifiedExactK(df, "lang", "id", k)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> k.toLong, "fr" -> k.toLong, "rare" -> 7L, "∅" -> 1L))
+    // identical selection under a different physical layout
+    val again = Sampling.stratifiedExactK(df.repartition(13), "lang", "id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+    // plan shape: aggregation, never a stratum-wide window sort
+    val plan = Sampling.stratifiedExactK(df, "lang", "id", k)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("exact-substring dedup: planted repeats produce exactly the merged spans") {
     def toks(s: String) = s.split(" ").length
     val shared = (1 to 12).map(i => s"rep$i").mkString(" ") // 12-token planted passage
