@@ -53,9 +53,14 @@ import org.apache.spark.sql.types._
   *
   * Driver state is GROUP-BOUNDED (≤ maxGroups sketch rows + one row
   * per group×prob), the pattern every k-/cap-bounded collect in this
-  * engine follows: designed for low-cardinality group sets. For
-  * high-cardinality grouping use the KLL rollup (q58) — exact
-  * selection per group is the wrong ask there.
+  * engine follows: designed for low-cardinality group sets. The cap
+  * prices the COLLECT, not just the row count — each stats row
+  * carries a serialized KLL sketch (≈2–6 KB at the default k=400),
+  * so the default cap of 10,000 groups bounds pass 1's collect at
+  * tens of MB; raise it knowingly, it is driver memory. For
+  * high-cardinality grouping use the KLL rollup (q58) or
+  * [[windowExact]] — exact selection per group is the wrong ask
+  * there.
   *
   * Output: one row per distinct (group, rank): groupCols…, `rk` =
   * ceil(p·n) (LongType), and the value column under its own name —
@@ -70,7 +75,7 @@ object GroupQuantiles {
       valueCol: String,
       probs: Seq[Double],
       sketchK: Int = 400,
-      maxGroups: Int = 100000): DataFrame = {
+      maxGroups: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
       s"probs must be in (0, 1], got $probs")
