@@ -47,20 +47,36 @@ import org.apache.spark.sql.types._
   * agrees, NaN compares false); both shortcut driver-side. In the
   * astronomically-unlikely event a sketch bound is violated (the 3.5×
   * margin is far outside the sketch's 99% envelope), the picked-row
-  * count won't match the target count and the operator falls back to
-  * the window formulation — correctness is unconditional, the sketch
-  * only buys the plan.
+  * count won't match the target count and the operator logs a warning
+  * naming the missed (group, rank) brackets, then falls back to the
+  * window formulation — correctness is unconditional, the sketch only
+  * buys the plan. A RECURRING warning is a margin bug worth a report,
+  * not just a slow query.
   *
-  * Driver state is GROUP-BOUNDED (≤ maxGroups sketch rows + one row
-  * per group×prob), the pattern every k-/cap-bounded collect in this
-  * engine follows: designed for low-cardinality group sets. The cap
-  * prices the COLLECT, not just the row count — each stats row
-  * carries a serialized KLL sketch (≈2–6 KB at the default k=400),
-  * so the default cap of 10,000 groups bounds pass 1's collect at
-  * tens of MB; raise it knowingly, it is driver memory. For
-  * high-cardinality grouping use the KLL rollup (q58) or
-  * [[windowExact]] — exact selection per group is the wrong ask
-  * there.
+  * Driver state is GROUP-BOUNDED and the bound is enforced BEFORE any
+  * driver transfer: pass 1 collects through `.limit(maxGroups + 1)`
+  * (CollectLimit — the aggregate still runs fully distributed, but at
+  * most maxGroups+1 stats rows ever reach the driver). Each stats row
+  * carries a serialized KLL sketch (≈2–6 KB at the default k=400), so
+  * the default cap of 10,000 groups bounds pass 1's collect at tens of
+  * MB; raise it knowingly, it is driver memory. Exceeding the cap is
+  * NOT an error: the operator logs a warning and falls back to
+  * [[windowExact]] — past ~10k groups per-group sorts parallelize
+  * across every core, which is exactly the regime where the window
+  * formulation wins anyway (see [[auto]] for the measured crossover).
+  *
+  * Bracket-join fanout: pass 3 joins every row of a bracketed group
+  * against ALL of that group's bounds rows — a groups×probs fanout on
+  * the FILTERED frame. At probs ≤ ~10 (the realistic ask: quartiles,
+  * deciles, p99-style tails) the fanout is noise; the operator rejects
+  * probs lists past 64 outright rather than let the fanout grow
+  * quadratic-ish silently.
+  *
+  * Reserved names: both formulations introduce `__`-prefixed working
+  * columns (`__v __tid __k __lo __hi __n __rk __lr __below __g<i>`)
+  * unqualified against the caller's frame; a caller column with one of
+  * these names fails analysis with an ambiguous-reference error
+  * (loudly, never wrongly). Rename such columns before calling.
   *
   * Output: one row per distinct (group, rank): groupCols…, `rk` =
   * ceil(p·n) (LongType), and the value column under its own name —
@@ -69,16 +85,29 @@ import org.apache.spark.sql.types._
   */
 object GroupQuantiles {
 
-  def exact(
-      df: DataFrame,
-      groupCols: Seq[String],
-      valueCol: String,
-      probs: Seq[Double],
-      sketchK: Int = 400,
-      maxGroups: Int = 10000): DataFrame = {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.GroupQuantiles")
+
+  private def validate(groupCols: Seq[String], probs: Seq[Double]): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
       s"probs must be in (0, 1], got $probs")
+    require(probs.length <= 64,
+      s"probs list of ${probs.length} exceeds 64 — the bracket pass fans " +
+        "every bracketed row out against its group's bounds rows " +
+        "(groups × probs); for dense quantile grids use the KLL rollup (q58)")
+  }
+
+  /** Pass-1 stats frame: per-group n / null / NaN counts + KLL sketch,
+    * all mergeable partials, LIMITED to maxGroups+1 rows so the
+    * driver-side collect is cap-bounded BEFORE it materializes
+    * (CollectLimit — the plan GroupQuantilesSpec pins).
+    */
+  private[graft] def statsFrame(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sketchK: Int,
+      maxGroups: Int): DataFrame = {
     val spark = df.sparkSession
     val valueField = df.schema(valueCol)
     val floating = valueField.dataType match {
@@ -87,22 +116,110 @@ object GroupQuantiles {
     }
     val v = col(valueCol)
     val nanCond = if (floating) isnan(v) else lit(false)
-
-    // pass 1: per-group n / null / NaN counts + KLL sketch, all
-    // mergeable partials; collect is maxGroups-bounded
-    val stats = df.groupBy(groupCols.map(col): _*).agg(
+    df.groupBy(groupCols.map(col): _*).agg(
         count(lit(1)).as("__n"),
         count(when(v.isNull, 1)).as("__nulls"),
         count(when(nanCond, 1)).as("__nans"),
         KllFunctions.kllSketch(spark, v, sketchK).as("__sk"))
-      .collect()
-    require(stats.length <= maxGroups,
-      s"exact group quantiles collected ${stats.length} groups (cap " +
-        s"$maxGroups) — for high-cardinality grouping use the KLL " +
-        "sketch rollup instead")
+      .limit(maxGroups + 1)
+  }
+
+  /** Collected pass-1 stats, or None when the group count exceeds the
+    * cap (the limit admits maxGroups+1 rows exactly so overflow is
+    * detectable without ever collecting more than that).
+    */
+  private def collectStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sketchK: Int,
+      maxGroups: Int): Option[Array[Row]] = {
+    val stats = statsFrame(df, groupCols, valueCol, sketchK, maxGroups).collect()
+    if (stats.length > maxGroups) None else Some(stats)
+  }
+
+  def exact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      sketchK: Int = 400,
+      maxGroups: Int = 10000): DataFrame = {
+    validate(groupCols, probs)
+    collectStats(df, groupCols, valueCol, sketchK, maxGroups) match {
+      case Some(stats) => selectFromStats(df, groupCols, valueCol, probs, stats)
+      case None =>
+        log.warn(s"group quantiles on (${groupCols.mkString(", ")}) exceeded " +
+          s"the $maxGroups-group cap — falling back to the window " +
+          "formulation (many small groups is its winning regime; raise " +
+          "maxGroups knowingly if selection was intended)")
+        windowExact(df, groupCols, valueCol, probs)
+    }
+  }
+
+  /** Picks the formulation from the measured crossover, using only
+    * pass-1 stats the selection path needs anyway (so choosing
+    * selection costs nothing extra, and choosing the window costs one
+    * group-bounded aggregate scan).
+    *
+    * Measured at sf10 (orders, 15M rows, 32 cores; BENCHNOTES_r13 §2):
+    * 5 groups — selection 2.7 s vs window 11–12.5 s; 125 groups ≈
+    * parity; 3125 groups — window 1.5 s vs selection 3.5 s. The
+    * decision variables are therefore (a) enough groups to fill every
+    * core with per-group sorts (crossover ≈ 4× parallelism: 125 ≈
+    * 4×32) and (b) per-group data one task can sort comfortably
+    * (`windowMaxGroupRows`; a 100 TB corpus split 3,125 ways is still
+    * 32 GB per group — selection territory no matter the group count).
+    * Both formulations stay public: the spec pins identical output on
+    * both sides of the crossover.
+    */
+  def auto(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      sketchK: Int = 400,
+      maxGroups: Int = 10000,
+      windowMaxGroupRows: Long = 1L << 20): DataFrame = {
+    validate(groupCols, probs)
+    collectStats(df, groupCols, valueCol, sketchK, maxGroups) match {
+      case None =>
+        // past the cap there are certainly enough groups for the
+        // window's per-group sorts to fill the cluster
+        windowExact(df, groupCols, valueCol, probs)
+      case Some(stats) =>
+        val g = groupCols.length
+        val parallelism = df.sparkSession.sparkContext.defaultParallelism
+        val maxN = if (stats.isEmpty) 0L else stats.map(_.getLong(g)).max
+        if (stats.length >= 4L * parallelism && maxN <= windowMaxGroupRows) {
+          log.info(s"group quantiles auto-dispatch: window formulation " +
+            s"(${stats.length} groups >= 4x$parallelism, max group $maxN rows)")
+          windowExact(df, groupCols, valueCol, probs)
+        } else {
+          selectFromStats(df, groupCols, valueCol, probs, stats)
+        }
+    }
+  }
+
+  /** Selection passes 2–3 over collected pass-1 stats (≤ maxGroups
+    * rows, already cap-bounded by the caller).
+    */
+  private def selectFromStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      stats: Array[Row]): DataFrame = {
+    val spark = df.sparkSession
+    val valueField = df.schema(valueCol)
+    val floating = valueField.dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val v = col(valueCol)
 
     val g = groupCols.length
-    // (tid, groupValues, rank k) resolved directly (null / NaN picks)
+    // (groupValues, rank k) resolved directly (null / NaN picks)
     val direct = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long, Any)]
     // (tid, groupValues, k, kLocalBase=k-nulls, lo, hi)
     final case class Bracket(tid: Long, gv: Seq[Any], k: Long, kNonNull: Long,
@@ -194,7 +311,15 @@ object GroupQuantiles {
 
     if (picked.size != brackets.length) {
       // a sketch bound was violated (see scaladoc) — correctness falls
-      // back to the window formulation, unconditionally exact
+      // back to the window formulation, unconditionally exact. Named
+      // in the log: a RECURRING violation is a margin bug, not noise.
+      val missed = brackets.filterNot(b => picked.contains(b.tid)).take(8)
+        .map(b => s"(group=${b.gv.mkString(",")}, k=${b.k}, " +
+          s"bracket=[${b.lo}, ${b.hi}])")
+      log.warn(s"group quantiles sketch bound violated for " +
+        s"${brackets.length - picked.size} of ${brackets.length} brackets " +
+        s"${missed.mkString("; ")} — re-running the window formulation " +
+        "(3.5x margin missed: investigate if recurring)")
       return windowExact(df, groupCols, valueCol, probs)
     }
 
@@ -217,7 +342,7 @@ object GroupQuantiles {
     * sort: with groups ≳ cores AND per-group data that fits a task
     * comfortably, use this; with few groups or task-dwarfing groups
     * (the 100 TB corpus-statistics shape), `exact`'s cost stays ~3
-    * scans regardless.
+    * scans regardless. [[auto]] encodes exactly that rule.
     */
   def windowExact(
       df: DataFrame,

@@ -1009,9 +1009,12 @@ object Queries {
     // class through ONE task (5 reducers sort 3M rows each at sf10;
     // 20 TB per task at 100 TB). GroupQuantiles brackets the target
     // rank with a mergeable KLL sketch, then sorts only the ~7% of
-    // rows inside the bracket — same rows, no group-wide sort.
+    // rows inside the bracket — same rows, no group-wide sort. Routed
+    // through the crossover dispatcher: 5 task-dwarfing groups pick
+    // the selection plan (r14; the many-small-groups regime would
+    // pick the window — BENCHNOTES_r13 §2 crossover).
     "q51_group_quantiles" -> QueryDef(
-      (s, d) => GroupQuantiles.exact(
+      (s, d) => GroupQuantiles.auto(
           tbl(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice",
           Seq(0.5, 0.95))
         .select(col("o_orderpriority"), col("rk"), col("o_totalprice")),

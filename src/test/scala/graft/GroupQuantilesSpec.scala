@@ -111,11 +111,68 @@ class GroupQuantilesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("group-cardinality cap is enforced") {
+  test("over-cap group cardinality falls back to window-correct results") {
+    // 5000 distinct groups against a 100-group cap: the r13 shape
+    // require-crashed; now it degrades to the window formulation,
+    // which is also the regime where the window wins
+    val df = (1 to 5000).map(i => (i % 1000, i * 1.0)).toDF("grp", "v")
+      .repartition(6)
+    val ex = GroupQuantiles.exact(df, Seq("grp"), "v", Seq(0.5), maxGroups = 100)
+    val win = GroupQuantiles.windowExact(df, Seq("grp"), "v", Seq(0.5))
+    assertSameRows(ex, win, "over-cap fallback")
+    assert(ex.count() == 1000)
+  }
+
+  test("pass-1 collect is limit-bounded BEFORE it materializes") {
+    // the r13 flaw: collect() ran unbounded, the cap checked after.
+    // The stats frame must carry a CollectLimit/GlobalLimit of
+    // maxGroups+1 so at most that many sketch rows reach the driver.
     val df = (1 to 5000).map(i => (i, i * 1.0)).toDF("grp", "v")
+    val plan = GroupQuantiles
+      .statsFrame(df, Seq("grp"), "v", sketchK = 400, maxGroups = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"), plan)
+    assert(plan.contains("101"), plan)
+  }
+
+  test("auto dispatch: identical output on both sides of the crossover") {
+    val rnd = new scala.util.Random(19)
+    // few-groups side (selection regime): 4 groups, 40k rows
+    val few = (1 to 40000).map(i => ("g" + (i % 4), rnd.nextGaussian()))
+      .toDF("grp", "v").repartition(6)
+    val autoFew = GroupQuantiles.auto(few, Seq("grp"), "v", probs)
+    assertSameRows(autoFew, GroupQuantiles.windowExact(few, Seq("grp"), "v", probs),
+      "auto few-groups")
+    // selection's signature: result is a driver-assembled local
+    // relation, no Window node anywhere in the plan
+    assert(!autoFew.queryExecution.optimizedPlan.toString.contains("Window"))
+
+    // many-small-groups side (window regime): >= 4x parallelism
+    // groups, each far under windowMaxGroupRows
+    val parallelism = spark.sparkContext.defaultParallelism
+    val nGroups = 4 * parallelism + 8
+    val many = (1 to 40000).map(i => ("g" + (i % nGroups), rnd.nextGaussian()))
+      .toDF("grp", "v").repartition(6)
+    val autoMany = GroupQuantiles.auto(many, Seq("grp"), "v", probs)
+    assertSameRows(autoMany, GroupQuantiles.exact(many, Seq("grp"), "v", probs),
+      "auto many-groups")
+    // window's signature: the per-group row_number window IS the plan
+    assert(autoMany.queryExecution.optimizedPlan.toString.contains("Window"))
+
+    // task-dwarfing groups pick selection even when groups are many:
+    // windowMaxGroupRows forced tiny so the 'many' frame flips back
+    val autoBig = GroupQuantiles.auto(many, Seq("grp"), "v", probs,
+      windowMaxGroupRows = 10L)
+    assertSameRows(autoBig, autoMany, "auto task-dwarfing override")
+    assert(!autoBig.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
+  test("probs list past 64 is rejected (bracket-join fanout bound)") {
+    val df = Seq(("g", 1.0)).toDF("grp", "v")
     val err = intercept[IllegalArgumentException] {
-      GroupQuantiles.exact(df, Seq("grp"), "v", Seq(0.5), maxGroups = 100)
+      GroupQuantiles.exact(df, Seq("grp"), "v",
+        (1 to 65).map(_ / 65.0))
     }
-    assert(err.getMessage.contains("cap"))
+    assert(err.getMessage.contains("64"))
   }
 }
