@@ -558,18 +558,271 @@ object TopKFunctions {
       copy(candId = newChildren(0), candVec = newChildren(1))
   }
 
+  /** Generic-key sibling of [[TopKHeap]]: the k best (sim, key) pairs
+    * under (sim DESC, key ASC) where the key is any integral OR string
+    * value — real corpus ids are URLs and content hashes at least as
+    * often as they are longs. Keys are held boxed (the per-row hot
+    * path is still one double compare against the root; the key
+    * compare only runs on sim ties) and string keys are COPIES — the
+    * caller clones before offering, because `eval` hands out
+    * UTF8Strings backed by a reused row buffer.
+    */
+  final class TopKKeyHeap(val k: Int, cmp: (Any, Any) => Int) {
+    val sims = new Array[Double](k)
+    val keys = new Array[Any](k)
+    var size = 0
+
+    /** is element at i worse (closer to eviction) than at j */
+    private def worse(i: Int, j: Int): Boolean =
+      sims(i) < sims(j) || (sims(i) == sims(j) && cmp(keys(i), keys(j)) > 0)
+
+    private def swap(i: Int, j: Int): Unit = {
+      val s = sims(i); sims(i) = sims(j); sims(j) = s
+      val d = keys(i); keys(i) = keys(j); keys(j) = d
+    }
+
+    /** would `offer` displace state? safe to call with an UNOWNED key
+      * (only compares) — lets the caller clone strings lazily
+      */
+    def accepts(sim: Double, key: Any): Boolean =
+      size < k || sim > sims(0) || (sim == sims(0) && cmp(key, keys(0)) < 0)
+
+    /** key must be OWNED (cloned if buffer-backed) */
+    def offer(sim: Double, key: Any): Unit = {
+      if (size < k) {
+        sims(size) = sim; keys(size) = key; size += 1
+        var c = size - 1
+        while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
+      } else if (sim > sims(0) || (sim == sims(0) && cmp(key, keys(0)) < 0)) {
+        sims(0) = sim; keys(0) = key
+        var p = 0
+        var done = false
+        while (!done) {
+          val l = 2 * p + 1; val r = l + 1
+          var w = p
+          if (l < size && worse(l, w)) w = l
+          if (r < size && worse(r, w)) w = r
+          if (w == p) done = true else { swap(p, w); p = w }
+        }
+      }
+    }
+
+    /** indices of kept elements, best-first (sim desc, key asc) */
+    def sortedIdx(): Array[Int] = {
+      val idx = Array.range(0, size)
+      idx.sortWith { (a, b) =>
+        sims(a) > sims(b) || (sims(a) == sims(b) && cmp(keys(a), keys(b)) < 0)
+      }
+    }
+  }
+
+  private[functions] def keyComparator(dt: DataType): (Any, Any) => Int = dt match {
+    case StringType => (a, b) =>
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case LongType => (a, b) =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => (a, b) =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType => (a, b) =>
+      java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case ByteType => (a, b) =>
+      java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case other => throw new IllegalArgumentException(
+      s"graft_top_k_key: unsupported key type ${other.catalogString}")
+  }
+
+  /** `graft_top_k_key(sim, key, k)` — [[TopKAgg]] with the id slot
+    * widened to ANY integral or STRING key, output
+    * `array<struct<cand_key:<keyType>, sim:double>>` with the key in
+    * its ORIGINAL type (no BIGINT widening). Built for the exact-quota
+    * samplers: corpus keys are URLs/content hashes as often as longs,
+    * and a quota sampler that can't key on them sends users back to
+    * the per-stratum window sort it exists to replace. String tie
+    * order is binary (UTF8String memcmp — identical to DuckDB's
+    * default collation), so `ORDER BY sim DESC, key` states the same
+    * order in both engines.
+    */
+  case class TopKKeyAgg(
+      sim: Expression,
+      key: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKKeyHeap] {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    override def prettyName: String = "graft_top_k_key"
+    override def children: Seq[Expression] = Seq(sim, key)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("cand_key", key.dataType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+    private val isString = key.dataType == StringType
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val simOk = sim.dataType match {
+        case DoubleType | FloatType => true
+        case _ => false
+      }
+      val keyOk = key.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      if (!simOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: sim must be double/float, got ${sim.dataType.catalogString}")
+      else if (!keyOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: key must be integral or string, got " +
+          s"${key.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val cmp = keyComparator(key.dataType)
+
+    private def simAsDouble(v: Any): Double = v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case other => other.toString.toDouble
+    }
+
+    override def createAggregationBuffer(): TopKKeyHeap = new TopKKeyHeap(k, cmp)
+
+    override def update(buf: TopKKeyHeap, input: InternalRow): TopKKeyHeap = {
+      val s = sim.eval(input)
+      val kv = key.eval(input)
+      // null sim or key never ranks (same contract as graft_top_k)
+      if (s != null && kv != null) {
+        val sd = simAsDouble(s)
+        // compare FIRST with the (possibly buffer-backed) key, clone
+        // only when the heap will actually retain it
+        if (buf.accepts(sd, kv)) {
+          val owned =
+            if (isString)
+              kv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+            else kv
+          buf.offer(sd, owned)
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: TopKKeyHeap, other: TopKKeyHeap): TopKKeyHeap = {
+      var i = 0
+      while (i < other.size) { buf.offer(other.sims(i), other.keys(i)); i += 1 }
+      buf
+    }
+
+    override def eval(buf: TopKKeyHeap): Any = {
+      val idx = buf.sortedIdx()
+      val rows = new Array[Any](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        rows(i) = InternalRow(buf.keys(idx(i)), buf.sims(idx(i)))
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    private def keyToLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+
+    private def longToKey(l: Long): Any = key.dataType match {
+      case LongType => l
+      case IntegerType => l.toInt
+      case ShortType => l.toShort
+      case ByteType => l.toByte
+    }
+
+    override def serialize(buf: TopKKeyHeap): Array[Byte] = {
+      if (isString) {
+        var bytes = 8
+        var i = 0
+        while (i < buf.size) {
+          bytes += 12 + buf.keys(i)
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes()
+          i += 1
+        }
+        val bb = java.nio.ByteBuffer.allocate(bytes)
+        bb.putInt(buf.k).putInt(buf.size)
+        i = 0
+        while (i < buf.size) {
+          val kb = buf.keys(i)
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          bb.putDouble(buf.sims(i)).putInt(kb.length).put(kb)
+          i += 1
+        }
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.size)
+        bb.putInt(buf.k).putInt(buf.size)
+        var i = 0
+        while (i < buf.size) {
+          bb.putDouble(buf.sims(i)).putLong(keyToLong(buf.keys(i)))
+          i += 1
+        }
+        bb.array()
+      }
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopKKeyHeap = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val heap = new TopKKeyHeap(bb.getInt(), cmp)
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) {
+        val s = bb.getDouble()
+        val kv: Any =
+          if (isString) {
+            val len = bb.getInt()
+            val kb = new Array[Byte](len)
+            bb.get(kb)
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(kb)
+          } else longToKey(bb.getLong())
+        heap.offer(s, kv)
+        i += 1
+      }
+      heap
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKKeyAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKKeyAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(sim = newChildren(0), key = newChildren(1))
+  }
+
   private[graft] def topKBuilder(exprs: Seq[Expression]): Expression = {
     graft.GraftExtensions.requireArity("graft_top_k", exprs, 3)
     TopKAgg(exprs(0), exprs(1),
       FreqFunctions.intLit("graft_top_k", "k", exprs(2))).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit =
+  private[graft] def topKKeyBuilder(exprs: Seq[Expression]): Expression = {
+    graft.GraftExtensions.requireArity("graft_top_k_key", exprs, 3)
+    TopKKeyAgg(exprs(0), exprs(1),
+      FreqFunctions.intLit("graft_top_k_key", "k", exprs(2))).toAggregateExpression()
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k_key", topKKeyBuilder, "built-in")
+  }
 
   def topK(spark: SparkSession, sim: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_top_k", sim, id, lit(k))
+  }
+
+  def topKKey(spark: SparkSession, sim: Column, key: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_top_k_key", sim, key, lit(k))
   }
 }

@@ -63,21 +63,75 @@ object Sampling {
     * the selection is reproducible across engines, layouts and reruns
     * like every sampler here (no 53-bit-collision ambiguity: both
     * sides rank by exactly those 52 bits). Null keys are dropped (not
-    * addressable output); strata holding fewer than k rows keep them
-    * all.
+    * addressable output) by an explicit filter the caller can see in
+    * the plan; strata holding fewer than k rows keep them all.
     *
-    * Output: (stratum, key) with the key widened to BIGINT (the heap's
-    * id slot); join back on the key for full rows.
+    * Keys may be any integral OR string column (URLs and content
+    * hashes are corpus ids at least as often as longs — the r13 shape
+    * forced everything through a BIGINT slot). String ties break in
+    * binary (memcmp) order, identical in Spark (UTF8String) and DuckDB
+    * (default collation), so the cross-engine order statement above
+    * holds for string keys too.
+    *
+    * Output: (stratum, key) with the key in its ORIGINAL type; join
+    * back on the key for full rows.
     */
   def stratifiedExactK(
       df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     val rank = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("double")
-    df.groupBy(col(stratumCol))
-      .agg(graft.functions.TopKFunctions.topK(
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKFunctions.topKKey(
         spark, negate(rank), col(keyCol), k).as("__tk"))
       .select(col(stratumCol), explode(col("__tk")).as("__e"))
-      .select(col(stratumCol), col(s"__e.cand_id").as(keyCol))
+      .select(col(stratumCol), col(s"__e.cand_key").as(keyCol))
+  }
+
+  /** WEIGHTED exact-k per stratum — the quota sampler for LLM data
+    * mixes where selection probability should track a quality weight
+    * (probability ∝ w, exactly k winners per stratum), not a uniform
+    * coin.
+    *
+    * Technique: weighted reservoir sampling by exponential race
+    * (Efraimidis–Spirakis A-ES, public): each row draws u from its
+    * deterministic md5 coin and races with key e = −ln(u)/w — the k
+    * SMALLEST e win, which selects without replacement with
+    * probability proportional to w. Stated identically in any engine:
+    * `ORDER BY -ln(u)/w, key` over the same md5 coin. Cross-engine
+    * double determinism: u values are ≥ 2⁻³² apart (32-bit coin), so
+    * adjacent race keys differ by ≳ 2⁻³²/w relative while a 1-ulp
+    * libm `ln` disagreement moves them by ~2⁻⁵² relative — four
+    * orders of magnitude too small to reorder anything; exact u
+    * COLLISIONS (birthday-expected past ~2¹⁶ rows) yield exactly
+    * equal race keys in both engines and break by key ascending, the
+    * heap's own rule. u = 0 races at +∞ (ln underflow is -∞ in both
+    * engines) and loses to every finite key, consistently.
+    *
+    * Like [[stratifiedExactK]] this rides the mergeable bounded-heap
+    * aggregate: the exchange carries partitions × strata × k rows,
+    * corpus-size-independent, never a per-stratum window sort. Rows
+    * with null key, null weight, or weight ≤ 0 are dropped by an
+    * explicit plan-visible filter (a non-positive weight has no
+    * exponential race key; A-ES is defined over w > 0).
+    *
+    * Output: (stratum, key), key in its original (integral or string)
+    * type.
+    */
+  def stratifiedWeightedK(
+      df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    // race key e = -ln(u)/w; the heap keeps MAX sim, so sim = -e =
+    // ln(u)/w (IEEE negation is exact — the order is the oracle's)
+    val sim = log(keyCoin(col(keyCol))) / col(weightCol).cast("double")
+    df.where(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > lit(0))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKFunctions.topKKey(
+        spark, sim, col(keyCol), k).as("__tk"))
+      .select(col(stratumCol), explode(col("__tk")).as("__e"))
+      .select(col(stratumCol), col(s"__e.cand_key").as(keyCol))
   }
 }

@@ -1506,6 +1506,48 @@ object Queries {
              |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
              |  FROM documents WHERE doc_id IS NOT NULL)
              |WHERE rn <= 50""".stripMargin)),
+
+    // the same exact quota keyed on a STRING doc key (URL-shaped:
+    // source + id) — real corpus ids are urls/content hashes at least
+    // as often as longs; the r13 sampler forced a BIGINT cast. String
+    // tie order is binary in both engines (UTF8String memcmp ==
+    // DuckDB default collation), so the oracle states the identical
+    // order. concat (not concat_ws) so a NULL component nulls the key
+    // and the null-key drop agrees with SQL || semantics.
+    "q68_stratified_quota_str" -> QueryDef(
+      (s, d) => Sampling.stratifiedExactK(
+        tbl(s, d, "documents").withColumn("doc_key",
+          concat(col("source"), lit("-"), col("doc_id").cast("string"))),
+        "lang", "doc_key", k = 50),
+      Some("""SELECT lang, doc_key FROM (
+             |  SELECT lang, source || '-' || CAST(doc_id AS VARCHAR) AS doc_key,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY substr(md5(source || '-' || CAST(doc_id AS VARCHAR)), 1, 13),
+             |               source || '-' || CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM documents
+             |  WHERE source || '-' || CAST(doc_id AS VARCHAR) IS NOT NULL)
+             |WHERE rn <= 50""".stripMargin)),
+
+    // WEIGHTED exact quotas (probability ∝ n_chars, exactly k per
+    // language): Efraimidis–Spirakis exponential race on the md5
+    // coin — race key -ln(u)/w, k smallest win, stated identically
+    // in DuckDB. Adjacent u values are ≥2⁻³² apart so a 1-ulp libm
+    // ln() disagreement (~2⁻⁵² relative) cannot reorder them; exact
+    // u collisions tie-break by key in both engines. Same mergeable
+    // bounded-heap plan as q67: partitions × strata × k exchange
+    // rows, corpus-size-independent.
+    "q69_weighted_quota" -> QueryDef(
+      (s, d) => Sampling.stratifiedWeightedK(
+        tbl(s, d, "documents"), "lang", "doc_id", "n_chars", k = 50),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY -ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                   / 4294967296.0) / CAST(n_chars AS DOUBLE),
+             |               doc_id) AS rn
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+             |WHERE rn <= 50""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1615,6 +1615,79 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("stratified exact-k: string keys window-equal, null keys visibly dropped, int keys keep their type") {
+    // URL-shaped string keys — the r13 heap slot forced BIGINT casts
+    val df = ((1L to 8000L).map(i =>
+        (s"https://ex.com/${i % 7}/p$i", if (i % 3 == 0) "en" else "de")) ++
+      Seq((null.asInstanceOf[String], "en"))) // null key: dropped
+      .toDF("url", "lang")
+    val k = 20
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(substring(md5($"url"), 1, 13), $"url")
+    val expect = df.where($"url".isNotNull)
+      .withColumn("rn", row_number().over(w)).where($"rn" <= k)
+      .select($"lang", $"url").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = Sampling.stratifiedExactK(df, "lang", "url", k)
+    assert(got.schema("url").dataType == org.apache.spark.sql.types.StringType)
+    val gotSet = got.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotSet == expect)
+    // layout-independence (exercises serialize/deserialize of string
+    // heaps across partial-aggregate merges)
+    val again = Sampling.stratifiedExactK(df.repartition(13), "lang", "url", k)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again == gotSet)
+    // the null-key drop is a plan-visible filter, not silent agg
+    // behavior (analyzed plan: the optimizer folds filters over local
+    // relations eagerly, which parquet-backed frames never see)
+    val plan = Sampling.stratifiedExactK(df, "lang", "url", k)
+      .queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("isnotnull(url"), plan)
+    // INT keys come back as INT (no BIGINT widening)
+    val idf = (1 to 500).map(i => (i, "x")).toDF("id", "lang")
+    assert(Sampling.stratifiedExactK(idf, "lang", "id", 5).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("weighted exact-k quota: window-equal A-ES race, weight filter visible, weights steer selection") {
+    val df = ((1L to 6000L).map { i =>
+        // weight 100 for ids % 10 == 0, else 1 — heavy tilt
+        (i, if (i % 2 == 0) "en" else "fr", if (i % 10 == 0) 100.0 else 1.0)
+      } ++ Seq((9001L, "en", 0.0), (9002L, "en", -3.0),
+        (9003L, "en", Double.NaN))) // non-positive / NaN weights drop
+      .toDF("id", "lang", "w")
+    val k = 50
+    // the semantic spec: per-stratum row_number over (-ln(u)/w, key)
+    val u = conv(substring(md5($"id".cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val race = negate(log(u)) / $"w"
+    val win = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(race, $"id")
+    val expect = df.where($"w" > 0)
+      .withColumn("rn", row_number().over(win)).where($"rn" <= k)
+      .select($"lang", $"id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Sampling.stratifiedWeightedK(df, "lang", "id", "w", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // layout-independent
+    val again = Sampling.stratifiedWeightedK(df.repartition(11), "lang", "id", "w", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+    // weights steer: heavy rows (w=100) are all even ids, so they all
+    // live in the "en" stratum — 600 of en's 3000 rows carrying ~96%
+    // of its mass. They must dominate en's quota (>= 40 of 50;
+    // uniform sampling would pick ~10)
+    val heavyEn = got.count { case (lang, id) => lang == "en" && id % 10 == 0 }
+    assert(heavyEn >= 40, s"heavy-weight rows selected in en: $heavyEn of $k")
+    // the weight/key filter is plan-visible (analyzed: the optimizer
+    // folds filters over local relations eagerly)
+    val plan = Sampling.stratifiedWeightedK(df, "lang", "id", "w", k)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("isnotnull(w") &&
+      raw"w#\d+ > ".r.findFirstIn(plan).isDefined, plan)
+    assert(!Sampling.stratifiedWeightedK(df, "lang", "id", "w", k)
+      .queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
   test("exact-substring dedup: planted repeats produce exactly the merged spans") {
     def toks(s: String) = s.split(" ").length
     val shared = (1 to 12).map(i => s"rep$i").mkString(" ") // 12-token planted passage
