@@ -39,11 +39,18 @@ object Bench {
     // or co-tenant-loaded host reports noise, and the "start below 0.5"
     // protocol previously lived only in BENCHNOTES discipline. Wait for
     // the 1-min loadavg to drop below the gate (default 0.5, up to
-    // load_wait_s, default 120 s); if it never does, run anyway but
-    // stamp "load_gated":false into the JSON so the reader can see the
+    // load_wait_s); if it never does, run anyway but stamp
+    // "load_gated":false into the JSON so the reader can see the
     // protocol was violated rather than silently trusting the numbers.
+    // Default wait raised 120→900 s in r14: the r13 driver run started
+    // at loadavg 0.59 and 120 s wasn't enough for the 1-min average to
+    // DECAY below 0.5 even on an already-idle host (the decay alone
+    // takes ~3 min from 0.6) — the run went out ungated and every
+    // driver-file number drifted 15-25% vs r12. Fifteen minutes is
+    // bounded for the driver yet long enough to outlast both the decay
+    // and a typical co-tenant burst.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "0.5").toDouble
-    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "120").toInt
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "900").toInt
     val gateDeadline = System.nanoTime() + loadWaitS * 1000000000L
     var gatePassed = currentLoad1m().forall(_ < loadGate)
     while (!gatePassed && System.nanoTime() < gateDeadline) {
