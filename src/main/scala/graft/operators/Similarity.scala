@@ -25,6 +25,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
   /** round(cosine, 6) — ranking key. Rounding makes cross-engine
     * comparison stable; ties break on id.
     */
@@ -79,7 +81,7 @@ object Similarity {
         col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
   }
 
-  /** Exact brute-force top-k. Two regimes, identical results
+  /** Exact brute-force top-k. Three regimes, identical results
     * (spec-pinned):
     *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): the probe set — which
     *    a broadcast join would driver-collect anyway — embeds in a
@@ -87,9 +89,33 @@ object Similarity {
     *    once with NO join-row materialization (the join formulation
     *    paid ~1.9 µs/pair of UnsafeRow plumbing around a ~30 ns dot at
     *    sf10). Exchange carries partitions × probes × k heap entries.
-    *  - JOIN (probes above the gate): broadcast join + split-norm
-    *    scoring + the graft_top_k aggregate — the same exchange width,
-    *    for probe sets too large to embed per-task.
+    *  - CHUNKED (gate < probes ≤ `maxChunkedProbes`): the probe set is
+    *    split into ⌈n/gate⌉ balanced disjoint chunks and each chunk runs
+    *    its own embedded kernel over the corpus, results unioned — the
+    *    per-task heap memory stays gate × k (the reason the gate
+    *    exists) at the price of one extra corpus scan per chunk, and
+    *    STILL zero joined rows. Probes partition across chunks, so the
+    *    union is exactly the single-kernel answer (r14 measurement,
+    *    BENCHNOTES_r14 §: the join's ~µs/pair row plumbing dwarfs the
+    *    re-scan cost by orders of magnitude at over-gate probe counts).
+    *  - JOIN (probes above `maxChunkedProbes`): split-norm scoring +
+    *    the graft_top_k aggregate over a non-equi join. This is the
+    *    only shape left for probe sets too large to driver-collect at
+    *    all (the chunked regime, like broadcast, holds the collected
+    *    probe matrix on the driver: `maxChunkedProbes` IS the driver
+    *    memory bound, ~0.5 GB at the default 2²⁰ × 64-dim doubles) —
+    *    but it is a LAST RESORT, not a peer: the `probe_id =!=
+    *    cand_id` condition plans as CartesianProduct once the probe
+    *    side outgrows broadcast, and the r14 sf10 measurement killed
+    *    it outright (2¹⁵ probes × 200k corpus: the per-partition
+    *    right-side spill filled >60 GB of disk and the job died at
+    *    ~17 min, where the chunked kernels finish in 59 s —
+    *    BENCHNOTES_r14). Exact brute force past the chunk cap should
+    *    raise `maxChunkedProbes` (driver memory permitting) or switch
+    *    to `lshTopK`/`ivfTopK`, whose over-gate joins are bucket
+    *    EQUI-joins. A warning is logged when this regime engages.
+    *    Passing `maxEmbeddedProbes = 0` disables both kernel regimes
+    *    (used by specs to pin kernel ≡ join equality).
     */
   def bruteForceTopK(
       emb: DataFrame,
@@ -97,33 +123,50 @@ object Similarity {
       vecCol: String,
       probeFilter: Column,
       k: Int,
-      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
+    val gate = math.max(maxEmbeddedProbes, 0)
+    // chunking disabled when the embedded gate is (chunk size would be
+    // 0) or when the caller caps chunked at/below the gate
+    val chunkCap = if (gate == 0) 0 else math.max(maxChunkedProbes, gate)
     // one bounded collect decides the regime AND supplies the matrix:
-    // limit(gate+1) keeps the job O(gate) even on a pathological
+    // limit(cap+1) keeps the job O(cap) even on a pathological
     // probe filter that matches the whole corpus
     val collected = emb.where(probeFilter)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxEmbeddedProbes + 1).collect()
-    if (collected.length <= maxEmbeddedProbes) {
+      .limit(chunkCap + 1).collect()
+    if (collected.length <= chunkCap && gate > 0) {
       import org.apache.spark.sql.graftbridge.SparkBridge
       // null id OR null vector: the join regime silently drops such
       // probes (a null-valued join/score condition never matches), so
       // the embedded regime must too, not NPE on getLong
       val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val pIds = usable.map(_.getLong(0))
-      val pVecs = usable.map(_.getSeq[Double](1).toArray)
       val corpus = Dedup.rebalance(
         emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-        SparkBridge.expression(corpus("cand_id")),
-        SparkBridge.expression(corpus("cand_vec")),
-        pIds, pVecs, k).toAggregateExpression())
-      corpus.agg(agg.as("tk"))
+      val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+      val frames = (0 until nChunks).map { c =>
+        val lo = (c.toLong * usable.length / nChunks).toInt
+        val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+        val slice = usable.slice(lo, hi)
+        val pIds = slice.map(_.getLong(0))
+        val pVecs = slice.map(_.getSeq[Double](1).toArray)
+        val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+          SparkBridge.expression(corpus("cand_id")),
+          SparkBridge.expression(corpus("cand_vec")),
+          pIds, pVecs, k).toAggregateExpression())
+        corpus.agg(agg.as("tk"))
+      }
+      frames.reduce(_.union(_))
         .select(explode(col("tk")).as("e"))
         .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
           col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
     } else {
+      if (gate > 0) log.warn(
+        s"bruteForceTopK: probe count exceeds maxChunkedProbes=$chunkCap — " +
+          "falling back to the non-equi join (plans as CartesianProduct " +
+          "above broadcast size; measured disk-bound at sf10, BENCHNOTES_r14). " +
+          "Raise maxChunkedProbes or use lshTopK/ivfTopK at this probe scale.")
       val probes = emb.where(probeFilter)
         .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
         .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))

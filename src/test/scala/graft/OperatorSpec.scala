@@ -457,6 +457,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(embd.count() > 0)
   }
 
+  test("brute-force topK: chunked regime == single-kernel == join, and joins only above the chunk cap") {
+    // probes partition across chunks, so the unioned per-chunk kernels
+    // must reproduce the single-kernel answer row for row; a tiny gate
+    // (7) over ~56 probes forces 8+ chunks with UNEQUAL balanced sizes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7)
+    val probe = col("vec_id") % 9 === 0
+    val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, k = 6)
+    val chunked = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
+      k = 6, maxEmbeddedProbes = 7, maxChunkedProbes = 1000)
+    val joind = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
+      k = 6, maxEmbeddedProbes = 0)
+    assert(chunked.except(single).isEmpty && single.except(chunked).isEmpty,
+      "chunked and single-kernel regimes must agree exactly")
+    assert(chunked.except(joind).isEmpty && joind.except(chunked).isEmpty,
+      "chunked and join regimes must agree exactly")
+    assert(chunked.count() > 0)
+    // the chunked plan materializes NO join rows at any probe count
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(chunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "chunked regime must not plan a join")
+    // above the chunk cap the join regime is the only shape left
+    val overCap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
+      k = 6, maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+    assert(overCap.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+      "over the chunk cap the join regime must plan the join")
+    assert(overCap.except(single).isEmpty && single.except(overCap).isEmpty)
+  }
+
   test("IVF topK: embedded-probe regime == join regime, row for row") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .repartition(5)
