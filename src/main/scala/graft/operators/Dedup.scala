@@ -27,6 +27,8 @@ import org.apache.spark.sql.graftbridge.SparkBridge
   */
 object Dedup {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   /** Below this optimizer size estimate, rebalance is a net LOSS: the
     * exchange's fixed cost (~0.4 s measured at local[32]) exceeds the
     * whole serial kernel pass (the compiled text kernels chew ~25 MB/s
@@ -1136,6 +1138,16 @@ object Dedup {
     * a probe subset and the corpus. The probe predicate is the
     * blocking strategy (callers at scale pass an LSH bucket join
     * instead — see Similarity.lshTopK).
+    *
+    * Same three regimes as Similarity.bruteForceTopK (its scaladoc has
+    * the full argument): one embedded graft_probe_matches kernel under
+    * the 2¹⁶ gate, chunked kernels up to `maxChunkedProbes` (disjoint
+    * probe chunks × corpus scans — probes partition, so the union IS
+    * the single-kernel answer), and the non-equi join only above the
+    * chunk cap — a last resort: `probe_id < cand_id` plans as
+    * CartesianProduct once the probe side outgrows broadcast, the
+    * shape the r14 sf10 measurement showed dies on disk spill
+    * (BENCHNOTES_r14).
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -1143,37 +1155,50 @@ object Dedup {
       vecCol: String,
       probeFilter: Column,
       threshold: Double,
-      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import graft.functions.VectorFunctions
-    // EMBEDDED regime (probes fit in one bounded collect — the same
-    // data a broadcast join would driver-collect): per corpus row the
-    // graft_probe_matches kernel emits matching probe ids directly,
-    // with no joined-row materialization; scoring is bit-identical to
-    // the join form (split norms, dot per pair, zero guard). Fallback
-    // above the gate: broadcast join + split-norm predicate.
-    val maxEmbedded = maxEmbeddedProbes
+    // EMBEDDED/CHUNKED regimes (probes fit in one bounded collect —
+    // the same data a broadcast join would driver-collect): per corpus
+    // row the graft_probe_matches kernel emits matching probe ids
+    // directly, with no joined-row materialization; scoring is
+    // bit-identical to the join form (split norms, dot per pair, zero
+    // guard). Fallback above the chunk cap: join + split-norm predicate.
+    val gate = math.max(maxEmbeddedProbes, 0)
+    val chunkCap = if (gate == 0) 0 else math.max(maxChunkedProbes, gate)
     val collected = emb.where(probeFilter)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxEmbedded + 1).collect()
-    if (collected.length <= maxEmbedded) {
+      .limit(chunkCap + 1).collect()
+    if (collected.length <= chunkCap && gate > 0) {
       import org.apache.spark.sql.graftbridge.SparkBridge
       // null id or vector: dropped (the join regime's null-condition
       // semantics), never an NPE on getLong
       val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val pIds = usable.map(_.getLong(0))
-      val pVecs = usable.map(_.getSeq[Double](1).toArray)
       val all = rebalance(
         emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")),
         Seq(col("cand_id")))
-      val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
-        SparkBridge.expression(all("cand_id")),
-        SparkBridge.expression(all("cand_vec")),
-        pIds, pVecs, threshold))
-      return all
-        .select(col("cand_id"), explode(matches).as("probe_id"))
+      val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+      val frames = (0 until nChunks).map { c =>
+        val lo = (c.toLong * usable.length / nChunks).toInt
+        val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+        val slice = usable.slice(lo, hi)
+        val pIds = slice.map(_.getLong(0))
+        val pVecs = slice.map(_.getSeq[Double](1).toArray)
+        val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
+          SparkBridge.expression(all("cand_id")),
+          SparkBridge.expression(all("cand_vec")),
+          pIds, pVecs, threshold))
+        all.select(col("cand_id"), explode(matches).as("probe_id"))
+      }
+      return frames.reduce(_.union(_))
         .select(col("probe_id"), col("cand_id"))
     }
+    if (gate > 0) logger.warn(
+      s"embeddingNearDup: probe count exceeds maxChunkedProbes=$chunkCap — " +
+        "falling back to the non-equi join (plans as CartesianProduct above " +
+        "broadcast size; measured disk-bound at sf10, BENCHNOTES_r14). " +
+        "Raise maxChunkedProbes or block with LSH buckets at this probe scale.")
     // norms once per SIDE row, dot alone per pair: bit-identical to the
     // cosine kernel (same accumulation, same sqrt-product denominator —
     // Similarity.splitScore scaladoc) at a third of the per-pair work

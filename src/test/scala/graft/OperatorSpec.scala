@@ -509,6 +509,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(embd.except(joind).isEmpty && joind.except(embd).isEmpty,
       "embedded and join regimes must agree exactly")
     assert(embd.count() > 0)
+    // chunked regime (tiny gate forces many unequal chunks): same rows,
+    // and no join planned at any probe count
+    val chunked = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      col("vec_id") % 4 === 0, threshold = 0.15,
+      maxEmbeddedProbes = 7, maxChunkedProbes = 1000)
+    assert(chunked.except(embd).isEmpty && embd.except(chunked).isEmpty,
+      "chunked and single-kernel regimes must agree exactly")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(chunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "chunked near-dup regime must not plan a join")
   }
 
   test("LSH topK: embedded-probe regime == join regime, row for row") {
