@@ -1548,6 +1548,31 @@ object Queries {
              |  FROM documents
              |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
              |WHERE rn <= 50""".stripMargin)),
+
+    // the CHUNKED over-gate ANN regime (r14): a deliberately tiny
+    // embedded gate forces ceil(probes/7) disjoint probe chunks, one
+    // graft_probe_topk kernel per chunk over the corpus, unioned —
+    // the shape that replaces the CartesianProduct join fallback
+    // (Similarity.bruteForceTopK scaladoc; measured at sf10 in
+    // BENCHNOTES_r14). Results are probe-partitioned, so the oracle
+    // is exactly q25's cosine replay — the hash gate pins chunked ==
+    // single-kernel cross-engine.
+    // The probe set is BOUNDED (vec_id < 400), not corpus-proportional:
+    // the tiny forced gate means chunk count = ceil(probes/7), and a
+    // %-only filter would grow it with the corpus (1429 corpus scans
+    // at sf10). 20 probes -> 3 chunks at every scale.
+    "q70_ann_chunked" -> QueryDef(
+      (s, d) => Similarity.bruteForceTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400, k = 3,
+        maxEmbeddedProbes = 7),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+             |  FROM e p, e c WHERE p.vec_id % 20 = 0 AND p.vec_id < 400 AND p.vec_id <> c.vec_id),
+             |r AS (SELECT probe_id, cand_id, sim,
+             |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+             |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
