@@ -21,13 +21,20 @@ import org.apache.spark.sql.{Column, SparkSession}
   * each map task keeps a k-element heap per probe and the exchange
   * carries `partitions × probes × k` rows — independent of corpus
   * size. Ordering is the window formulation's (sim DESC, id ASC),
-  * with ONE deliberate deviation: null-sim (or null-id) rows are
-  * DROPPED, where `row_number() ... ORDER BY sim DESC` ranks them
-  * LAST — so a probe with fewer than k non-null-scored candidates
-  * returns only the non-null ones here, never null-scored filler.
-  * (A null id is not addressable output and a null sim is not a
-  * similarity; callers wanting the filler rows should coalesce sims
-  * before aggregating.)
+  * with ONE deliberate deviation: null-sim, NaN-sim and null-id rows
+  * are DROPPED, where `row_number() ... ORDER BY sim DESC` ranks
+  * nulls LAST and NaN FIRST (Spark's total order puts NaN above
+  * every double) — so a probe with fewer than k real-scored
+  * candidates returns only the real ones here, never null- or
+  * NaN-scored filler. (A null id is not addressable output and
+  * neither null nor NaN is a similarity; callers wanting the filler
+  * rows should coalesce/nan-guard sims before aggregating.) The NaN
+  * drop is also a heap-soundness requirement: every NaN comparison
+  * is false in Java, so a NaN admitted while the heap is still
+  * FILLING would never sift to the root and could never be evicted —
+  * the update guard keeps the state NaN-free so `worse()`'s
+  * primitive compares stay total over everything actually stored
+  * (±Infinity included: infinities order correctly and DO rank).
   *
   * State is two primitive arrays (k doubles + k longs) managed as a
   * binary min-heap rooted at the WORST kept element, so update is
@@ -146,9 +153,13 @@ object TopKFunctions {
     override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
       val s = sim.eval(input)
       val i = id.eval(input)
-      // null sim or id never ranks (the window formulation puts nulls
-      // after every ranked row; a null id is not addressable output)
-      if (s != null && i != null) buf.offer(simAsDouble(s), idAsLong(i))
+      // null or NaN sim never ranks, nor does a null id (class
+      // scaladoc: deliberate window deviation + heap soundness —
+      // `sd == sd` is the branch-free NaN test; ±Infinity passes)
+      if (s != null && i != null) {
+        val sd = simAsDouble(s)
+        if (sd == sd) buf.offer(sd, idAsLong(i))
+      }
       buf
     }
 
@@ -368,25 +379,28 @@ object TopKFunctions {
           val denom = probeNorms(p) * candNorm
           val sim = if (denom == 0.0) 0.0 else dot / denom
           val h = buf(p)
-          // exact early-reject BEFORE the (expensive) rounding:
-          // rounding to 6 decimals moves a value by < 1e-6, so a raw
-          // sim more than 1e-6 below the heap's worst ROUNDED value
-          // cannot round into contention — no BigDecimal needed for
-          // the overwhelming majority of losing candidates
-          if (h.size < k || sim + 1e-6 >= h.sims(0)) {
+          // NaN never ranks (sim == sim is the NaN test) — the same
+          // deliberate deviation and heap-soundness guard as
+          // TopKAgg.update, so the embedded regime degrades
+          // identically to the join regime (whose graft_top_k drops
+          // the NaN-scored rows) on a NaN embedding. Then the exact
+          // early-reject BEFORE the (expensive) rounding: rounding to
+          // 6 decimals moves a value by < 1e-6, so a raw sim more
+          // than 1e-6 below the heap's worst ROUNDED value cannot
+          // round into contention — no BigDecimal needed for the
+          // overwhelming majority of losing candidates
+          if (sim == sim && (h.size < k || sim + 1e-6 >= h.sims(0))) {
             // Catalyst round(_, 6) on double codegens
             // BigDecimal.valueOf(x).setScale(6, HALF_UP).doubleValue()
             // — valueOf (the Double.toString path), NOT the
             // exact-binary constructor, which rounds boundary values
             // differently. Rank on the ROUNDED value: ties rank on
             // it, so rounding after ranking would reorder them.
-            // NaN/Infinity pass through unrounded, exactly as
-            // Catalyst's Round codegen does (BigDecimal.valueOf would
-            // throw NumberFormatException) — so a NaN embedding row
-            // degrades identically to the join regime instead of
-            // failing the query.
+            // Infinity passes through unrounded, exactly as Catalyst's
+            // Round codegen does (BigDecimal.valueOf would throw
+            // NumberFormatException on non-finite input).
             val rounded =
-              if (java.lang.Double.isNaN(sim) || java.lang.Double.isInfinite(sim)) sim
+              if (java.lang.Double.isInfinite(sim)) sim
               else java.math.BigDecimal.valueOf(sim)
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             h.offer(rounded, cid)
@@ -558,6 +572,119 @@ object TopKFunctions {
       copy(candId = newChildren(0), candVec = newChildren(1))
   }
 
+  /** `graft_corpus_topk(probe_id, probe_vec)` — the ROLE-SWAPPED
+    * companion to [[ProbeTopKAgg]]: the CORPUS (or a disjoint chunk
+    * of it) embeds in the expression and the PROBES are scanned —
+    * per probe row, the k best (cand_id, sim) among the embedded
+    * candidates, best-first, as a plain projection. No aggregate, no
+    * exchange, no joined rows: the shape for probe sets too large to
+    * driver-collect when the corpus side DOES fit the collect bound
+    * (Similarity.bruteForceTopKFrames' third regime — it retires the
+    * measured-dead CartesianProduct fallback whenever either side
+    * fits, BENCHNOTES_r14). Across corpus chunks the per-chunk arrays
+    * re-rank through graft_top_k: chunks are disjoint in candidate
+    * space, so the merge of per-chunk top-ks IS the global top-k.
+    *
+    * Scoring and ranking replay ProbeTopKAgg exactly (spec-pinned ≡
+    * the join regime): split norms in the kernel's accumulation
+    * order, zero-denominator guard, NaN-never-ranks, Catalyst
+    * `round(_, 6)` BigDecimal(HALF_UP) rounding BEFORE ranking, ties
+    * by cand_id ascending, self-pairs (cand_id == probe_id) skipped.
+    * A null probe id or vector yields an empty array — exploding
+    * drops the probe, the join regime's null-condition semantics.
+    */
+  case class CorpusTopK(
+      probeId: Expression,
+      probeVec: Expression,
+      candIds: Array[Long],
+      candVecs: Array[Array[Double]],
+      k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    require(candIds.length == candVecs.length, "ids/vecs length mismatch")
+    override def prettyName: String = "graft_corpus_topk"
+    override def children: Seq[Expression] = Seq(probeId, probeVec)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(PairStruct, containsNull = false)
+
+    private val candNorms: Array[Double] = candVecs.map { v =>
+      var nx = 0.0; var i = 0
+      while (i < v.length) { nx += v(i) * v(i); i += 1 }
+      math.sqrt(nx)
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val idOk = probeId.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!idOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: probe id must be integral, got ${probeId.dataType.catalogString}")
+      else if (VectorElem.elemType(probeVec.dataType).isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: probe vec must be a numeric array, got ${probeVec.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    private val emptyResult = new GenericArrayData(Array.empty[Any])
+
+    override def eval(input: InternalRow): Any = {
+      val idv = probeId.eval(input)
+      val vecv = probeVec.eval(input)
+      if (idv == null || vecv == null) return emptyResult
+      val pid = idv match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      val arr = vecv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val get = VectorElem.readerOf(VectorElem.elemType(probeVec.dataType).get)
+      val n = arr.numElements()
+      val pv = new Array[Double](n)
+      var pn = 0.0
+      var i = 0
+      while (i < n) { val v = get(arr, i); pv(i) = v; pn += v * v; i += 1 }
+      val probeNorm = math.sqrt(pn)
+      val h = new TopKHeap(k)
+      var c = 0
+      while (c < candIds.length) {
+        if (candIds(c) != pid) {
+          val cv = candVecs(c)
+          val d = math.min(cv.length, n)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += cv(j) * pv(j); j += 1 }
+          val denom = candNorms(c) * probeNorm
+          val sim = if (denom == 0.0) 0.0 else dot / denom
+          // NaN never ranks + exact early-reject before rounding —
+          // ProbeTopKAgg.update's guard, verbatim rationale there
+          if (sim == sim && (h.size < k || sim + 1e-6 >= h.sims(0))) {
+            val rounded =
+              if (java.lang.Double.isInfinite(sim)) sim
+              else java.math.BigDecimal.valueOf(sim)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            h.offer(rounded, candIds(c))
+          }
+        }
+        c += 1
+      }
+      val idx = h.sortedIdx()
+      val rows = new Array[Any](idx.length)
+      var r = 0
+      while (r < idx.length) {
+        rows(r) = InternalRow(h.ids(idx(r)), h.sims(idx(r)))
+        r += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(probeId = newChildren(0), probeVec = newChildren(1))
+  }
+
   /** Generic-key sibling of [[TopKHeap]]: the k best (sim, key) pairs
     * under (sim DESC, key ASC) where the key is any integral OR string
     * value — real corpus ids are URLs and content hashes at least as
@@ -690,12 +817,21 @@ object TopKFunctions {
     override def update(buf: TopKKeyHeap, input: InternalRow): TopKKeyHeap = {
       val s = sim.eval(input)
       val kv = key.eval(input)
-      // null sim or key never ranks (same contract as graft_top_k)
+      // null sim or key never ranks (same contract as graft_top_k),
+      // and neither does NaN (`sd == sd` — ±Infinity still ranks):
+      // beyond matching graft_top_k's deliberate window deviation,
+      // this is heap soundness — every NaN comparison is false in
+      // Java, so a NaN admitted while the heap is FILLING would be
+      // permanently un-evictable (it never sifts to the root) and
+      // could surface in the output in an arbitrary position. Spark's
+      // total-order `>` filters upstream do NOT stop NaN (GreaterThan
+      // puts NaN above every double — see ProbeMatches), so the
+      // aggregate enforces the contract for every caller itself.
       if (s != null && kv != null) {
         val sd = simAsDouble(s)
         // compare FIRST with the (possibly buffer-backed) key, clone
         // only when the heap will actually retain it
-        if (buf.accepts(sd, kv)) {
+        if (sd == sd && buf.accepts(sd, kv)) {
           val owned =
             if (isString)
               kv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()

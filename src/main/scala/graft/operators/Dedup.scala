@@ -1148,6 +1148,14 @@ object Dedup {
     * CartesianProduct once the probe side outgrows broadcast, the
     * shape the r14 sf10 measurement showed dies on disk spill
     * (BENCHNOTES_r14).
+    *
+    * `maxChunkedProbes` is the DRIVER memory bound and a ROW count:
+    * the collected probe matrix is ~`rows × dims × 8` bytes (≈0.5 GB
+    * at the default 2²⁰ × 64 dims, ≈6 GB at 768 dims — lower the cap
+    * at high dimension). When nChunks > 1 each chunk re-runs `emb`'s
+    * full lineage: persist a DERIVED emb (anything that isn't a plain
+    * parquet scan) before calling, or the upstream compute repeats
+    * per chunk.
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -1166,7 +1174,12 @@ object Dedup {
     // bit-identical to the join form (split norms, dot per pair, zero
     // guard). Fallback above the chunk cap: join + split-norm predicate.
     val gate = math.max(maxEmbeddedProbes, 0)
-    val chunkCap = if (gate == 0) 0 else math.max(maxChunkedProbes, gate)
+    // clamped so `limit(chunkCap + 1)` can't overflow negative when a
+    // caller passes Int.MaxValue (the fallback warning invites raising
+    // the cap)
+    val chunkCap =
+      if (gate == 0) 0
+      else math.min(math.max(maxChunkedProbes, gate), Int.MaxValue - 1)
     val collected = emb.where(probeFilter)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .limit(chunkCap + 1).collect()

@@ -349,6 +349,10 @@ object GroupQuantiles {
       groupCols: Seq[String],
       valueCol: String,
       probs: Seq[Double]): DataFrame = {
+    // public API: enforce the same probs/group contract as exact/auto
+    // (a direct caller must not slip probs ∉ (0,1] or a 500-entry
+    // probs list past the brackets the other entry points reject)
+    validate(groupCols, probs)
     val grp = groupCols.map(col)
     val ranked = df
       .withColumn("__rk",

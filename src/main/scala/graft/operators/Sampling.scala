@@ -73,8 +73,8 @@ object Sampling {
     * (default collation), so the cross-engine order statement above
     * holds for string keys too.
     *
-    * Output: (stratum, key) with the key in its ORIGINAL type; join
-    * back on the key for full rows.
+    * Output: (stratum, key) with the key in its ORIGINAL type;
+    * [[stratifiedExactKRows]] returns the full source rows.
     */
   def stratifiedExactK(
       df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame = {
@@ -106,32 +106,97 @@ object Sampling {
     * orders of magnitude too small to reorder anything; exact u
     * COLLISIONS (birthday-expected past ~2¹⁶ rows) yield exactly
     * equal race keys in both engines and break by key ascending, the
-    * heap's own rule. u = 0 races at +∞ (ln underflow is -∞ in both
-    * engines) and loses to every finite key, consistently.
+    * heap's own rule. u = 0 races at +∞ and loses to every finite
+    * key (selected only in under-k strata), consistently in both
+    * engines — but NOT for free: DuckDB's `ln(0)` is −∞ while
+    * Spark's `ln` is a `UnaryLogExpression` that returns NULL on
+    * input ≤ 0 (which the aggregate would silently DROP), so the
+    * race key coalesces the null back to the IEEE −∞ the SQL
+    * statement means. At 2⁻³² per row a u = 0 coin is ~233 rows on
+    * a 10¹²-row corpus — real at the design scale.
     *
     * Like [[stratifiedExactK]] this rides the mergeable bounded-heap
     * aggregate: the exchange carries partitions × strata × k rows,
     * corpus-size-independent, never a per-stratum window sort. Rows
-    * with null key, null weight, or weight ≤ 0 are dropped by an
-    * explicit plan-visible filter (a non-positive weight has no
-    * exponential race key; A-ES is defined over w > 0).
+    * with null key, null weight, NaN weight, or weight ≤ 0 are
+    * dropped by an explicit plan-visible filter (a non-positive
+    * weight has no exponential race key; A-ES is defined over
+    * w > 0). The NaN test must be EXPLICIT: Spark's `w > 0` is the
+    * SQL total-order GreaterThan, which puts NaN ABOVE every double
+    * and would wave a NaN weight straight through into a NaN race
+    * key (the aggregate also rejects NaN race keys itself — belt
+    * and braces, see TopKKeyAgg.update).
     *
     * Output: (stratum, key), key in its original (integral or string)
-    * type.
+    * type. [[stratifiedWeightedKRows]] returns the full source rows.
     */
   def stratifiedWeightedK(
       df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    stratifiedWeightedKWithCoin(
+      df, stratumCol, keyCol, weightCol, k, keyCoin(col(keyCol)))
+
+  /** [[stratifiedWeightedK]] with the uniform coin injectable — the
+    * spec seam that lets a test FORCE u = 0 (a key whose md5 leads
+    * with eight zero hex digits is a 2⁻³² needle) and pin the
+    * coalesced −∞ race against the window formulation.
+    */
+  private[graft] def stratifiedWeightedKWithCoin(
+      df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
+      k: Int, coin: Column): DataFrame = {
     val spark = df.sparkSession
+    val w = col(weightCol).cast("double")
     // race key e = -ln(u)/w; the heap keeps MAX sim, so sim = -e =
-    // ln(u)/w (IEEE negation is exact — the order is the oracle's)
-    val sim = log(keyCoin(col(keyCol))) / col(weightCol).cast("double")
+    // ln(u)/w (IEEE negation is exact — the order is the oracle's).
+    // coalesce: Spark ln(0) is NULL, the SQL order needs -Infinity
+    // (scaladoc above).
+    val sim = coalesce(log(coin), lit(Double.NegativeInfinity)) / w
     df.where(col(keyCol).isNotNull &&
-        col(weightCol).isNotNull && col(weightCol) > lit(0))
+        col(weightCol).isNotNull && !isnan(w) && col(weightCol) > lit(0))
       .groupBy(col(stratumCol))
       .agg(graft.functions.TopKFunctions.topKKey(
         spark, sim, col(keyCol), k).as("__tk"))
       .select(col(stratumCol), explode(col("__tk")).as("__e"))
       .select(col(stratumCol), col(s"__e.cand_key").as(keyCol))
+  }
+
+  /** Full-row convenience over the quota samplers: the (stratum, key)
+    * quota joins back to the source frame as a BROADCAST left-semi —
+    * the quota side is at most strata × k rows by construction, so
+    * the join never shuffles the corpus (each task streams its source
+    * partition past the in-memory quota set). Callers were
+    * hand-writing exactly this join.
+    *
+    * Null-safe on the stratum (a NULL stratum is a real stratum,
+    * same as the samplers), plain equality on the key (null keys
+    * were dropped before selection and can never match). Rows whose
+    * (stratum, key) repeats in the source all survive — the semi
+    * join keeps every source row carrying a selected pair, exactly
+    * what the hand-written join did.
+    */
+  def stratifiedExactKRows(
+      df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame =
+    semiJoinQuota(df, stratifiedExactK(df, stratumCol, keyCol, k),
+      stratumCol, keyCol)
+
+  /** [[stratifiedWeightedK]] returning full source rows — see
+    * [[stratifiedExactKRows]] for the join-back contract.
+    */
+  def stratifiedWeightedKRows(
+      df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    semiJoinQuota(df,
+      stratifiedWeightedK(df, stratumCol, keyCol, weightCol, k),
+      stratumCol, keyCol)
+
+  private def semiJoinQuota(
+      df: DataFrame, quota: DataFrame, stratumCol: String,
+      keyCol: String): DataFrame = {
+    // rename the quota side: it is DERIVED from df, and a self-join
+    // on same-named columns trips Spark's ambiguous-attribute lint
+    val q = quota.toDF("__q_stratum", "__q_key")
+    df.join(broadcast(q),
+      col(stratumCol) <=> col("__q_stratum") && col(keyCol) === col("__q_key"),
+      "left_semi")
   }
 }

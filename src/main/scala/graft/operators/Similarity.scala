@@ -81,8 +81,29 @@ object Similarity {
         col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
   }
 
-  /** Exact brute-force top-k. Three regimes, identical results
-    * (spec-pinned):
+  /** Exact brute-force top-k of a probe SUBSET of `emb` against all
+    * of `emb` — the single-frame convenience over
+    * [[bruteForceTopKFrames]] (all regimes and contracts documented
+    * there). Because the probes are a subset of the corpus here, the
+    * role-swap regime never fires from this entry point (a probe set
+    * too big to collect implies a corpus too big to collect); callers
+    * with a separate query set use the frames form directly.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20): DataFrame =
+    bruteForceTopKFrames(
+      emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
+      emb, idCol, vecCol, k, maxEmbeddedProbes, maxChunkedProbes)
+
+  /** Exact brute-force top-k, probes and corpus as SEPARATE frames
+    * (the usual real shape: a query set against a corpus). Four
+    * regimes, identical results (spec-pinned):
     *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): the probe set — which
     *    a broadcast join would driver-collect anyway — embeds in a
     *    single `graft_probe_topk` aggregate; the corpus is scanned
@@ -98,43 +119,62 @@ object Similarity {
     *    union is exactly the single-kernel answer (r14 measurement,
     *    BENCHNOTES_r14 §: the join's ~µs/pair row plumbing dwarfs the
     *    re-scan cost by orders of magnitude at over-gate probe counts).
-    *  - JOIN (probes above `maxChunkedProbes`): split-norm scoring +
-    *    the graft_top_k aggregate over a non-equi join. This is the
-    *    only shape left for probe sets too large to driver-collect at
-    *    all (the chunked regime, like broadcast, holds the collected
-    *    probe matrix on the driver: `maxChunkedProbes` IS the driver
-    *    memory bound, ~0.5 GB at the default 2²⁰ × 64-dim doubles) —
-    *    but it is a LAST RESORT, not a peer: the `probe_id =!=
-    *    cand_id` condition plans as CartesianProduct once the probe
-    *    side outgrows broadcast, and the r14 sf10 measurement killed
-    *    it outright (2¹⁵ probes × 200k corpus: the per-partition
-    *    right-side spill filled >60 GB of disk and the job died at
-    *    ~17 min, where the chunked kernels finish in 59 s —
-    *    BENCHNOTES_r14). Exact brute force past the chunk cap should
-    *    raise `maxChunkedProbes` (driver memory permitting) or switch
-    *    to `lshTopK`/`ivfTopK`, whose over-gate joins are bucket
+    *    NOTE when nChunks > 1: each chunk re-runs the corpus frame's
+    *    full lineage — persist a DERIVED corpus (anything that isn't a
+    *    plain parquet scan) before calling, or the upstream compute
+    *    repeats per chunk.
+    *  - ROLE SWAP (probes > `maxChunkedProbes` ≥ corpus): the CORPUS
+    *    embeds instead — ⌈corpus/gate⌉ disjoint candidate chunks, each
+    *    a `graft_corpus_topk` PROJECTION over one probe scan (no
+    *    aggregate, no exchange, no joined rows); with multiple chunks
+    *    the per-chunk arrays re-rank through graft_top_k (chunks are
+    *    disjoint in candidate space, so the merged top-k is exact and
+    *    the exchange carries ≤ probes × k × nChunks rows, never a
+    *    cross product). This retires the join fallback for every case
+    *    where EITHER side fits the collect cap.
+    *  - JOIN (both sides above `maxChunkedProbes`): split-norm scoring
+    *    + the graft_top_k aggregate over a non-equi join. LAST RESORT,
+    *    not a peer: the `probe_id =!= cand_id` condition plans as
+    *    CartesianProduct once the probe side outgrows broadcast, and
+    *    the r14 sf10 measurement killed it outright (2¹⁵ probes × 200k
+    *    corpus: the per-partition right-side spill filled >60 GB of
+    *    disk and the job died at ~17 min, where the chunked kernels
+    *    finish in 59 s — BENCHNOTES_r14). With BOTH sides past the cap
+    *    use `lshTopK`/`ivfTopK`, whose over-gate joins are bucket
     *    EQUI-joins. A warning is logged when this regime engages.
-    *    Passing `maxEmbeddedProbes = 0` disables both kernel regimes
+    *    Passing `maxEmbeddedProbes = 0` disables every kernel regime
     *    (used by specs to pin kernel ≡ join equality).
+    *
+    * `maxChunkedProbes` IS the driver-memory bound: the winning side's
+    * (id, vector) rows are collected, ~`rows × dims × 8` bytes —
+    * ≈0.5 GB at the default 2²⁰ × 64 dims, but ≈6 GB at 768-dim
+    * embeddings. The cap is a ROW count, not bytes: at high dimension
+    * lower it to keep `rows × dims × 8` inside driver headroom.
     */
-  def bruteForceTopK(
-      emb: DataFrame,
-      idCol: String,
-      vecCol: String,
-      probeFilter: Column,
+  def bruteForceTopKFrames(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
       k: Int,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = corpus.sparkSession
     val gate = math.max(maxEmbeddedProbes, 0)
     // chunking disabled when the embedded gate is (chunk size would be
-    // 0) or when the caller caps chunked at/below the gate
-    val chunkCap = if (gate == 0) 0 else math.max(maxChunkedProbes, gate)
+    // 0) or when the caller caps chunked at/below the gate; clamped so
+    // `limit(chunkCap + 1)` can't overflow when a caller takes the
+    // fallback warning's advice literally and passes Int.MaxValue
+    val chunkCap =
+      if (gate == 0) 0
+      else math.min(math.max(maxChunkedProbes, gate), Int.MaxValue - 1)
     // one bounded collect decides the regime AND supplies the matrix:
     // limit(cap+1) keeps the job O(cap) even on a pathological
     // probe filter that matches the whole corpus
-    val collected = emb.where(probeFilter)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val collected = probes
+      .select(col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
       .limit(chunkCap + 1).collect()
     if (collected.length <= chunkCap && gate > 0) {
       import org.apache.spark.sql.graftbridge.SparkBridge
@@ -142,8 +182,8 @@ object Similarity {
       // probes (a null-valued join/score condition never matches), so
       // the embedded regime must too, not NPE on getLong
       val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val corpus = Dedup.rebalance(
-        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+      val cand = Dedup.rebalance(
+        corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
       val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
       val frames = (0 until nChunks).map { c =>
         val lo = (c.toLong * usable.length / nChunks).toInt
@@ -152,42 +192,89 @@ object Similarity {
         val pIds = slice.map(_.getLong(0))
         val pVecs = slice.map(_.getSeq[Double](1).toArray)
         val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-          SparkBridge.expression(corpus("cand_id")),
-          SparkBridge.expression(corpus("cand_vec")),
+          SparkBridge.expression(cand("cand_id")),
+          SparkBridge.expression(cand("cand_vec")),
           pIds, pVecs, k).toAggregateExpression())
-        corpus.agg(agg.as("tk"))
+        cand.agg(agg.as("tk"))
       }
       frames.reduce(_.union(_))
         .select(explode(col("tk")).as("e"))
         .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
           col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
     } else {
-      if (gate > 0) log.warn(
-        s"bruteForceTopK: probe count exceeds maxChunkedProbes=$chunkCap — " +
-          "falling back to the non-equi join (plans as CartesianProduct " +
-          "above broadcast size; measured disk-bound at sf10, BENCHNOTES_r14). " +
-          "Raise maxChunkedProbes or use lshTopK/ivfTopK at this probe scale.")
-      val probes = emb.where(probeFilter)
-        .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-        .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-      // rebalance: a single-row-group embedding file scans as ONE task,
-      // which would serialize the |probes|×|corpus| cosine loop on one
-      // core; no-op on multi-split tables (Dedup.rebalance)
-      val corpus = Dedup.rebalance(
-        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-        .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-      // NO broadcast hint above the embedded gate: the probe count is
-      // known only to exceed 2^16 and can grow ∝ corpus, so a forced
-      // broadcast is the one driver-OOM shape left at 100× (an 10^8-row
-      // probe filter heads straight for the 8 GB cap). The planner
-      // decides from its stats (AQE can still promote a genuinely small
-      // side at runtime) — the same force-under-threshold /
-      // planner-above pattern as the MoR DV anti-join
-      // (LakeTable.DvBroadcastBytes).
-      val scored = corpus.join(probes, col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
-          col("probe_norm"), col("cand_norm")))
-      rankTopK(scored, k)
+      // probes exceed the collect cap — try the ROLE SWAP before
+      // surrendering to the join: embed the corpus if IT fits
+      val candCollected =
+        if (gate == 0) null
+        else corpus
+          .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
+          .limit(chunkCap + 1).collect()
+      if (candCollected != null && candCollected.length <= chunkCap) {
+        import org.apache.spark.sql.graftbridge.SparkBridge
+        val usable = candCollected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val probeFrame = Dedup.rebalance(
+          probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val frames = (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val cIds = slice.map(_.getLong(0))
+          val cVecs = slice.map(_.getSeq[Double](1).toArray)
+          val tk = SparkBridge.column(graft.functions.TopKFunctions.CorpusTopK(
+            SparkBridge.expression(probeFrame("probe_id")),
+            SparkBridge.expression(probeFrame("probe_vec")),
+            cIds, cVecs, k))
+          probeFrame.select(col("probe_id"), tk.as("tk"))
+        }
+        if (nChunks == 1) {
+          // single chunk: the projected array IS the answer; rank =
+          // position (the kernel emits best-first) — zero exchanges
+          frames.head
+            .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+            .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+        } else {
+          // distributed k-merge: per-chunk winners re-rank through the
+          // bounded graft_top_k aggregate — candidates are already
+          // ROUNDED and chunks are disjoint in candidate space, so the
+          // merged ordering is exactly the single-kernel answer; the
+          // exchange carries ≤ probes × k × nChunks rows
+          val scored = frames.reduce(_.union(_))
+            .select(col("probe_id"), explode(col("tk")).as("e"))
+            .select(col("probe_id"), col("e.cand_id").as("cand_id"),
+              col("e.sim").as("sim"))
+          rankTopK(scored, k)
+        }
+      } else {
+        if (gate > 0) log.warn(
+          s"bruteForceTopK: BOTH probe and corpus side exceed " +
+            s"maxChunkedProbes=$chunkCap — falling back to the non-equi " +
+            "join (plans as CartesianProduct above broadcast size; " +
+            "measured disk-bound at sf10, BENCHNOTES_r14). Raise " +
+            "maxChunkedProbes or use lshTopK/ivfTopK at this scale.")
+        val probeSide = probes
+          .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
+          .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
+        // rebalance: a single-row-group embedding file scans as ONE task,
+        // which would serialize the |probes|×|corpus| cosine loop on one
+        // core; no-op on multi-split tables (Dedup.rebalance)
+        val cand = Dedup.rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+          .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+        // NO broadcast hint above the embedded gate: the probe count is
+        // known only to exceed the cap and can grow ∝ corpus, so a forced
+        // broadcast is the one driver-OOM shape left at 100× (an 10^8-row
+        // probe filter heads straight for the 8 GB cap). The planner
+        // decides from its stats (AQE can still promote a genuinely small
+        // side at runtime) — the same force-under-threshold /
+        // planner-above pattern as the MoR DV anti-join
+        // (LakeTable.DvBroadcastBytes).
+        val scored = cand.join(probeSide, col("probe_id") =!= col("cand_id"))
+          .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+            col("probe_norm"), col("cand_norm")))
+        rankTopK(scored, k)
+      }
     }
   }
 

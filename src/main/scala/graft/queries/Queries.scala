@@ -1573,6 +1573,55 @@ object Queries {
              |r AS (SELECT probe_id, cand_id, sim,
              |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
              |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
+
+    // full-row quota output (r15): the weighted sampler's (stratum,
+    // key) selection joined back to the source frame as a BROADCAST
+    // left-semi (the quota side is strata × k rows by construction, so
+    // the corpus never shuffles). The oracle states the hand-written
+    // membership join the wrapper replaces.
+    "q71_weighted_quota_rows" -> QueryDef(
+      (s, d) => Sampling.stratifiedWeightedKRows(
+        tbl(s, d, "documents"), "lang", "doc_id", "n_chars", k = 40),
+      Some("""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+             |FROM documents d
+             |JOIN (
+             |  SELECT lang, doc_id FROM (
+             |    SELECT lang, doc_id,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY -ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                     / 4294967296.0) / CAST(n_chars AS DOUBLE),
+             |                 doc_id) AS rn
+             |    FROM documents
+             |    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+             |  WHERE rn <= 40) q
+             |ON d.lang IS NOT DISTINCT FROM q.lang AND d.doc_id = q.doc_id""".stripMargin)),
+
+    // the ROLE-SWAPPED over-cap ANN regime (r15): every embedding row
+    // probes a 20-row corpus; probes exceed the forced chunk cap (64)
+    // while the corpus fits it, so the corpus embeds in ceil(20/7)=3
+    // graft_corpus_topk projection chunks scanned over the probes —
+    // no aggregate per chunk, no joined rows — and the per-chunk
+    // winners k-merge through graft_top_k. This is the regime that
+    // retires the CartesianProduct fallback whenever EITHER side fits
+    // the collect cap (Similarity.bruteForceTopKFrames scaladoc). The
+    // oracle is q70's cosine replay with the roles swapped, so the
+    // hash gate pins role-swap == join cross-engine.
+    "q72_ann_roleswap" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopKFrames(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding", k = 3,
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+             |  FROM e p, e c WHERE c.vec_id % 20 = 0 AND c.vec_id < 400 AND p.vec_id <> c.vec_id),
+             |r AS (SELECT probe_id, cand_id, sim,
+             |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+             |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

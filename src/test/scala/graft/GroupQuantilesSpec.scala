@@ -175,4 +175,27 @@ class GroupQuantilesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("64"))
   }
+
+  test("input validation is identical on all three entry points (windowExact included)") {
+    // windowExact is public API — a direct caller must hit the same
+    // probs range/count/group brackets exact and auto enforce, not
+    // slip a probs ∉ (0,1] or a 500-entry list past them
+    val df = Seq(("g", 1.0)).toDF("grp", "v")
+    val entries: Seq[(String, Seq[Double] => DataFrame)] = Seq(
+      "exact" -> (p => GroupQuantiles.exact(df, Seq("grp"), "v", p)),
+      "auto" -> (p => GroupQuantiles.auto(df, Seq("grp"), "v", p)),
+      "windowExact" -> (p => GroupQuantiles.windowExact(df, Seq("grp"), "v", p)))
+    for ((name, run) <- entries) {
+      val range = intercept[IllegalArgumentException] { run(Seq(0.0, 0.5)) }
+      assert(range.getMessage.contains("(0, 1]"), s"$name: $range")
+      val over = intercept[IllegalArgumentException] { run(Seq(1.5)) }
+      assert(over.getMessage.contains("(0, 1]"), s"$name: $over")
+      val fanout = intercept[IllegalArgumentException] {
+        run((1 to 65).map(_ / 65.0))
+      }
+      assert(fanout.getMessage.contains("64"), s"$name: $fanout")
+      val empty = intercept[IllegalArgumentException] { run(Seq.empty) }
+      assert(empty.getMessage.contains("probs"), s"$name: $empty")
+    }
+  }
 }

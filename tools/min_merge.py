@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""Per-query MIN-merge of two bench_compare passes, applied to BOTH
-engines symmetrically (the BENCHNOTES r7 protocol for a bursty host).
+"""Per-query MIN-merge of two OR MORE bench_compare passes, applied to
+BOTH engines symmetrically (the BENCHNOTES r7 protocol for a bursty
+host; variadic since r15 so an automatic third pass can self-heal an
+environmental burst instead of needing a manual supplementary run).
 
-  python3 tools/min_merge.py cmp_a.md cmp_b.md > merged_table.md
+  python3 tools/min_merge.py cmp_a.md cmp_b.md [cmp_c.md ...] > merged.md
 
-Parses the two markdown tables, takes min(spark), min(duckdb) per
-query (a capped ">Ns" row stays capped only if capped in BOTH passes;
-a "—" no-oracle row stays "—"), and re-emits the table + totals.
+Parses the markdown tables, takes min(spark), min(duckdb) per query
+(a capped ">Ns" row stays capped only if capped in EVERY pass that has
+the query; a "—" no-oracle row stays "—"), and re-emits the table +
+totals.
 """
 import sys, re
 
@@ -25,20 +28,24 @@ def parse(path):
             rows[q] = (s, dv, capped)
     return rows
 
-def main(a_path, b_path):
-    a, b = parse(a_path), parse(b_path)
-    qs = [q for q in a if q in b] + [q for q in b if q not in a]
+def main(paths):
+    passes = [parse(p) for p in paths]
+    qs = []
+    for p in passes:
+        for q in p:
+            if q not in qs:
+                qs.append(q)
     lines = ["| query | spark s | duckdb s | spark/duckdb |", "|---|---|---|---|"]
     tot_s = tot_d = 0.0
     for q in qs:
-        (sa, da, ca) = a.get(q, b[q])
-        (sb, db, cb) = b.get(q, a[q])
-        s = min(sa, sb)
-        if da is None or db is None:
+        entries = [p[q] for p in passes if q in p]
+        s = min(e[0] for e in entries)
+        ds = [e[1] for e in entries]
+        if any(d is None for d in ds):
             lines.append(f"| {q} | {s:.2f} | — | — |")
             continue
-        capped = ca and cb
-        d = min(da, db) if not capped else da
+        capped = all(e[2] for e in entries)
+        d = min(ds) if not capped else ds[0]
         if capped:
             lines.append(f"| {q} | {s:.2f} | >{d:.0f} (capped) | <{s/d:.3f}x |")
         else:
@@ -50,4 +57,4 @@ def main(a_path, b_path):
     print("\n".join(lines))
 
 if __name__ == '__main__':
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1:])
