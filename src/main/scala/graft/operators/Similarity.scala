@@ -215,23 +215,26 @@ object Similarity {
         val probeFrame = Dedup.rebalance(
           probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")))
         val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
-        val frames = (0 until nChunks).map { c =>
+        // the kernel sits DIRECTLY inside the generator (never behind
+        // a projected alias): InferFiltersFromGenerate skips non-cheap
+        // generator inputs, but an aliased array gets a `size(tk) > 0`
+        // filter inferred and pushed THROUGH the projection —
+        // duplicating the whole corpus-chunk scoring loop per probe
+        // row (measured: the q72 audit plan ran the kernel twice)
+        def chunkKernel(c: Int): Column = {
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
           val slice = usable.slice(lo, hi)
-          val cIds = slice.map(_.getLong(0))
-          val cVecs = slice.map(_.getSeq[Double](1).toArray)
-          val tk = SparkBridge.column(graft.functions.TopKFunctions.CorpusTopK(
+          SparkBridge.column(graft.functions.TopKFunctions.CorpusTopK(
             SparkBridge.expression(probeFrame("probe_id")),
             SparkBridge.expression(probeFrame("probe_vec")),
-            cIds, cVecs, k))
-          probeFrame.select(col("probe_id"), tk.as("tk"))
+            slice.map(_.getLong(0)), slice.map(_.getSeq[Double](1).toArray), k))
         }
         if (nChunks == 1) {
           // single chunk: the projected array IS the answer; rank =
           // position (the kernel emits best-first) — zero exchanges
-          frames.head
-            .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          probeFrame
+            .select(col("probe_id"), posexplode(chunkKernel(0)).as(Seq("pos", "e")))
             .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
               col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
         } else {
@@ -240,10 +243,11 @@ object Similarity {
           // ROUNDED and chunks are disjoint in candidate space, so the
           // merged ordering is exactly the single-kernel answer; the
           // exchange carries ≤ probes × k × nChunks rows
-          val scored = frames.reduce(_.union(_))
-            .select(col("probe_id"), explode(col("tk")).as("e"))
-            .select(col("probe_id"), col("e.cand_id").as("cand_id"),
-              col("e.sim").as("sim"))
+          val scored = (0 until nChunks).map { c =>
+            probeFrame.select(col("probe_id"), explode(chunkKernel(c)).as("e"))
+              .select(col("probe_id"), col("e.cand_id").as("cand_id"),
+                col("e.sim").as("sim"))
+          }.reduce(_.union(_))
           rankTopK(scored, k)
         }
       } else {
