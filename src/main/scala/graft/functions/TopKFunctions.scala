@@ -493,13 +493,20 @@ object TopKFunctions {
     * the raw quotient, as the operator always has). Exploding the
     * result reproduces the join's output rows with zero joined-row
     * materialization.
+    *
+    * `emitGreater` flips the id comparison to `embedded_id > row_id`
+    * — the ROLE-SWAPPED form (Dedup.embeddingNearDupFrames): the
+    * CORPUS embeds and the PROBES are scanned, so the row is the
+    * probe and the emitted ids are candidates with `probe_id <
+    * cand_id`, the identical pair contract from the other side.
     */
   case class ProbeMatches(
       candId: Expression,
       candVec: Expression,
       probeIds: Array[Long],
       probeVecs: Array[Array[Double]],
-      threshold: Double)
+      threshold: Double,
+      emitGreater: Boolean = false)
       extends org.apache.spark.sql.catalyst.expressions.Expression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     require(probeIds.length == probeVecs.length, "ids/vecs length mismatch")
@@ -548,7 +555,7 @@ object TopKFunctions {
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var p = 0
       while (p < probeIds.length) {
-        if (probeIds(p) < cid) {
+        if (if (emitGreater) probeIds(p) > cid else probeIds(p) < cid) {
           val pv = probeVecs(p)
           val d = math.min(pv.length, n)
           var dot = 0.0

@@ -1622,6 +1622,27 @@ object Queries {
              |r AS (SELECT probe_id, cand_id, sim,
              |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
              |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
+
+    // role-swapped near-dup (r15): every embedding row probes the same
+    // 20-row corpus above the forced cap — the reversed
+    // graft_probe_matches kernel (emitGreater: candidates ABOVE the
+    // probe id, the q24 pair contract from the other side) runs as
+    // 3 projection chunks over the probe scan and the disjoint chunks
+    // union directly; no join, no merge aggregate. Oracle = q24's
+    // cosine predicate with this blocking.
+    "q73_neardup_roleswap" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Dedup.embeddingNearDupFrames(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding", threshold = 0.15,
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id FROM e p, e c
+             |WHERE c.vec_id % 20 = 0 AND c.vec_id < 400 AND p.vec_id < c.vec_id
+             |AND list_cosine_similarity(p.v, c.v) > 0.15""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

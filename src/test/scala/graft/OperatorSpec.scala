@@ -596,6 +596,27 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     assert(chunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
       "chunked near-dup regime must not plan a join")
+    // ROLE-SWAPPED frames regime: probes (all of emb) exceed the
+    // forced cap, the corpus (~n/9 rows) fits — reversed-kernel chunks
+    // over the probe scan, disjoint candidate chunks union directly
+    val corpusSmall = emb.where(col("vec_id") % 9 === 0)
+    val swap = Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
+      corpusSmall, "vec_id", "embedding", threshold = 0.15,
+      maxEmbeddedProbes = 7, maxChunkedProbes = 100)
+    val swapJoin = Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
+      corpusSmall, "vec_id", "embedding", threshold = 0.15,
+      maxEmbeddedProbes = 0)
+    assert(swap.except(swapJoin).isEmpty && swapJoin.except(swap).isEmpty,
+      "role-swapped and join near-dup regimes must agree exactly")
+    assert(swap.count() > 0)
+    assert(swap.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "role-swapped near-dup regime must not plan a join")
+    // the join fallback is reachable ONLY when both sides exceed
+    val both = Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
+      emb, "vec_id", "embedding", threshold = 0.15,
+      maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+    assert(both.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+      "both sides over the cap: the join is the only shape left")
   }
 
   test("LSH topK: embedded-probe regime == join regime, row for row") {
