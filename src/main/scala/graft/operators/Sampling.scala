@@ -77,16 +77,28 @@ object Sampling {
     * [[stratifiedExactKRows]] returns the full source rows.
     */
   def stratifiedExactK(
-      df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame = {
+      df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame =
+    stratifiedExactK(df, Seq(stratumCol), keyCol, k)
+
+  /** [[stratifiedExactK]] over COMPOSITE strata — real LLM mixes
+    * stratify on (lang, source)-style column PAIRS, and forcing
+    * callers to pre-concat them into one key both loses the original
+    * columns from the output and invites separator-collision bugs.
+    * Same bounded-heap plan (the group key is simply wider); output
+    * is (strata..., key).
+    */
+  def stratifiedExactK(
+      df: DataFrame, stratumCols: Seq[String], keyCol: String, k: Int): DataFrame = {
+    require(stratumCols.nonEmpty, "at least one stratum column")
     val spark = df.sparkSession
     val rank = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("double")
     df.where(col(keyCol).isNotNull)
-      .groupBy(col(stratumCol))
+      .groupBy(stratumCols.map(col): _*)
       .agg(graft.functions.TopKFunctions.topKKey(
         spark, negate(rank), col(keyCol), k).as("__tk"))
-      .select(col(stratumCol), explode(col("__tk")).as("__e"))
-      .select(col(stratumCol), col(s"__e.cand_key").as(keyCol))
+      .select(stratumCols.map(col) :+ explode(col("__tk")).as("__e"): _*)
+      .select(stratumCols.map(col) :+ col(s"__e.cand_key").as(keyCol): _*)
   }
 
   /** WEIGHTED exact-k per stratum — the quota sampler for LLM data
@@ -134,7 +146,17 @@ object Sampling {
       df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
       k: Int): DataFrame =
     stratifiedWeightedKWithCoin(
-      df, stratumCol, keyCol, weightCol, k, keyCoin(col(keyCol)))
+      df, Seq(stratumCol), keyCol, weightCol, k, keyCoin(col(keyCol)))
+
+  /** [[stratifiedWeightedK]] over COMPOSITE strata (see the composite
+    * [[stratifiedExactK]] for the rationale). Output is
+    * (strata..., key).
+    */
+  def stratifiedWeightedK(
+      df: DataFrame, stratumCols: Seq[String], keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    stratifiedWeightedKWithCoin(
+      df, stratumCols, keyCol, weightCol, k, keyCoin(col(keyCol)))
 
   /** [[stratifiedWeightedK]] with the uniform coin injectable — the
     * spec seam that lets a test FORCE u = 0 (a key whose md5 leads
@@ -142,8 +164,9 @@ object Sampling {
     * coalesced −∞ race against the window formulation.
     */
   private[graft] def stratifiedWeightedKWithCoin(
-      df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
+      df: DataFrame, stratumCols: Seq[String], keyCol: String, weightCol: String,
       k: Int, coin: Column): DataFrame = {
+    require(stratumCols.nonEmpty, "at least one stratum column")
     val spark = df.sparkSession
     val w = col(weightCol).cast("double")
     // race key e = -ln(u)/w; the heap keeps MAX sim, so sim = -e =
@@ -153,31 +176,46 @@ object Sampling {
     val sim = coalesce(log(coin), lit(Double.NegativeInfinity)) / w
     df.where(col(keyCol).isNotNull &&
         col(weightCol).isNotNull && !isnan(w) && col(weightCol) > lit(0))
-      .groupBy(col(stratumCol))
+      .groupBy(stratumCols.map(col): _*)
       .agg(graft.functions.TopKFunctions.topKKey(
         spark, sim, col(keyCol), k).as("__tk"))
-      .select(col(stratumCol), explode(col("__tk")).as("__e"))
-      .select(col(stratumCol), col(s"__e.cand_key").as(keyCol))
+      .select(stratumCols.map(col) :+ explode(col("__tk")).as("__e"): _*)
+      .select(stratumCols.map(col) :+ col(s"__e.cand_key").as(keyCol): _*)
   }
 
-  /** Full-row convenience over the quota samplers: the (stratum, key)
-    * quota joins back to the source frame as a BROADCAST left-semi —
-    * the quota side is at most strata × k rows by construction, so
-    * the join never shuffles the corpus (each task streams its source
-    * partition past the in-memory quota set). Callers were
-    * hand-writing exactly this join.
+  /** Full-row convenience over the quota samplers: the (strata, key)
+    * quota joins back to the source frame as a left-semi. The quota
+    * row count is strata × k — but strata CARDINALITY IS
+    * DATA-DEPENDENT (per-domain quotas make strata ∝ corpus), so the
+    * broadcast decision is GATED, never forced: the quota is drawn
+    * through a bounded collect (`limit(maxRows + 1)`, conf
+    * [[Sampling.QuotaBroadcastRowsKey]], default 2²⁰ rows) and, when
+    * it fits that AND a 64 MB byte estimate, embeds as a broadcast
+    * LOCAL relation — the corpus then never shuffles (each task
+    * streams its source partition past the in-memory quota set) and
+    * the quota aggregate runs exactly once. Past either gate the
+    * collected prefix is discarded and the planner sizes the build
+    * side from its own stats (AQE can still promote at runtime) —
+    * the force-under-threshold / planner-above pattern of the MoR DV
+    * anti-join (LakeTable.DvBroadcastBytes); a forced broadcast here
+    * was the one driver-OOM shape left at 10⁷⁺ strata.
     *
-    * Null-safe on the stratum (a NULL stratum is a real stratum,
-    * same as the samplers), plain equality on the key (null keys
-    * were dropped before selection and can never match). Rows whose
-    * (stratum, key) repeats in the source all survive — the semi
-    * join keeps every source row carrying a selected pair, exactly
+    * Null-safe on each stratum column (a NULL stratum is a real
+    * stratum, same as the samplers), plain equality on the key (null
+    * keys were dropped before selection and can never match). Rows
+    * whose (strata, key) repeats in the source all survive — the semi
+    * join keeps every source row carrying a selected tuple, exactly
     * what the hand-written join did.
     */
   def stratifiedExactKRows(
       df: DataFrame, stratumCol: String, keyCol: String, k: Int): DataFrame =
-    semiJoinQuota(df, stratifiedExactK(df, stratumCol, keyCol, k),
-      stratumCol, keyCol)
+    stratifiedExactKRows(df, Seq(stratumCol), keyCol, k)
+
+  /** Composite-strata form of [[stratifiedExactKRows]]. */
+  def stratifiedExactKRows(
+      df: DataFrame, stratumCols: Seq[String], keyCol: String, k: Int): DataFrame =
+    semiJoinQuota(df, stratifiedExactK(df, stratumCols, keyCol, k),
+      stratumCols, keyCol)
 
   /** [[stratifiedWeightedK]] returning full source rows — see
     * [[stratifiedExactKRows]] for the join-back contract.
@@ -185,18 +223,62 @@ object Sampling {
   def stratifiedWeightedKRows(
       df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
       k: Int): DataFrame =
+    stratifiedWeightedKRows(df, Seq(stratumCol), keyCol, weightCol, k)
+
+  /** Composite-strata form of [[stratifiedWeightedKRows]]. */
+  def stratifiedWeightedKRows(
+      df: DataFrame, stratumCols: Seq[String], keyCol: String, weightCol: String,
+      k: Int): DataFrame =
     semiJoinQuota(df,
-      stratifiedWeightedK(df, stratumCol, keyCol, weightCol, k),
-      stratumCol, keyCol)
+      stratifiedWeightedK(df, stratumCols, keyCol, weightCol, k),
+      stratumCols, keyCol)
+
+  /** Session conf: max quota rows drawn through the bounded collect
+    * that gates the join-back broadcast (default 2²⁰). The collect is
+    * `limit(maxRows + 1)`, so the driver transfer is bounded by the
+    * conf whatever the strata cardinality turns out to be.
+    */
+  val QuotaBroadcastRowsKey = "spark.graft.quota.broadcastRows"
+  private val QuotaBroadcastRowsDefault = 1 << 20
+  /** Byte backstop for the same gate — aligned with the 64 MB
+    * force-broadcast budget the MoR DV anti-join uses
+    * (LakeTable.DvBroadcastBytes): long-URL string keys can blow a
+    * row gate's implied size by 25×.
+    */
+  private val QuotaBroadcastBytes = 64L << 20
 
   private def semiJoinQuota(
-      df: DataFrame, quota: DataFrame, stratumCol: String,
+      df: DataFrame, quota: DataFrame, stratumCols: Seq[String],
       keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val maxRows = spark.conf.getOption(QuotaBroadcastRowsKey)
+      .map(_.toInt).getOrElse(QuotaBroadcastRowsDefault)
     // rename the quota side: it is DERIVED from df, and a self-join
     // on same-named columns trips Spark's ambiguous-attribute lint
-    val q = quota.toDF("__q_stratum", "__q_key")
-    df.join(broadcast(q),
-      col(stratumCol) <=> col("__q_stratum") && col(keyCol) === col("__q_key"),
-      "left_semi")
+    val qNames = stratumCols.indices.map(i => s"__q_s$i") :+ "__q_key"
+    val cond = stratumCols.zipWithIndex.map { case (s, i) =>
+      col(s) <=> col(s"__q_s$i")
+    }.reduce(_ && _) && col(keyCol) === col("__q_key")
+    // bounded collect: the quota aggregate runs once, its result comes
+    // back only while under the row gate (+1 row to detect overflow)
+    val head = quota.limit(maxRows + 1).collect()
+    val bytes = head.iterator.map(r =>
+      r.toSeq.map {
+        case s: String => 24L + 2L * s.length
+        case _ => 16L
+      }.sum).sum
+    if (head.length <= maxRows && bytes <= QuotaBroadcastBytes) {
+      // under both gates: embed the quota VALUES as a local relation —
+      // statically broadcast, and the join never recomputes the
+      // aggregate (the lazy form would run it a second time)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(head: _*), quota.schema).toDF(qNames: _*)
+      df.join(broadcast(local), cond, "left_semi")
+    } else {
+      // over a gate: discard the prefix; the planner (and AQE at
+      // runtime) sizes the build side — at 10⁷⁺ strata a shuffled
+      // semi join is the correct plan, not a forced broadcast
+      df.join(quota.toDF(qNames: _*), cond, "left_semi")
+    }
   }
 }

@@ -1643,6 +1643,21 @@ object Queries {
              |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id FROM e p, e c
              |WHERE c.vec_id % 20 = 0 AND c.vec_id < 400 AND p.vec_id < c.vec_id
              |AND list_cosine_similarity(p.v, c.v) > 0.15""".stripMargin)),
+
+    // COMPOSITE-strata exact quota (r16): real LLM mixes stratify on
+    // (lang, source) PAIRS — the Seq overload routes the pair through
+    // the same mergeable bounded heap (the group key is simply wider;
+    // exchange stays partitions × strata × k) instead of forcing
+    // callers to pre-concat into a collision-prone string key.
+    "q76_quota_composite" -> QueryDef(
+      (s, d) => Sampling.stratifiedExactK(
+        tbl(s, d, "documents"), Seq("lang", "source"), "doc_id", k = 20),
+      Some("""SELECT lang, source, doc_id FROM (
+             |  SELECT lang, source, doc_id,
+             |    row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
+             |  FROM documents WHERE doc_id IS NOT NULL)
+             |WHERE rn <= 20""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

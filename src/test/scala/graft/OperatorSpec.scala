@@ -1853,7 +1853,7 @@ class OperatorSpec extends AnyFunSuite {
     val coin = when($"id" === 42L || $"id" === 1003L, lit(0.0))
       .otherwise(Sampling.keyCoin($"id"))
     val k = 10
-    val got = Sampling.stratifiedWeightedKWithCoin(df, "lang", "id", "w", k, coin)
+    val got = Sampling.stratifiedWeightedKWithCoin(df, Seq("lang"), "id", "w", k, coin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // under-k stratum: ALL 5 rows selected, the u=0 row included (the
     // pre-fix engine silently dropped it: null race key never ranks)
@@ -1895,11 +1895,84 @@ class OperatorSpec extends AnyFunSuite {
     val wRows = Sampling.stratifiedWeightedKRows(df, "lang", "id", "w", k)
       .collect().map(r => (Option(r.getString(1)), r.getLong(0))).toSet
     assert(wRows == wPairs)
-    // the quota side BROADCASTS (strata × k rows by construction):
-    // the corpus never shuffles for the join-back
+    // small strata: the gated collect admits the quota and the join
+    // plans a STATIC broadcast of the local relation — the corpus
+    // never shuffles for the join-back
     val phys = Sampling.stratifiedExactKRows(df, "lang", "id", k)
       .queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftSemi"), phys)
+  }
+
+  test("full-row quota join-back: broadcast is GATED, not forced — high strata plan a non-broadcast semi join") {
+    // strata cardinality is data-dependent and unbounded (per-domain
+    // quotas make strata ∝ corpus); the join-back must NOT force a
+    // broadcast past the row gate. Simulate the 10⁷-strata shape by
+    // lowering the gate below strata × k.
+    val df = (1L to 600L).map(i => (i, s"dom${i % 300}", "x"))
+      .toDF("id", "dom", "body")
+    val key = Sampling.QuotaBroadcastRowsKey
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    val savedAbt = spark.conf.getOption(abt)
+    try {
+      spark.conf.set(key, "100") // strata × k = 300 × 2 = 600 > 100
+      // disable PLANNER auto-broadcast: with sizes this small the
+      // planner legitimately broadcasts on its own — the contract
+      // under test is that past the gate no HINT overrides the
+      // planner's sizing (the 10⁷-strata stats would be huge)
+      spark.conf.set(abt, "-1")
+      val rows = Sampling.stratifiedExactKRows(df, "dom", "id", 2)
+      val phys = rows.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastHashJoin"),
+        s"over the gate the broadcast must not be FORCED:\n$phys")
+      assert(phys.contains("LeftSemi"), phys)
+      // and the result is identical to the broadcast path's
+      assert(rows.count() == 600)
+      spark.conf.set(key, "100000")
+      // under the gate the local-relation hint broadcasts even with
+      // planner auto-broadcast off — the force-under-threshold half
+      val bRows = Sampling.stratifiedExactKRows(df, "dom", "id", 2)
+      assert(bRows.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(rows.except(bRows).isEmpty && bRows.except(rows).isEmpty,
+        "gated and broadcast paths must select identical rows")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      savedAbt match {
+        case Some(v) => spark.conf.set(abt, v)
+        case None => spark.conf.unset(abt)
+      }
+    }
+  }
+
+  test("composite-strata quotas: (lang, source) pairs through the same bounded heap") {
+    val df = (1L to 2000L).map { i =>
+      (i, if (i % 3 == 0) "en" else "de", s"s${i % 4}", (i % 7 + 1).toDouble)
+    }.toDF("id", "lang", "src", "w")
+    val k = 5
+    val got = Sampling.stratifiedExactK(df, Seq("lang", "src"), "id", k)
+    assert(got.columns.toSeq == Seq("lang", "src", "id"))
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exactly k per (lang, src) pair (all 8 pairs hold >= k rows)
+    assert(rows.groupBy(t => (t._1, t._2)).forall(_._2.length == k))
+    assert(rows.map(t => (t._1, t._2)).distinct.length == 8)
+    // selection == the window formulation over the composite partition
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"src")
+      .orderBy(substring(md5($"id".cast("string")), 1, 13), $"id")
+    val expect = df.withColumn("rn", row_number().over(win)).where($"rn" <= k)
+      .select($"lang", $"src", $"id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.toSet == expect)
+    // weighted composite + full-row wrapper roundtrip
+    val wq = Sampling.stratifiedWeightedK(df, Seq("lang", "src"), "id", "w", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val wRows = Sampling.stratifiedWeightedKRows(df, Seq("lang", "src"), "id", "w", k)
+    assert(wRows.columns.toSeq == df.columns.toSeq, "full source schema")
+    assert(wRows.collect().map(r =>
+      (r.getString(1), r.getString(2), r.getLong(0))).toSet == wq)
   }
 
   test("exact-substring dedup: planted repeats produce exactly the merged spans") {

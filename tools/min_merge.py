@@ -29,6 +29,9 @@ def parse(path):
     return rows
 
 def main(paths):
+    if len(paths) < 2:
+        sys.exit("usage: min_merge.py cmp_a.md cmp_b.md [cmp_c.md ...] "
+                 "(min-merge needs at least two passes)")
     passes = [parse(p) for p in paths]
     qs = []
     for p in passes:
@@ -45,15 +48,18 @@ def main(paths):
             lines.append(f"| {q} | {s:.2f} | — | — |")
             continue
         capped = all(e[2] for e in entries)
-        d = min(ds) if not capped else ds[0]
+        # all passes capped: the TIGHTEST lower bound is the MAX cap
+        # (the engine exceeded every one of them), not pass A's
+        d = min(ds) if not capped else max(ds)
         if capped:
             lines.append(f"| {q} | {s:.2f} | >{d:.0f} (capped) | <{s/d:.3f}x |")
         else:
             tot_s += s; tot_d += d
             ratio = f"{s/d:.1f}x" if d > 0 else "inf"
             lines.append(f"| {q} | {s:.2f} | {d:.2f} | {ratio} |")
+    ratio = f"{tot_s/tot_d:.2f}x" if tot_d > 0 else "—"
     lines.append(f"| **total (oracle-comparable)** | **{tot_s:.2f}** | "
-                 f"**{tot_d:.2f}** | **{tot_s/tot_d:.2f}x** |")
+                 f"**{tot_d:.2f}** | **{ratio}** |")
     print("\n".join(lines))
 
 if __name__ == '__main__':
