@@ -260,6 +260,10 @@ object TopKFunctions {
       // probes: the bucket equi-join admits exact matches only).
       planes: Array[Array[Double]] = Array.empty,
       probesBySig: Map[Long, Array[Int]] = Map.empty,
+      // cross-corpus mode: probe and candidate ids come from UNRELATED
+      // id spaces, so a numeric collision is NOT a self-pair — score it
+      // (the single-frame dedup contract keeps the default exclusion)
+      includeSelf: Boolean = false,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Array[TopKHeap]] {
@@ -370,7 +374,7 @@ object TopKFunctions {
       var a = 0
       while (a < nActive) {
         val p = if (active == null) a else active(a)
-        if (probeIds(p) != cid) {
+        if (includeSelf || probeIds(p) != cid) {
           val pv = probeVecs(p)
           val d = math.min(pv.length, n)
           var dot = 0.0
@@ -499,6 +503,13 @@ object TopKFunctions {
     * CORPUS embeds and the PROBES are scanned, so the row is the
     * probe and the emitted ids are candidates with `probe_id <
     * cand_id`, the identical pair contract from the other side.
+    *
+    * `emitAll` drops the id comparison entirely — the CROSS-CORPUS
+    * mode (decontamination: probe and candidate ids come from
+    * unrelated id spaces, where an ordering filter silently discards
+    * ~half the true matches and an id collision is not a self-pair).
+    * Every embedded id above the threshold is emitted, whichever
+    * side is embedded.
     */
   case class ProbeMatches(
       candId: Expression,
@@ -506,7 +517,8 @@ object TopKFunctions {
       probeIds: Array[Long],
       probeVecs: Array[Array[Double]],
       threshold: Double,
-      emitGreater: Boolean = false)
+      emitGreater: Boolean = false,
+      emitAll: Boolean = false)
       extends org.apache.spark.sql.catalyst.expressions.Expression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     require(probeIds.length == probeVecs.length, "ids/vecs length mismatch")
@@ -555,7 +567,7 @@ object TopKFunctions {
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var p = 0
       while (p < probeIds.length) {
-        if (if (emitGreater) probeIds(p) > cid else probeIds(p) < cid) {
+        if (emitAll || (if (emitGreater) probeIds(p) > cid else probeIds(p) < cid)) {
           val pv = probeVecs(p)
           val d = math.min(pv.length, n)
           var dot = 0.0
@@ -596,7 +608,9 @@ object TopKFunctions {
     * the join regime): split norms in the kernel's accumulation
     * order, zero-denominator guard, NaN-never-ranks, Catalyst
     * `round(_, 6)` BigDecimal(HALF_UP) rounding BEFORE ranking, ties
-    * by cand_id ascending, self-pairs (cand_id == probe_id) skipped.
+    * by cand_id ascending, self-pairs (cand_id == probe_id) skipped
+    * unless `includeSelf` (the cross-corpus mode: unrelated id
+    * spaces, where an id collision is not a self-pair).
     * A null probe id or vector yields an empty array — exploding
     * drops the probe, the join regime's null-condition semantics.
     */
@@ -605,7 +619,8 @@ object TopKFunctions {
       probeVec: Expression,
       candIds: Array[Long],
       candVecs: Array[Array[Double]],
-      k: Int)
+      k: Int,
+      includeSelf: Boolean = false)
       extends org.apache.spark.sql.catalyst.expressions.Expression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
@@ -657,7 +672,7 @@ object TopKFunctions {
       val h = new TopKHeap(k)
       var c = 0
       while (c < candIds.length) {
-        if (candIds(c) != pid) {
+        if (includeSelf || candIds(c) != pid) {
           val cv = candVecs(c)
           val d = math.min(cv.length, n)
           var dot = 0.0

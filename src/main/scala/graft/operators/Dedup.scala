@@ -1141,23 +1141,24 @@ object Dedup {
     *
     * The single-frame convenience over [[embeddingNearDupFrames]]
     * (all regimes there): one embedded graft_probe_matches kernel
-    * under the 2¹⁶ gate, chunked kernels up to `maxChunkedProbes`
+    * under the 2¹⁶ gate, chunked kernels up to the collect caps
     * (disjoint probe chunks × corpus scans — probes partition, so the
-    * union IS the single-kernel answer), role swap past the cap when
-    * the corpus fits it, and the non-equi join as last resort —
-    * `probe_id < cand_id` plans as CartesianProduct once the probe
-    * side outgrows broadcast, the shape the r14 sf10 measurement
-    * showed dies on disk spill (BENCHNOTES_r14). From THIS entry
-    * point the role swap never fires (probes ⊆ corpus: a probe set
-    * too big to collect implies a corpus too big to collect).
+    * union IS the single-kernel answer), role swap past the caps when
+    * the corpus fits them, and past BOTH a fail-fast (the non-equi
+    * join plans as CartesianProduct once the probe side outgrows
+    * broadcast — the shape the r14 sf10 measurement showed dies on
+    * disk spill; [[Similarity.AnnForceJoinKey]] opts in anyway). From
+    * THIS entry point the role swap never fires (probes ⊆ corpus: a
+    * probe set too big to collect implies a corpus too big to
+    * collect).
     *
-    * `maxChunkedProbes` is the DRIVER memory bound and a ROW count:
-    * the collected probe matrix is ~`rows × dims × 8` bytes (≈0.5 GB
-    * at the default 2²⁰ × 64 dims, ≈6 GB at 768 dims — lower the cap
-    * at high dimension). When nChunks > 1 each chunk re-runs `emb`'s
-    * full lineage: persist a DERIVED emb (anything that isn't a plain
-    * parquet scan) before calling, or the upstream compute repeats
-    * per chunk.
+    * Driver memory bound: the collected probe matrix is capped by
+    * BOTH `maxChunkedProbes` rows and the `maxCollectBytes` byte
+    * budget (~`rows × dims × 8` bytes, dims sniffed from the gate
+    * prefix — Similarity.decideRegime). When nChunks > 1 each chunk
+    * re-runs `emb`'s full lineage: persist a DERIVED emb (anything
+    * that isn't a plain parquet scan) before calling, or the upstream
+    * compute repeats per chunk.
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -1166,29 +1167,44 @@ object Dedup {
       probeFilter: Column,
       threshold: Double,
       maxEmbeddedProbes: Int = 1 << 16,
-      maxChunkedProbes: Int = 1 << 20): DataFrame =
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20): DataFrame =
     embeddingNearDupFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
-      emb, idCol, vecCol, threshold, maxEmbeddedProbes, maxChunkedProbes)
+      emb, idCol, vecCol, threshold, maxEmbeddedProbes, maxChunkedProbes,
+      maxCollectBytes)
 
   /** [[embeddingNearDup]] with probes and corpus as SEPARATE frames
     * (cross-corpus near-dup: decontamination-style "which corpus docs
-    * sit near these probes"). Pair contract in every regime: output
-    * (probe_id, cand_id) with `probe_id < cand_id` and raw cosine
-    * strictly above `threshold` — identical to the single-frame form.
+    * sit near these probes").
     *
-    * Same four-regime structure as Similarity.bruteForceTopKFrames
-    * (its scaladoc carries the full argument and the driver-memory
-    * sizing of `maxChunkedProbes`): probe-embedded/chunked kernels up
-    * to the collect cap; past it the ROLE SWAP embeds the corpus
-    * instead when IT fits — ⌈corpus/gate⌉ reversed
-    * `graft_probe_matches` projection chunks over one probe scan each
-    * (`emitGreater`: the row is the probe, emitted ids are candidates
-    * above it — the identical pair contract from the other side), and
-    * because chunks are disjoint in candidate space their UNION is the
-    * answer outright, with no merge aggregate at all. The non-equi
-    * join (measured-dead at scale, BENCHNOTES_r14) engages only when
-    * BOTH sides exceed the cap, with a logged warning.
+    * Pair contract, default (`allPairs = false`): output
+    * (probe_id, cand_id) with `probe_id < cand_id` and raw cosine
+    * strictly above `threshold` — identical to the single-frame form,
+    * for callers whose probes are a SUBSET of the corpus (the id
+    * ordering dedups the symmetric pair). With `allPairs = true` —
+    * the mode for genuinely DISTINCT frames — every matching
+    * (probe_id, cand_id) is emitted with no id-ordering or self-pair
+    * filter: unrelated id spaces make `probe_id < cand_id` silently
+    * discard ~half the true matches and a numeric collision is not a
+    * self-pair. Output ids are BIGINT in every regime regardless of
+    * input id type (the regime must not leak into the schema).
+    *
+    * Same regime structure as Similarity.bruteForceTopKFrames (its
+    * scaladoc carries the full argument; the decision protocol and
+    * the row+byte collect budgets live in Similarity.decideRegime):
+    * probe-embedded/chunked kernels up to the collect caps; past them
+    * the ROLE SWAP embeds the corpus instead when IT fits —
+    * ⌈corpus/gate⌉ reversed `graft_probe_matches` projection chunks
+    * over one probe scan each (`emitGreater`: the row is the probe,
+    * emitted ids are candidates above it — the identical pair
+    * contract from the other side), and because chunks are disjoint
+    * in candidate space their UNION is the answer outright, with no
+    * merge aggregate at all. When BOTH sides exceed the caps the
+    * engine FAILS FAST (the non-equi join was measured dead at scale,
+    * BENCHNOTES_r14) unless the session opts in via
+    * [[Similarity.AnnForceJoinKey]]; `maxEmbeddedProbes = 0` is the
+    * spec seam that runs the join silently.
     */
   def embeddingNearDupFrames(
       probes: DataFrame,
@@ -1199,110 +1215,98 @@ object Dedup {
       corpusVecCol: String,
       threshold: Double,
       maxEmbeddedProbes: Int = 1 << 16,
-      maxChunkedProbes: Int = 1 << 20): DataFrame = {
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20,
+      allPairs: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import graft.functions.VectorFunctions
-    // EMBEDDED/CHUNKED regimes (probes fit in one bounded collect —
-    // the same data a broadcast join would driver-collect): per corpus
-    // row the graft_probe_matches kernel emits matching probe ids
-    // directly, with no joined-row materialization; scoring is
-    // bit-identical to the join form (split norms, dot per pair, zero
-    // guard).
     val gate = math.max(maxEmbeddedProbes, 0)
-    // clamped so `limit(chunkCap + 1)` can't overflow negative when a
-    // caller passes Int.MaxValue (the fallback warning invites raising
-    // the cap)
-    val chunkCap =
-      if (gate == 0) 0
-      else math.min(math.max(maxChunkedProbes, gate), Int.MaxValue - 1)
-    val collected = probes
-      .select(col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
-      .limit(chunkCap + 1).collect()
-    if (collected.length <= chunkCap && gate > 0) {
-      import org.apache.spark.sql.graftbridge.SparkBridge
-      // null id or vector: dropped (the join regime's null-condition
-      // semantics), never an NPE on getLong
-      val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val all = rebalance(
-        corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")),
-        Seq(col("cand_id")))
-      val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
-      val frames = (0 until nChunks).map { c =>
-        val lo = (c.toLong * usable.length / nChunks).toInt
-        val hi = ((c + 1).toLong * usable.length / nChunks).toInt
-        val slice = usable.slice(lo, hi)
-        val pIds = slice.map(_.getLong(0))
-        val pVecs = slice.map(_.getSeq[Double](1).toArray)
-        val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
-          SparkBridge.expression(all("cand_id")),
-          SparkBridge.expression(all("cand_vec")),
-          pIds, pVecs, threshold))
-        all.select(col("cand_id"), explode(matches).as("probe_id"))
-      }
-      return frames.reduce(_.union(_))
-        .select(col("probe_id"), col("cand_id"))
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    Similarity.decideRegime(probes, probeIdCol, probeVecCol,
+      Some((corpus, corpusIdCol, corpusVecCol)),
+      gate, maxChunkedProbes, maxCollectBytes)._1 match {
+      case Similarity.AnnRegime.Probes(collected) =>
+        // EMBEDDED/CHUNKED: per corpus row the graft_probe_matches
+        // kernel emits matching probe ids directly, with no joined-row
+        // materialization; scoring is bit-identical to the join form
+        // (split norms, dot per pair, zero guard). Null id or vector:
+        // dropped (the join regime's null-condition semantics), never
+        // an NPE on getLong.
+        val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val all = rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")),
+          Seq(col("cand_id")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val frames = (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val pIds = slice.map(_.getLong(0))
+          val pVecs = slice.map(_.getSeq[Double](1).toArray)
+          val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
+            SparkBridge.expression(all("cand_id")),
+            SparkBridge.expression(all("cand_vec")),
+            pIds, pVecs, threshold, emitAll = allPairs))
+          all.select(col("cand_id"), explode(matches).as("probe_id"))
+        }
+        frames.reduce(_.union(_))
+          .select(col("probe_id"), col("cand_id").cast("long").as("cand_id"))
+      case Similarity.AnnRegime.Corpus(candCollected) =>
+        // ROLE SWAP: embed the corpus (reversed kernel over the probe
+        // scan; disjoint candidate chunks union directly — no merge)
+        val usable = candCollected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val probeFrame = rebalance(
+          probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")),
+          Seq(col("probe_id")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val cIds = slice.map(_.getLong(0))
+          val cVecs = slice.map(_.getSeq[Double](1).toArray)
+          // kernel DIRECTLY inside the generator (never an aliased
+          // array: InferFiltersFromGenerate would duplicate it — the
+          // bruteForceTopKFrames role-swap audit caught exactly that)
+          val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
+            SparkBridge.expression(probeFrame("probe_id")),
+            SparkBridge.expression(probeFrame("probe_vec")),
+            cIds, cVecs, threshold, emitGreater = true, emitAll = allPairs))
+          probeFrame.select(col("probe_id"), explode(matches).as("cand_id"))
+        }.reduce(_.union(_))
+          .select(col("probe_id").cast("long").as("probe_id"), col("cand_id"))
+      case Similarity.AnnRegime.BothOver =>
+        if (gate > 0) Similarity.enforceJoinContract(spark, "embeddingNearDup",
+          math.max(maxChunkedProbes, gate))
+        // norms once per SIDE row, dot alone per pair: bit-identical to
+        // the cosine kernel (same accumulation, same sqrt-product
+        // denominator — Similarity.splitScore scaladoc) at a third of
+        // the per-pair work
+        val probeSide = probes
+          .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
+          .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
+        // the corpus side streams past the broadcast probes; rebalance
+        // so a single-row-group embedding file doesn't serialize the
+        // |probes|×|corpus| cosine loop on one core (no-op at
+        // multi-split scale — see rebalance)
+        val all = rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")),
+          Seq(col("cand_id")))
+          .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+        val denom = col("probe_norm") * col("cand_norm")
+        val cos = when(denom === 0.0, 0.0).otherwise(
+          VectorFunctions.dot(spark, col("probe_vec"), col("cand_vec")) / denom)
+        // no broadcast hint above the embedded gate: the probe count is
+        // known only to exceed the cap and can grow ∝ corpus — a forced
+        // broadcast is a driver-OOM at 100×; the planner sizes the build
+        // side from its stats (Similarity.bruteForceTopK's join regime)
+        val joined =
+          if (allPairs) all.crossJoin(probeSide)
+          else all.join(probeSide, col("probe_id") < col("cand_id"))
+        joined
+          .where(cos > threshold)
+          .select(col("probe_id").cast("long").as("probe_id"),
+            col("cand_id").cast("long").as("cand_id"))
     }
-    // probes exceed the collect cap — ROLE SWAP before the join:
-    // embed the corpus if IT fits (reversed kernel over the probe
-    // scan; disjoint candidate chunks union directly — no merge)
-    val candCollected =
-      if (gate == 0) null
-      else corpus
-        .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
-        .limit(chunkCap + 1).collect()
-    if (candCollected != null && candCollected.length <= chunkCap) {
-      import org.apache.spark.sql.graftbridge.SparkBridge
-      val usable = candCollected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val probeFrame = rebalance(
-        probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")),
-        Seq(col("probe_id")))
-      val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
-      return (0 until nChunks).map { c =>
-        val lo = (c.toLong * usable.length / nChunks).toInt
-        val hi = ((c + 1).toLong * usable.length / nChunks).toInt
-        val slice = usable.slice(lo, hi)
-        val cIds = slice.map(_.getLong(0))
-        val cVecs = slice.map(_.getSeq[Double](1).toArray)
-        // kernel DIRECTLY inside the generator (never an aliased
-        // array: InferFiltersFromGenerate would duplicate it — the
-        // bruteForceTopKFrames role-swap audit caught exactly that)
-        val matches = SparkBridge.column(graft.functions.TopKFunctions.ProbeMatches(
-          SparkBridge.expression(probeFrame("probe_id")),
-          SparkBridge.expression(probeFrame("probe_vec")),
-          cIds, cVecs, threshold, emitGreater = true))
-        probeFrame.select(col("probe_id"), explode(matches).as("cand_id"))
-      }.reduce(_.union(_))
-        .select(col("probe_id"), col("cand_id"))
-    }
-    if (gate > 0) logger.warn(
-      s"embeddingNearDup: BOTH probe and corpus side exceed " +
-        s"maxChunkedProbes=$chunkCap — falling back to the non-equi join " +
-        "(plans as CartesianProduct above broadcast size; measured " +
-        "disk-bound at sf10, BENCHNOTES_r14). Raise maxChunkedProbes or " +
-        "block with LSH buckets at this scale.")
-    // norms once per SIDE row, dot alone per pair: bit-identical to the
-    // cosine kernel (same accumulation, same sqrt-product denominator —
-    // Similarity.splitScore scaladoc) at a third of the per-pair work
-    val probeSide = probes
-      .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
-      .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-    // the corpus side streams past the broadcast probes; rebalance so
-    // a single-row-group embedding file doesn't serialize the
-    // |probes|×|corpus| cosine loop on one core (no-op at multi-split
-    // scale — see rebalance)
-    val all = rebalance(
-      corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")),
-      Seq(col("cand_id")))
-      .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-    val denom = col("probe_norm") * col("cand_norm")
-    val cos = when(denom === 0.0, 0.0).otherwise(
-      VectorFunctions.dot(spark, col("probe_vec"), col("cand_vec")) / denom)
-    // no broadcast hint above the embedded gate: the probe count is
-    // known only to exceed the cap and can grow ∝ corpus — a forced
-    // broadcast is a driver-OOM at 100×; the planner sizes the build
-    // side from its stats (Similarity.bruteForceTopK's join regime)
-    all.join(probeSide, col("probe_id") < col("cand_id"))
-      .where(cos > threshold)
-      .select(col("probe_id"), col("cand_id"))
   }
 }

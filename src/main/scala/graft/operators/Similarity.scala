@@ -77,8 +77,122 @@ object Similarity {
       .agg(graft.functions.TopKFunctions
         .topK(spark, col("sim"), col("cand_id"), k).as("tk"))
       .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+      // probe_id cast long: the embedded kernels emit BIGINT ids, so
+      // every regime must (the output schema is part of the contract
+      // and may not change when data size tips the regime)
+      .select(col("probe_id").cast("long").as("probe_id"),
+        (col("pos") + 1).cast("long").as("rank"),
         col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+  }
+
+  /** How an over-gate ANN call will execute, decided by BOUNDED
+    * driver work (see [[decideRegime]]).
+    */
+  private[graft] sealed trait AnnRegime
+  private[graft] object AnnRegime {
+    /** the probe side fits the collect cap: embedded (≤ gate rows) or
+      * chunked kernels
+      */
+    final case class Probes(rows: Array[org.apache.spark.sql.Row]) extends AnnRegime
+    /** probes exceed the cap but the corpus fits: role swap */
+    final case class Corpus(rows: Array[org.apache.spark.sql.Row]) extends AnnRegime
+    /** both sides exceed the cap (or the kernels are disabled) */
+    case object BothOver extends AnnRegime
+  }
+
+  /** Regime decision + matrix collect for the kernel ANN operators,
+    * with BOUNDED driver transfer on every path:
+    *
+    *  1. collect `limit(gate + 1)` probe rows — the one transfer every
+    *     call pays; ≤ gate means EMBEDDED and the prefix IS the matrix.
+    *  2. otherwise sniff the embedding dimension from that prefix and
+    *     shrink the row cap to the BYTE budget: the collected matrix
+    *     is ~`rows × dims × 8` bytes, so a row-only cap that means
+    *     0.5 GB at 64 dims means 6 GB at 768-dim embeddings
+    *     (`maxCollectBytes`, default 512 MB; never below the gate —
+    *     the gate prefix is already in hand; the row cap backstops).
+    *  3. COUNT the probe side against the effective cap
+    *     (`limit(cap + 1).count()` — a bounded job transferring one
+    *     long, NOT a matrix) and collect the full probe matrix only
+    *     when it fits → CHUNKED.
+    *  4. else count the corpus the same way and collect IT when it
+    *     fits → ROLE SWAP. Only the gate prefix is live during this
+    *     collect — the r15 shape held a full cap-sized probe matrix
+    *     while collecting the corpus, transiently doubling the bound.
+    *  5. both over → [[AnnRegime.BothOver]], having driver-transferred
+    *     O(gate) rows + two counts to find out (the r15 shape paid up
+    *     to TWO full cap-sized collects to discover the fallback).
+    *
+    * The byte budget sizes BOTH sides with the PROBE prefix's dims
+    * (uniform embedding dimension is already splitScore's scoring
+    * precondition). Returns the regime and the rows actually
+    * driver-fetched (spec hook for the transfer bound).
+    */
+  private[graft] def decideRegime(
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      corpus: Option[(DataFrame, String, String)],
+      maxEmbeddedProbes: Int, maxChunkedProbes: Int,
+      maxCollectBytes: Long): (AnnRegime, Long) = {
+    val gate = math.max(maxEmbeddedProbes, 0)
+    if (gate == 0) return (AnnRegime.BothOver, 0L)
+    val pSel = probes.select(
+      col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
+    val head = pSel.limit(gate + 1).collect()
+    var fetched = head.length.toLong
+    if (head.length <= gate) return (AnnRegime.Probes(head), fetched)
+    val dims = head.iterator.filter(r => !r.isNullAt(1))
+      .map(_.getSeq[Double](1).length).find(_ > 0)
+    val byteCapRows = dims.map(d => maxCollectBytes / (8L * d))
+      .getOrElse(Long.MaxValue) // dims unknowable: row cap backstops
+    // clamped vs Int overflow when a caller passes Int.MaxValue (the
+    // fallback error invites raising the cap)
+    val cap = math.min(
+      math.max(maxChunkedProbes.toLong, gate.toLong),
+      math.max(gate.toLong, byteCapRows)).min(Int.MaxValue - 1L).toInt
+    val pCount = pSel.limit(cap + 1).count()
+    fetched += 1
+    if (pCount <= cap) {
+      val all = pSel.limit(cap).collect()
+      return (AnnRegime.Probes(all), fetched + all.length)
+    }
+    corpus match {
+      case Some((c, cIdCol, cVecCol)) =>
+        val cSel = c.select(
+          col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
+        val cCount = cSel.limit(cap + 1).count()
+        fetched += 1
+        if (cCount <= cap) {
+          val all = cSel.limit(cap).collect()
+          (AnnRegime.Corpus(all), fetched + all.length)
+        } else (AnnRegime.BothOver, fetched)
+      case None => (AnnRegime.BothOver, fetched)
+    }
+  }
+
+  /** Session conf: set true to let the exact operators submit the
+    * non-equi join when BOTH sides exceed the collect cap, instead of
+    * failing fast (the join plans as CartesianProduct above broadcast
+    * size — measured disk-bound at sf10, BENCHNOTES_r14).
+    */
+  val AnnForceJoinKey = "spark.graft.ann.forceJoin"
+
+  /** Both sides over the cap with kernels enabled: the engine does NOT
+    * silently submit a plan its own measurements called dead — fail
+    * fast with the scale alternatives, unless the caller explicitly
+    * opts into the join via [[AnnForceJoinKey]] (then warn). A gate of
+    * 0 never reaches here (kernels deliberately disabled = the spec
+    * seam; the join runs silently).
+    */
+  private[graft] def enforceJoinContract(
+      spark: org.apache.spark.sql.SparkSession, op: String, cap: Int): Unit = {
+    val msg = s"$op: BOTH probe and corpus side exceed the collect cap " +
+      s"(maxChunkedProbes/maxCollectBytes, effective $cap rows) — the " +
+      "exact non-equi join plans as CartesianProduct above broadcast " +
+      "size and was measured disk-bound at scale (BENCHNOTES_r14). " +
+      "Use lshTopK/ivfTopK (bucket equi-joins) at this scale, raise the " +
+      s"caps, or set $AnnForceJoinKey=true to submit the join anyway."
+    if (spark.conf.getOption(AnnForceJoinKey).exists(_.toBoolean)) log.warn(msg)
+    else throw new graft.core.UserException(msg)
   }
 
   /** Exact brute-force top-k of a probe SUBSET of `emb` against all
@@ -96,10 +210,12 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       maxEmbeddedProbes: Int = 1 << 16,
-      maxChunkedProbes: Int = 1 << 20): DataFrame =
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20): DataFrame =
     bruteForceTopKFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
-      emb, idCol, vecCol, k, maxEmbeddedProbes, maxChunkedProbes)
+      emb, idCol, vecCol, k, maxEmbeddedProbes, maxChunkedProbes,
+      maxCollectBytes)
 
   /** Exact brute-force top-k, probes and corpus as SEPARATE frames
     * (the usual real shape: a query set against a corpus). Four
@@ -132,24 +248,33 @@ object Similarity {
     *    the exchange carries ≤ probes × k × nChunks rows, never a
     *    cross product). This retires the join fallback for every case
     *    where EITHER side fits the collect cap.
-    *  - JOIN (both sides above `maxChunkedProbes`): split-norm scoring
-    *    + the graft_top_k aggregate over a non-equi join. LAST RESORT,
-    *    not a peer: the `probe_id =!= cand_id` condition plans as
-    *    CartesianProduct once the probe side outgrows broadcast, and
-    *    the r14 sf10 measurement killed it outright (2¹⁵ probes × 200k
-    *    corpus: the per-partition right-side spill filled >60 GB of
-    *    disk and the job died at ~17 min, where the chunked kernels
-    *    finish in 59 s — BENCHNOTES_r14). With BOTH sides past the cap
-    *    use `lshTopK`/`ivfTopK`, whose over-gate joins are bucket
-    *    EQUI-joins. A warning is logged when this regime engages.
-    *    Passing `maxEmbeddedProbes = 0` disables every kernel regime
-    *    (used by specs to pin kernel ≡ join equality).
+    *  - JOIN (both sides above the cap): split-norm scoring + the
+    *    graft_top_k aggregate over a non-equi join. NOT a peer: the
+    *    `probe_id =!= cand_id` condition plans as CartesianProduct
+    *    once the probe side outgrows broadcast, and the r14 sf10
+    *    measurement killed it outright (2¹⁵ probes × 200k corpus: the
+    *    per-partition right-side spill filled >60 GB of disk and the
+    *    job died at ~17 min, where the chunked kernels finish in
+    *    59 s — BENCHNOTES_r14). The engine therefore FAILS FAST here
+    *    with the scale alternatives (`lshTopK`/`ivfTopK`, whose
+    *    over-gate joins are bucket EQUI-joins) unless the session
+    *    opts in via [[AnnForceJoinKey]]. Passing
+    *    `maxEmbeddedProbes = 0` disables every kernel regime and runs
+    *    the join silently (the spec seam pinning kernel ≡ join).
     *
-    * `maxChunkedProbes` IS the driver-memory bound: the winning side's
-    * (id, vector) rows are collected, ~`rows × dims × 8` bytes —
-    * ≈0.5 GB at the default 2²⁰ × 64 dims, but ≈6 GB at 768-dim
-    * embeddings. The cap is a ROW count, not bytes: at high dimension
-    * lower it to keep `rows × dims × 8` inside driver headroom.
+    * Driver-memory bound: the winning side's (id, vector) matrix is
+    * collected under BOTH a row cap (`maxChunkedProbes`) and a BYTE
+    * budget (`maxCollectBytes`, default 512 MB, dims sniffed from the
+    * gate prefix — a row-only cap meaning 0.5 GB at 64 dims means
+    * 6 GB at 768-dim embeddings); the regime decision itself
+    * transfers O(maxEmbeddedProbes) rows + two bounded counts, never
+    * a full matrix it then discards (see [[decideRegime]]).
+    *
+    * `includeSelf = true` is the CROSS-CORPUS mode: probe and
+    * candidate ids come from unrelated id spaces, so a numeric id
+    * collision is not a self-pair and must be scored; the default
+    * exclusion serves the single-frame probes ⊆ corpus shape. Output
+    * ids are BIGINT in every regime regardless of input id type.
     */
   def bruteForceTopKFrames(
       probes: DataFrame,
@@ -160,57 +285,41 @@ object Similarity {
       corpusVecCol: String,
       k: Int,
       maxEmbeddedProbes: Int = 1 << 16,
-      maxChunkedProbes: Int = 1 << 20): DataFrame = {
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20,
+      includeSelf: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val gate = math.max(maxEmbeddedProbes, 0)
-    // chunking disabled when the embedded gate is (chunk size would be
-    // 0) or when the caller caps chunked at/below the gate; clamped so
-    // `limit(chunkCap + 1)` can't overflow when a caller takes the
-    // fallback warning's advice literally and passes Int.MaxValue
-    val chunkCap =
-      if (gate == 0) 0
-      else math.min(math.max(maxChunkedProbes, gate), Int.MaxValue - 1)
-    // one bounded collect decides the regime AND supplies the matrix:
-    // limit(cap+1) keeps the job O(cap) even on a pathological
-    // probe filter that matches the whole corpus
-    val collected = probes
-      .select(col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
-      .limit(chunkCap + 1).collect()
-    if (collected.length <= chunkCap && gate > 0) {
-      import org.apache.spark.sql.graftbridge.SparkBridge
-      // null id OR null vector: the join regime silently drops such
-      // probes (a null-valued join/score condition never matches), so
-      // the embedded regime must too, not NPE on getLong
-      val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val cand = Dedup.rebalance(
-        corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
-      val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
-      val frames = (0 until nChunks).map { c =>
-        val lo = (c.toLong * usable.length / nChunks).toInt
-        val hi = ((c + 1).toLong * usable.length / nChunks).toInt
-        val slice = usable.slice(lo, hi)
-        val pIds = slice.map(_.getLong(0))
-        val pVecs = slice.map(_.getSeq[Double](1).toArray)
-        val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-          SparkBridge.expression(cand("cand_id")),
-          SparkBridge.expression(cand("cand_vec")),
-          pIds, pVecs, k).toAggregateExpression())
-        cand.agg(agg.as("tk"))
-      }
-      frames.reduce(_.union(_))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
-          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
-    } else {
-      // probes exceed the collect cap — try the ROLE SWAP before
-      // surrendering to the join: embed the corpus if IT fits
-      val candCollected =
-        if (gate == 0) null
-        else corpus
-          .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
-          .limit(chunkCap + 1).collect()
-      if (candCollected != null && candCollected.length <= chunkCap) {
-        import org.apache.spark.sql.graftbridge.SparkBridge
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    decideRegime(probes, probeIdCol, probeVecCol,
+      Some((corpus, corpusIdCol, corpusVecCol)),
+      gate, maxChunkedProbes, maxCollectBytes)._1 match {
+      case AnnRegime.Probes(collected) =>
+        // null id OR null vector: the join regime silently drops such
+        // probes (a null-valued join/score condition never matches), so
+        // the embedded regime must too, not NPE on getLong
+        val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val cand = Dedup.rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val frames = (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val pIds = slice.map(_.getLong(0))
+          val pVecs = slice.map(_.getSeq[Double](1).toArray)
+          val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+            SparkBridge.expression(cand("cand_id")),
+            SparkBridge.expression(cand("cand_vec")),
+            pIds, pVecs, k, includeSelf = includeSelf).toAggregateExpression())
+          cand.agg(agg.as("tk"))
+        }
+        frames.reduce(_.union(_))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+            col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+      case AnnRegime.Corpus(candCollected) =>
+        // ROLE SWAP: embed the corpus, scan the probes
         val usable = candCollected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         val probeFrame = Dedup.rebalance(
           probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")))
@@ -228,14 +337,16 @@ object Similarity {
           SparkBridge.column(graft.functions.TopKFunctions.CorpusTopK(
             SparkBridge.expression(probeFrame("probe_id")),
             SparkBridge.expression(probeFrame("probe_vec")),
-            slice.map(_.getLong(0)), slice.map(_.getSeq[Double](1).toArray), k))
+            slice.map(_.getLong(0)), slice.map(_.getSeq[Double](1).toArray), k,
+            includeSelf = includeSelf))
         }
         if (nChunks == 1) {
           // single chunk: the projected array IS the answer; rank =
           // position (the kernel emits best-first) — zero exchanges
           probeFrame
             .select(col("probe_id"), posexplode(chunkKernel(0)).as(Seq("pos", "e")))
-            .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+            .select(col("probe_id").cast("long").as("probe_id"),
+              (col("pos") + 1).cast("long").as("rank"),
               col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
         } else {
           // distributed k-merge: per-chunk winners re-rank through the
@@ -250,13 +361,9 @@ object Similarity {
           }.reduce(_.union(_))
           rankTopK(scored, k)
         }
-      } else {
-        if (gate > 0) log.warn(
-          s"bruteForceTopK: BOTH probe and corpus side exceed " +
-            s"maxChunkedProbes=$chunkCap — falling back to the non-equi " +
-            "join (plans as CartesianProduct above broadcast size; " +
-            "measured disk-bound at sf10, BENCHNOTES_r14). Raise " +
-            "maxChunkedProbes or use lshTopK/ivfTopK at this scale.")
+      case AnnRegime.BothOver =>
+        if (gate > 0) enforceJoinContract(spark, "bruteForceTopK",
+          math.max(maxChunkedProbes, gate))
         val probeSide = probes
           .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
           .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
@@ -274,11 +381,13 @@ object Similarity {
         // side at runtime) — the same force-under-threshold /
         // planner-above pattern as the MoR DV anti-join
         // (LakeTable.DvBroadcastBytes).
-        val scored = cand.join(probeSide, col("probe_id") =!= col("cand_id"))
+        val joined =
+          if (includeSelf) cand.crossJoin(probeSide)
+          else cand.join(probeSide, col("probe_id") =!= col("cand_id"))
+        val scored = joined
           .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
             col("probe_norm"), col("cand_norm")))
         rankTopK(scored, k)
-      }
     }
   }
 
@@ -329,7 +438,9 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       trainedCentroids: Option[Array[Seq[Double]]] = None,
-      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20): DataFrame = {
     val spark = emb.sparkSession
     // Coarse quantizer: nCentroids vectors collected to the driver
     // (metadata-scale) and embedded as literals, so list assignment is
@@ -343,47 +454,62 @@ object Similarity {
         .select(col(vecCol).cast("array<double>")).collect()
         .map(_.getSeq[Double](0)))
 
-    // EMBEDDED regime (same gate/rationale as bruteForceTopK): probes
-    // collect once, each probe's nProbe nearest lists resolve
-    // driver-side with nearestLists' exact (-dot, id) ordering, and a
-    // single graft_probe_topk aggregate scans the corpus with the
-    // centroid assignment and the per-list probe index INSIDE the
-    // kernel — no exploded probe frame, no joined rows.
-    val collectedProbes = emb.where(probeFilter)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxEmbeddedProbes + 1).collect()
-    if (collectedProbes.length <= maxEmbeddedProbes) {
-      import org.apache.spark.sql.graftbridge.SparkBridge
-      val cents: Array[Array[Double]] = centroids.map(_.toArray)
-      def dotD(a: Array[Double], b: Array[Double]): Double = {
-        val d = math.min(a.length, b.length)
-        var s = 0.0; var i = 0
-        while (i < d) { s += a(i) * b(i); i += 1 }
-        s
-      }
-      // drop null-id AND null-vector probes, like the join regime does
-      val usable = collectedProbes.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val pIds = usable.map(_.getLong(0))
-      val pVecs = usable.map(_.getSeq[Double](1).toArray)
-      val byList = Array.fill(cents.length)(
-        scala.collection.mutable.ArrayBuffer.empty[Int])
-      pVecs.zipWithIndex.foreach { case (v, pi) =>
-        cents.indices
-          .sortBy(c => (-dotD(v, cents(c)), c)).take(nProbe)
-          .foreach(c => byList(c) += pi)
-      }
-      val corpus = Dedup.rebalance(
-        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-        SparkBridge.expression(corpus("cand_id")),
-        SparkBridge.expression(corpus("cand_vec")),
-        pIds, pVecs, k,
-        centroids = cents, probesByList = byList.map(_.toArray))
-        .toAggregateExpression())
-      return corpus.agg(agg.as("tk"))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
-          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+    // EMBEDDED/CHUNKED regimes (same gates/rationale as
+    // bruteForceTopKFrames — no role swap: the IVF restriction index
+    // is probe-side): probes collect bounded, each probe's nProbe
+    // nearest lists resolve driver-side with nearestLists' exact
+    // (-dot, id) ordering, and per probe CHUNK one graft_probe_topk
+    // aggregate scans the corpus with the centroid assignment and the
+    // per-list probe index INSIDE the kernel — no exploded probe
+    // frame, no joined rows. Chunks partition the PROBES, so the
+    // union of per-chunk results IS the single-kernel answer (the
+    // same argument as the brute-force chunked regime; the r11
+    // measurement priced the equi-join's per-pair row plumbing this
+    // replaces).
+    val regime = decideRegime(emb.where(probeFilter), idCol, vecCol,
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)._1
+    regime match {
+      case AnnRegime.Probes(collectedProbes) =>
+        import org.apache.spark.sql.graftbridge.SparkBridge
+        val gate = math.max(maxEmbeddedProbes, 1)
+        val cents: Array[Array[Double]] = centroids.map(_.toArray)
+        def dotD(a: Array[Double], b: Array[Double]): Double = {
+          val d = math.min(a.length, b.length)
+          var s = 0.0; var i = 0
+          while (i < d) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        // drop null-id AND null-vector probes, like the join regime does
+        val usable = collectedProbes.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val corpus = Dedup.rebalance(
+          emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        return (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val pIds = slice.map(_.getLong(0))
+          val pVecs = slice.map(_.getSeq[Double](1).toArray)
+          val byList = Array.fill(cents.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          pVecs.zipWithIndex.foreach { case (v, pi) =>
+            cents.indices
+              .sortBy(cc => (-dotD(v, cents(cc)), cc)).take(nProbe)
+              .foreach(cc => byList(cc) += pi)
+          }
+          val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+            SparkBridge.expression(corpus("cand_id")),
+            SparkBridge.expression(corpus("cand_vec")),
+            pIds, pVecs, k,
+            centroids = cents, probesByList = byList.map(_.toArray))
+            .toAggregateExpression())
+          corpus.agg(agg.as("tk"))
+        }.reduce(_.union(_))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+            col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+      case _ => // over the caps: the bucket EQUI-join below is the
+                // legitimate scale path (never CartesianProduct)
     }
 
     /** top-`n` nearest centroid ids for a vector, as an array column:
@@ -418,8 +544,9 @@ object Similarity {
 
   /** ANN via LSH bucketing: exact rank within the probe's bucket.
     *
-    * Same two-regime structure as bruteForceTopK/ivfTopK
-    * (spec-pinned equal):
+    * Same regime structure as bruteForceTopK/ivfTopK (spec-pinned
+    * equal; no role swap — the signature restriction index is
+    * probe-side):
     *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): probe signatures
     *    resolve driver-side against the deterministic hyperplanes and
     *    one `graft_probe_topk` aggregate scans the corpus with the
@@ -427,7 +554,13 @@ object Similarity {
     *    kernel — the bucket equi-join's semantics with zero joined
     *    rows, zero signature column, zero shuffle before the k-bounded
     *    exchange.
-    *  - JOIN (above the gate): signature bucket equi-join — WITHOUT a
+    *  - CHUNKED (gate < probes ≤ `maxChunkedProbes`, byte-budgeted by
+    *    `maxCollectBytes`): ⌈n/gate⌉ disjoint probe chunks, one
+    *    kernel each with its chunk-local signature index, results
+    *    unioned — probes partition across chunks, so the union IS the
+    *    single-kernel answer, still with zero joined rows.
+    *  - JOIN (above the caps): signature bucket EQUI-join — the
+    *    legitimate scale path (never CartesianProduct) — WITHOUT a
     *    broadcast hint (probe counts can grow ∝ corpus; the planner
     *    sizes the build side, see bruteForceTopK).
     *
@@ -444,56 +577,69 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       planes: Int = 12,
-      maxEmbeddedProbes: Int = 1 << 16): DataFrame = {
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20): DataFrame = {
     val spark = emb.sparkSession
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
-    val collected = emb.where(probeFilter)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxEmbeddedProbes + 1).collect()
-    // null id or vector: dropped, like the bucket join drops them
-    val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-    if (collected.length <= maxEmbeddedProbes) {
-      import org.apache.spark.sql.graftbridge.SparkBridge
-      val pIds = usable.map(_.getLong(0))
-      val pVecs = usable.map(_.getSeq[Double](1).toArray)
-      val dims = if (pVecs.isEmpty) 0 else pVecs(0).length
-      val planeMat: Array[Array[Double]] =
-        Array.tabulate(planes, dims)((p, d) => planeComponent(p, d))
-      def sigOf(v: Array[Double]): Long = {
-        var sig = 0L
-        var p = 0
-        while (p < planes) {
-          val pl = planeMat(p)
-          val d = math.min(pl.length, v.length)
-          var dot = 0.0
-          var j = 0
-          while (j < d) { dot += pl(j) * v(j); j += 1 }
-          if (dot >= 0) sig |= 1L << p
-          p += 1
+    val regime = decideRegime(emb.where(probeFilter), idCol, vecCol,
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)._1
+    regime match {
+      case AnnRegime.Probes(collected) =>
+        import org.apache.spark.sql.graftbridge.SparkBridge
+        val gate = math.max(maxEmbeddedProbes, 1)
+        // null id or vector: dropped, like the bucket join drops them
+        val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val dims = usable.headOption.map(_.getSeq[Double](1).length).getOrElse(0)
+        val planeMat: Array[Array[Double]] =
+          Array.tabulate(planes, dims)((p, d) => planeComponent(p, d))
+        def sigOf(v: Array[Double]): Long = {
+          var sig = 0L
+          var p = 0
+          while (p < planes) {
+            val pl = planeMat(p)
+            val d = math.min(pl.length, v.length)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += pl(j) * v(j); j += 1 }
+            if (dot >= 0) sig |= 1L << p
+            p += 1
+          }
+          sig
         }
-        sig
-      }
-      val bySig: Map[Long, Array[Int]] =
-        pVecs.indices.groupBy(pi => sigOf(pVecs(pi)))
-          .map { case (s, idxs) => s -> idxs.toArray }
-      val corpus = Dedup.rebalance(
-        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-        SparkBridge.expression(corpus("cand_id")),
-        SparkBridge.expression(corpus("cand_vec")),
-        pIds, pVecs, k,
-        planes = planeMat, probesBySig = bySig).toAggregateExpression())
-      corpus.agg(agg.as("tk"))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
-          col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
-    } else {
+        val corpus = Dedup.rebalance(
+          emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        return (0 until nChunks).map { c =>
+          val lo = (c.toLong * usable.length / nChunks).toInt
+          val hi = ((c + 1).toLong * usable.length / nChunks).toInt
+          val slice = usable.slice(lo, hi)
+          val pIds = slice.map(_.getLong(0))
+          val pVecs = slice.map(_.getSeq[Double](1).toArray)
+          val bySig: Map[Long, Array[Int]] =
+            pVecs.indices.groupBy(pi => sigOf(pVecs(pi)))
+              .map { case (s, idxs) => s -> idxs.toArray }
+          val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
+            SparkBridge.expression(corpus("cand_id")),
+            SparkBridge.expression(corpus("cand_vec")),
+            pIds, pVecs, k,
+            planes = planeMat, probesBySig = bySig).toAggregateExpression())
+          corpus.agg(agg.as("tk"))
+        }.reduce(_.union(_))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
+            col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
+      case _ =>
+    }
+    {
       // all-null collected prefix: ask the corpus, but only non-null
       // vectors (size(null) is null → getInt NPEs) and tolerate an
       // all-null / empty corpus (head() on empty throws) — 0 dims then,
       // and every signature collapses to one bucket, which is correct
       // (the per-pair splitScore over null vectors yields no rows).
-      val dims = usable.headOption.map(_.getSeq[Double](1).length)
+      val dims = emb.where(probeFilter && col(vecCol).isNotNull)
+        .select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0))
         .getOrElse(emb.where(col(vecCol).isNotNull)
           .select(size(col(vecCol))).head(1)
           .headOption.map(_.getInt(0)).getOrElse(0))

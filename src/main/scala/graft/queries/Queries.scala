@@ -1658,6 +1658,114 @@ object Queries {
              |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rn
              |  FROM documents WHERE doc_id IS NOT NULL)
              |WHERE rn <= 20""".stripMargin)),
+
+    // CHUNKED over-gate LSH (r16): the tiny forced gate splits the 20
+    // bounded probes into 3 disjoint chunks, each running its own
+    // graft_probe_topk kernel with a CHUNK-LOCAL signature index over
+    // the corpus — probes partition across chunks, so the union IS the
+    // single-kernel answer (the q70 argument with the LSH restriction
+    // inside the kernel). Replaces the bucket equi-join the r15 shape
+    // dropped to immediately above the 2^16 gate (its ~µs/pair row
+    // plumbing, measured r11). Oracle = q26's replayed hyperplanes
+    // with the bounded probe filter.
+    "q74_ann_lsh_chunked" -> QueryDef(
+      (s, d) => Similarity.lshTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400,
+        k = 5, planes = 8, maxEmbeddedProbes = 7),
+      Some {
+        val dims = 64
+        def planeDot(p: Int): String =
+          (0 until dims).map { i =>
+            s"v[${i + 1}]*(${Similarity.planeComponent(p, i)})"
+          }.mkString(" + ")
+        val sigExpr = (0 until 8).map { p =>
+          s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
+           |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+           |  FROM sg p JOIN sg c USING (sig)
+           |  WHERE p.vec_id % 20 = 0 AND p.vec_id < 400 AND p.vec_id <> c.vec_id),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
+
+    // CHUNKED over-gate IVF (r16): same forcing as q74 — 3 disjoint
+    // probe chunks, each with its chunk-local inverted-list index
+    // inside the kernel; union = single-kernel answer. Oracle = q35's
+    // quantizer replay with the bounded probe filter.
+    "q75_ann_ivf_chunked" -> QueryDef(
+      (s, d) => Similarity.ivfTopK(
+        tbl(s, d, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400,
+        k = 5, maxEmbeddedProbes = 7),
+      Some {
+        val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+           |  FROM e ORDER BY vec_id LIMIT 16),
+           |dots AS (SELECT e.vec_id, cent.cid, ($dot) AS dot FROM e, cent),
+           |ranked AS (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM dots),
+           |corpus AS (SELECT vec_id AS cand_id, cid AS list_id FROM ranked WHERE rn = 1),
+           |probes AS (SELECT vec_id AS probe_id, cid AS list_id FROM ranked
+           |  WHERE rn <= 4 AND vec_id % 20 = 0 AND vec_id < 400),
+           |s AS (SELECT p.probe_id, c.cand_id,
+           |  round(list_cosine_similarity(pe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN corpus c USING (list_id)
+           |  JOIN e pe ON pe.vec_id = p.probe_id
+           |  JOIN e ce ON ce.vec_id = c.cand_id
+           |  WHERE p.probe_id <> c.cand_id),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
+
+    // CROSS-CORPUS all-pairs near-dup (r16, decontamination shape):
+    // probes and corpus are DISTINCT frames, so the single-frame
+    // `probe_id < cand_id` contract would silently discard every
+    // match whose corpus id sorts at/below the probe id — allPairs
+    // emits them all (id collisions included; the probe set here is a
+    // corpus subset, so the collision row scores cosine 1 and passes,
+    // exactly what the SQL states).
+    "q77_neardup_allpairs" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Dedup.embeddingNearDupFrames(
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding",
+          emb, "vec_id", "embedding", threshold = 0.15,
+          allPairs = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id FROM e p, e c
+             |WHERE p.vec_id % 20 = 0 AND p.vec_id < 400
+             |AND list_cosine_similarity(p.v, c.v) > 0.15""".stripMargin)),
+
+    // includeSelf top-k through the ROLE-SWAPPED regime (r16): q72's
+    // forced 3-chunk corpus embedding, with id collisions scored
+    // (cross-corpus id spaces make the self-pair exclusion wrong; here
+    // the collision is a true self-pair and ranks first at sim 1 —
+    // the SQL states the same, pinning the contract cross-engine).
+    "q78_ann_allpairs" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopKFrames(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding", k = 3,
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64, includeSelf = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+             |  FROM e p, e c WHERE c.vec_id % 20 = 0 AND c.vec_id < 400),
+             |r AS (SELECT probe_id, cand_id, sim,
+             |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+             |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

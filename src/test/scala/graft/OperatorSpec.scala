@@ -508,14 +508,25 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     assert(chunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
       "chunked regime must not plan a join")
-    // above the chunk cap the join regime is the only shape left from
-    // the single-frame entry point (probes ⊆ corpus: a probe set too
-    // big to collect implies a corpus too big to collect)
-    val overCap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
-      k = 6, maxEmbeddedProbes = 7, maxChunkedProbes = 20)
-    assert(overCap.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
-      "over the chunk cap the join regime must plan the join")
-    assert(overCap.except(single).isEmpty && single.except(overCap).isEmpty)
+    // above the chunk cap from the single-frame entry point (probes ⊆
+    // corpus: a probe set too big to collect implies a corpus too big
+    // to collect) the engine FAILS FAST — the join was measured dead
+    // at scale — unless the session opts in, and the opted-in join
+    // still returns the exact answer
+    val ex = intercept[graft.core.UserException] {
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
+        k = 6, maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+    }
+    assert(ex.getMessage.contains("lshTopK") &&
+      ex.getMessage.contains(Similarity.AnnForceJoinKey), ex.getMessage)
+    try {
+      spark.conf.set(Similarity.AnnForceJoinKey, "true")
+      val overCap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe,
+        k = 6, maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+      assert(overCap.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+        "opted in over the chunk cap: the join regime must plan the join")
+      assert(overCap.except(single).isEmpty && single.except(overCap).isEmpty)
+    } finally spark.conf.unset(Similarity.AnnForceJoinKey)
   }
 
   test("brute-force topK frames: role-swapped corpus kernel == embedded == join; join only when BOTH sides exceed the cap") {
@@ -554,13 +565,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(onePlan.collect { case j: Join => j }.isEmpty &&
       onePlan.collect { case a: Aggregate => a }.isEmpty,
       "single-chunk role swap is a pure projection")
-    // the join fallback is reachable ONLY when both sides exceed the
-    // cap (probes == corpus == all of emb here)
-    val bothOver = Similarity.bruteForceTopKFrames(emb, "vec_id", "embedding",
-      emb, "vec_id", "embedding", k,
-      maxEmbeddedProbes = 7, maxChunkedProbes = 20)
-    assert(bothOver.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
-      "both sides over the cap: the join is the only shape left")
+    // both sides over the cap (probes == corpus == all of emb here):
+    // fail fast naming the scale alternatives; the conf opt-in plans
+    // the join
+    intercept[graft.core.UserException] {
+      Similarity.bruteForceTopKFrames(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k,
+        maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+    }
+    try {
+      spark.conf.set(Similarity.AnnForceJoinKey, "true")
+      val bothOver = Similarity.bruteForceTopKFrames(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k,
+        maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+      assert(bothOver.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+        "both sides over the cap, opted in: the join is the only shape left")
+    } finally spark.conf.unset(Similarity.AnnForceJoinKey)
   }
 
   test("IVF topK: embedded-probe regime == join regime, row for row") {
@@ -611,12 +631,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(swap.count() > 0)
     assert(swap.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
       "role-swapped near-dup regime must not plan a join")
-    // the join fallback is reachable ONLY when both sides exceed
-    val both = Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
-      emb, "vec_id", "embedding", threshold = 0.15,
-      maxEmbeddedProbes = 7, maxChunkedProbes = 20)
-    assert(both.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
-      "both sides over the cap: the join is the only shape left")
+    // both sides over the cap: fail fast; the conf opt-in plans the join
+    val ex = intercept[graft.core.UserException] {
+      Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", threshold = 0.15,
+        maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+    }
+    assert(ex.getMessage.contains("embeddingNearDup"), ex.getMessage)
+    try {
+      spark.conf.set(Similarity.AnnForceJoinKey, "true")
+      val both = Dedup.embeddingNearDupFrames(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", threshold = 0.15,
+        maxEmbeddedProbes = 7, maxChunkedProbes = 20)
+      assert(both.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+        "both sides over the cap, opted in: the join is the only shape left")
+    } finally spark.conf.unset(Similarity.AnnForceJoinKey)
   }
 
   test("LSH topK: embedded-probe regime == join regime, row for row") {
@@ -2118,5 +2147,191 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), plan)
     // two exchanges: one keyed (g, d), one keyed g — the two levels
     assert(plan.linesIterator.count(_.contains("Exchange")) == 2, plan)
+  }
+
+  test("ANN collect caps are BYTE-budgeted: dims sniffed from the gate prefix shrink the row cap") {
+    val rnd = new scala.util.Random(11)
+    // 8-dim vectors: a row is 64 bytes of matrix
+    val probes = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val corpus3 = (101L to 103L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    // gate 2, row cap 1000, byte budget 320 B => byte cap = 5 rows:
+    // probes (40) exceed it, the corpus (3) fits => ROLE SWAP
+    val (swap, _) = Similarity.decideRegime(probes, "id", "vec",
+      Some((corpus3, "id", "vec")), 2, 1000, 320L)
+    assert(swap.isInstanceOf[Similarity.AnnRegime.Corpus], swap.getClass.toString)
+    // same call with the default budget: the row cap governs => probes
+    val (chunked, _) = Similarity.decideRegime(probes, "id", "vec",
+      Some((corpus3, "id", "vec")), 2, 1000, 512L << 20)
+    chunked match {
+      case Similarity.AnnRegime.Probes(rows) => assert(rows.length == 40)
+      case other => fail(s"expected Probes, got $other")
+    }
+    // the byte budget never shrinks the cap below the embedded gate
+    // (the gate prefix is already collected): budget of ONE row still
+    // admits gate-many probes
+    val probes5 = (1L to 5L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val (gateHeld, _) = Similarity.decideRegime(probes5, "id", "vec",
+      Some((corpus3, "id", "vec")), 5, 1000, 8L)
+    assert(gateHeld.isInstanceOf[Similarity.AnnRegime.Probes])
+    // end-to-end: the tiny byte budget tips a would-be chunked call
+    // into role swap and the answers still agree exactly
+    val viaSwap = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus3, "id", "vec", k = 2,
+      maxEmbeddedProbes = 2, maxChunkedProbes = 1000, maxCollectBytes = 320L)
+    val viaChunks = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus3, "id", "vec", k = 2,
+      maxEmbeddedProbes = 2, maxChunkedProbes = 1000)
+    assert(viaSwap.except(viaChunks).isEmpty && viaChunks.except(viaSwap).isEmpty)
+  }
+
+  test("ANN regime decision transfers O(gate) rows, never a discarded matrix") {
+    val rnd = new scala.util.Random(13)
+    val big = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    // both sides over the caps (gate 3, cap 5): deciding the fallback
+    // must cost the gate prefix plus two bounded counts - not two full
+    // cap-sized collects (the r15 shape)
+    val (regime, fetched) = Similarity.decideRegime(big, "id", "vec",
+      Some((big, "id", "vec")), 3, 5, 512L << 20)
+    assert(regime == Similarity.AnnRegime.BothOver)
+    assert(fetched <= 3 + 1 + 2, s"driver fetched $fetched rows to decide")
+  }
+
+  test("LSH/IVF topK: chunked over-gate kernels == single kernel == bucket join, no join planned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(5)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // LSH: tiny forced gate => ceil(probes/7) chunks, chunk-local
+    // signature buckets; probes partition so the union is exact
+    val lshSingle = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, planes = 6)
+    val lshChunked = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, planes = 6, maxEmbeddedProbes = 7)
+    val lshJoin = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, planes = 6, maxEmbeddedProbes = 0)
+    assert(lshChunked.except(lshSingle).isEmpty && lshSingle.except(lshChunked).isEmpty,
+      "chunked and single-kernel LSH must agree exactly")
+    assert(lshChunked.except(lshJoin).isEmpty && lshJoin.except(lshChunked).isEmpty,
+      "chunked LSH and bucket join must agree exactly")
+    assert(lshChunked.count() > 0)
+    assert(lshChunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "chunked LSH regime must not plan a join")
+    // IVF: same structure, chunk-local inverted-list index
+    val ivfSingle = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, nCentroids = 8, nProbe = 3)
+    val ivfChunked = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, nCentroids = 8, nProbe = 3,
+      maxEmbeddedProbes = 7)
+    val ivfJoin = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5, nCentroids = 8, nProbe = 3,
+      maxEmbeddedProbes = 0)
+    assert(ivfChunked.except(ivfSingle).isEmpty && ivfSingle.except(ivfChunked).isEmpty,
+      "chunked and single-kernel IVF must agree exactly")
+    assert(ivfChunked.except(ivfJoin).isEmpty && ivfJoin.except(ivfChunked).isEmpty,
+      "chunked IVF and list join must agree exactly")
+    assert(ivfChunked.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "chunked IVF regime must not plan a join")
+  }
+
+  test("cross-corpus near-dup (allPairs): no id-ordering or self-pair filter, all regimes agree") {
+    val rndA = new scala.util.Random(17)
+    val rndB = new scala.util.Random(23)
+    // OVERLAPPING numeric ids, UNRELATED vectors: the id spaces are
+    // distinct, so id order must not filter and an id collision is
+    // not a self-pair
+    val pRows = (1L to 20L).map(i => (i, Array.fill(6)(rndA.nextGaussian())))
+    val cRows = (5L to 12L).map(i => (i, Array.fill(6)(rndB.nextGaussian())))
+    val probes = pRows.toDF("id", "vec").repartition(3)
+    val corpus = cRows.toDF("id", "vec").repartition(3)
+    val t = 0.1
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val expect = (for {
+      (pi, pv) <- pRows; (ci, cv) <- cRows if cos(pv, cv) > t
+    } yield (pi, ci)).toSet
+    assert(expect.exists { case (p, c) => p > c },
+      "fixture must contain matches the ordering filter would drop")
+    assert(expect.exists { case (p, c) => p == c },
+      "fixture must contain an id collision")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embedded = Dedup.embeddingNearDupFrames(probes, "id", "vec",
+      corpus, "id", "vec", t, allPairs = true)
+    assert(got(embedded) == expect)
+    val swap = Dedup.embeddingNearDupFrames(probes, "id", "vec",
+      corpus, "id", "vec", t, maxEmbeddedProbes = 3, maxChunkedProbes = 10,
+      allPairs = true)
+    assert(got(swap) == expect, "role-swapped allPairs must agree")
+    val joined = Dedup.embeddingNearDupFrames(probes, "id", "vec",
+      corpus, "id", "vec", t, maxEmbeddedProbes = 0, allPairs = true)
+    assert(got(joined) == expect, "join-regime allPairs must agree")
+    // and the DEFAULT contract still orders/dedups for subset callers
+    val dflt = Dedup.embeddingNearDupFrames(probes, "id", "vec",
+      corpus, "id", "vec", t)
+    assert(got(dflt) == expect.filter { case (p, c) => p < c })
+  }
+
+  test("cross-corpus topK (includeSelf): id collisions score, all regimes agree") {
+    val rndA = new scala.util.Random(29)
+    val rndB = new scala.util.Random(31)
+    val pRows = (1L to 20L).map(i => (i, Array.fill(6)(rndA.nextGaussian())))
+    val cRows = (5L to 12L).map(i => (i, Array.fill(6)(rndB.nextGaussian())))
+    val probes = pRows.toDF("id", "vec").repartition(3)
+    val corpus = cRows.toDF("id", "vec").repartition(3)
+    val k = 4
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val embedded = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k, includeSelf = true)
+    val swap = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k, maxEmbeddedProbes = 3, maxChunkedProbes = 10,
+      includeSelf = true)
+    val joined = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k, maxEmbeddedProbes = 0, includeSelf = true)
+    assert(got(embedded) == got(joined), "embedded includeSelf must equal join")
+    assert(got(swap) == got(joined), "role-swap includeSelf must equal join")
+    // a colliding id (5..12 exist on both sides) must be rankABLE as
+    // its own candidate - the vectors are unrelated, so it competes
+    // like any other; verify at least one collision pair ranked
+    val pairs = got(embedded).map(r => (r._1, r._3))
+    val dfltPairs = got(Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k)).map(r => (r._1, r._3))
+    assert((pairs -- dfltPairs).exists { case (p, c) => p == c } ||
+      pairs.exists { case (p, c) => p == c },
+      "an id collision must be scoreable under includeSelf")
+  }
+
+  test("ANN output schema is regime-independent: INT ids widen to BIGINT in every regime") {
+    val rnd = new scala.util.Random(37)
+    // INT ids (not long): r15's regimes disagreed on the output type
+    val pRows = (1 to 12).map(i => (i, Array.fill(6)(rnd.nextGaussian())))
+    val cRows = (1 to 6).map(i => (i, Array.fill(6)(rnd.nextGaussian())))
+    val probes = pRows.toDF("id", "vec")
+    val corpus = cRows.toDF("id", "vec")
+    val expected = Seq("probe_id" -> "bigint", "rank" -> "bigint",
+      "cand_id" -> "bigint", "sim" -> "double")
+    def types(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    val topkRegimes = Seq(
+      Similarity.bruteForceTopKFrames(probes, "id", "vec", corpus, "id", "vec", 3),
+      Similarity.bruteForceTopKFrames(probes, "id", "vec", corpus, "id", "vec", 3,
+        maxEmbeddedProbes = 3, maxChunkedProbes = 8), // role swap
+      Similarity.bruteForceTopKFrames(probes, "id", "vec", corpus, "id", "vec", 3,
+        maxEmbeddedProbes = 0)) // join
+    topkRegimes.foreach(df => assert(types(df) == expected, types(df).toString))
+    val ndExpected = Seq("probe_id" -> "bigint", "cand_id" -> "bigint")
+    val ndRegimes = Seq(
+      Dedup.embeddingNearDupFrames(probes, "id", "vec", corpus, "id", "vec", 0.1),
+      Dedup.embeddingNearDupFrames(probes, "id", "vec", corpus, "id", "vec", 0.1,
+        maxEmbeddedProbes = 3, maxChunkedProbes = 8),
+      Dedup.embeddingNearDupFrames(probes, "id", "vec", corpus, "id", "vec", 0.1,
+        maxEmbeddedProbes = 0))
+    ndRegimes.foreach(df => assert(types(df) == ndExpected, types(df).toString))
   }
 }
