@@ -1222,9 +1222,10 @@ object Dedup {
     import graft.functions.VectorFunctions
     val gate = math.max(maxEmbeddedProbes, 0)
     import org.apache.spark.sql.graftbridge.SparkBridge
-    Similarity.decideRegime(probes, probeIdCol, probeVecCol,
+    val dec = Similarity.decideRegime(probes, probeIdCol, probeVecCol,
       Some((corpus, corpusIdCol, corpusVecCol)),
-      gate, maxChunkedProbes, maxCollectBytes)._1 match {
+      gate, maxChunkedProbes, maxCollectBytes)
+    dec.regime match {
       case Similarity.AnnRegime.Probes(collected) =>
         // EMBEDDED/CHUNKED: per corpus row the graft_probe_matches
         // kernel emits matching probe ids directly, with no joined-row
@@ -1236,7 +1237,8 @@ object Dedup {
         val all = rebalance(
           corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")),
           Seq(col("cand_id")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val chunk = math.max(dec.chunkRows, 1)
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
         val frames = (0 until nChunks).map { c =>
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
@@ -1258,7 +1260,8 @@ object Dedup {
         val probeFrame = rebalance(
           probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")),
           Seq(col("probe_id")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val chunk = math.max(dec.chunkRows, 1)
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
         (0 until nChunks).map { c =>
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
@@ -1277,7 +1280,7 @@ object Dedup {
           .select(col("probe_id").cast("long").as("probe_id"), col("cand_id"))
       case Similarity.AnnRegime.BothOver =>
         if (gate > 0) Similarity.enforceJoinContract(spark, "embeddingNearDup",
-          math.max(maxChunkedProbes, gate))
+          dec.effectiveCap)
         // norms once per SIDE row, dot alone per pair: bit-identical to
         // the cosine kernel (same accumulation, same sqrt-product
         // denominator — Similarity.splitScore scaladoc) at a third of
@@ -1301,7 +1304,13 @@ object Dedup {
         // broadcast is a driver-OOM at 100×; the planner sizes the build
         // side from its stats (Similarity.bruteForceTopK's join regime)
         val joined =
-          if (allPairs) all.crossJoin(probeSide)
+          if (allPairs)
+            // the kernels drop null-id rows; the crossJoin has no join
+            // condition to drop them implicitly (the `<` below does),
+            // so filter explicitly or the join regime alone would emit
+            // NULL-id pairs
+            all.where(col("cand_id").isNotNull)
+              .crossJoin(probeSide.where(col("probe_id").isNotNull))
           else all.join(probeSide, col("probe_id") < col("cand_id"))
         joined
           .where(cos > threshold)

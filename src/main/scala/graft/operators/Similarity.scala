@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §7.5).
@@ -100,20 +100,43 @@ object Similarity {
     case object BothOver extends AnnRegime
   }
 
+  /** What [[decideRegime]] decided, plus the bounds it decided WITH —
+    * callers chunk by `chunkRows` (the byte-shrunk effective gate, so
+    * each chunk's embedded literal matrix respects the byte budget
+    * too) and report `effectiveCap` in the fail-fast message (the cap
+    * the data actually exceeded, which the byte budget may have set
+    * well below the row cap the caller passed). `fetched` counts rows
+    * driver-transferred (the spec hook for the transfer bound); `dims`
+    * is the sniffed embedding dimension (reused by the LSH join
+    * regime's signature expression instead of a second sizing job).
+    */
+  private[graft] final case class RegimeDecision(
+      regime: AnnRegime,
+      fetched: Long,
+      chunkRows: Int,
+      effectiveCap: Long,
+      dims: Option[Int])
+
   /** Regime decision + matrix collect for the kernel ANN operators,
     * with BOUNDED driver transfer on every path:
     *
-    *  1. collect `limit(gate + 1)` probe rows — the one transfer every
-    *     call pays; ≤ gate means EMBEDDED and the prefix IS the matrix.
-    *  2. otherwise sniff the embedding dimension from that prefix and
-    *     shrink the row cap to the BYTE budget: the collected matrix
-    *     is ~`rows × dims × 8` bytes, so a row-only cap that means
-    *     0.5 GB at 64 dims means 6 GB at 768-dim embeddings
-    *     (`maxCollectBytes`, default 512 MB; never below the gate —
-    *     the gate prefix is already in hand; the row cap backstops).
-    *  3. COUNT the probe side against the effective cap
-    *     (`limit(cap + 1).count()` — a bounded job transferring one
-    *     long, NOT a matrix) and collect the full probe matrix only
+    *  1. sniff the embedding dimension from ONE non-null probe vector
+    *     (a `head(1)` job — the only job the decision adds to the
+    *     kernel-enabled path) and shrink the EFFECTIVE gate to
+    *     `min(maxEmbeddedProbes, maxCollectBytes / (8·dims))` BEFORE
+    *     any matrix moves: the gate prefix itself is rows × dims × 8
+    *     bytes of driver transfer, so a dims-blind gate of 2¹⁶ rows
+    *     means ~2.1 GB at 4096-dim embeddings — the r16 shape
+    *     byte-budgeted only the over-gate cap and never the gate
+    *     collect it paid first. The shrunk gate also bounds each
+    *     chunk's embedded literal matrix (gate × dims × 8 bytes of
+    *     plan shipped per executor), since callers chunk by it.
+    *  2. collect `limit(gate + 1)` probe rows — ≤ gate means EMBEDDED
+    *     and the prefix IS the matrix.
+    *  3. otherwise COUNT the probe side against the effective cap —
+    *     `min(max(maxChunkedProbes, gate), maxCollectBytes/(8·dims))`
+    *     (`limit(cap + 1).count()`, a bounded job transferring one
+    *     long, NOT a matrix) — and collect the full probe matrix only
     *     when it fits → CHUNKED.
     *  4. else count the corpus the same way and collect IT when it
     *     fits → ROLE SWAP. Only the gate prefix is live during this
@@ -123,37 +146,44 @@ object Similarity {
     *     O(gate) rows + two counts to find out (the r15 shape paid up
     *     to TWO full cap-sized collects to discover the fallback).
     *
-    * The byte budget sizes BOTH sides with the PROBE prefix's dims
+    * The byte budget sizes BOTH sides with the sniffed probe dims
     * (uniform embedding dimension is already splitScore's scoring
-    * precondition). Returns the regime and the rows actually
-    * driver-fetched (spec hook for the transfer bound).
+    * precondition). A budget below one row's bytes floors at 1 row —
+    * the cap then routes over-gate calls to role swap / fail-fast
+    * rather than collecting a matrix over budget.
     */
   private[graft] def decideRegime(
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       corpus: Option[(DataFrame, String, String)],
       maxEmbeddedProbes: Int, maxChunkedProbes: Int,
-      maxCollectBytes: Long): (AnnRegime, Long) = {
-    val gate = math.max(maxEmbeddedProbes, 0)
-    if (gate == 0) return (AnnRegime.BothOver, 0L)
+      maxCollectBytes: Long): RegimeDecision = {
+    // clamped vs Int overflow when a caller passes Int.MaxValue (the
+    // fail-fast message explicitly invites raising the caps)
+    val rawGate = math.min(math.max(maxEmbeddedProbes, 0), Int.MaxValue - 1)
+    if (rawGate == 0) return RegimeDecision(AnnRegime.BothOver, 0L, 0, 0L, None)
     val pSel = probes.select(
       col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
+    val dims = probes
+      .select(col(probeVecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+      .select(size(col("__v"))).head(1).headOption.map(_.getInt(0))
+    var fetched = dims.size.toLong
+    val byteCapRows = dims.map(d => math.max(1L, maxCollectBytes / (8L * d)))
+      .getOrElse(Long.MaxValue) // no non-null probe vector: row caps govern
+    val gate = math.min(rawGate.toLong, byteCapRows).toInt
     val head = pSel.limit(gate + 1).collect()
-    var fetched = head.length.toLong
-    if (head.length <= gate) return (AnnRegime.Probes(head), fetched)
-    val dims = head.iterator.filter(r => !r.isNullAt(1))
-      .map(_.getSeq[Double](1).length).find(_ > 0)
-    val byteCapRows = dims.map(d => maxCollectBytes / (8L * d))
-      .getOrElse(Long.MaxValue) // dims unknowable: row cap backstops
-    // clamped vs Int overflow when a caller passes Int.MaxValue (the
-    // fallback error invites raising the cap)
-    val cap = math.min(
-      math.max(maxChunkedProbes.toLong, gate.toLong),
-      math.max(gate.toLong, byteCapRows)).min(Int.MaxValue - 1L).toInt
+    fetched += head.length
+    if (head.length <= gate)
+      return RegimeDecision(AnnRegime.Probes(head), fetched, gate, gate, dims)
+    // byteCapRows ≥ gate by construction of gate, so cap ≥ gate too
+    val cap = math.min(math.max(maxChunkedProbes.toLong, gate.toLong), byteCapRows)
+      .min(Int.MaxValue - 1L).toInt
     val pCount = pSel.limit(cap + 1).count()
     fetched += 1
     if (pCount <= cap) {
       val all = pSel.limit(cap).collect()
-      return (AnnRegime.Probes(all), fetched + all.length)
+      return RegimeDecision(
+        AnnRegime.Probes(all), fetched + all.length, gate, cap, dims)
     }
     corpus match {
       case Some((c, cIdCol, cVecCol)) =>
@@ -163,9 +193,10 @@ object Similarity {
         fetched += 1
         if (cCount <= cap) {
           val all = cSel.limit(cap).collect()
-          (AnnRegime.Corpus(all), fetched + all.length)
-        } else (AnnRegime.BothOver, fetched)
-      case None => (AnnRegime.BothOver, fetched)
+          RegimeDecision(
+            AnnRegime.Corpus(all), fetched + all.length, gate, cap, dims)
+        } else RegimeDecision(AnnRegime.BothOver, fetched, gate, cap, dims)
+      case None => RegimeDecision(AnnRegime.BothOver, fetched, gate, cap, dims)
     }
   }
 
@@ -181,19 +212,65 @@ object Similarity {
     * fast with the scale alternatives, unless the caller explicitly
     * opts into the join via [[AnnForceJoinKey]] (then warn). A gate of
     * 0 never reaches here (kernels deliberately disabled = the spec
-    * seam; the join runs silently).
+    * seam; the join runs silently). `cap` is the EFFECTIVE cap the
+    * decision used — when the byte budget governed, that is smaller
+    * than the row cap the caller passed, and the message must name the
+    * bound the data actually exceeded.
     */
   private[graft] def enforceJoinContract(
-      spark: org.apache.spark.sql.SparkSession, op: String, cap: Int): Unit = {
+      spark: org.apache.spark.sql.SparkSession, op: String, cap: Long): Unit = {
     val msg = s"$op: BOTH probe and corpus side exceed the collect cap " +
       s"(maxChunkedProbes/maxCollectBytes, effective $cap rows) — the " +
       "exact non-equi join plans as CartesianProduct above broadcast " +
       "size and was measured disk-bound at scale (BENCHNOTES_r14). " +
-      "Use lshTopK/ivfTopK (bucket equi-joins) at this scale, raise the " +
-      s"caps, or set $AnnForceJoinKey=true to submit the join anyway."
+      "Use lshTopKFrames/ivfTopKFrames (bucket equi-joins) at this " +
+      s"scale, raise the caps, or set $AnnForceJoinKey=true to submit " +
+      "the join anyway."
     if (spark.conf.getOption(AnnForceJoinKey).exists(_.toBoolean)) log.warn(msg)
     else throw new graft.core.UserException(msg)
   }
+
+  /** Session conf: probe-side replication factor for the over-cap
+    * bucket equi-joins (LSH signature / IVF inverted list). The bucket
+    * key space is SMALL by construction — 2^planes signatures,
+    * nCentroids lists — so the join's shuffle parallelism is
+    * key-capped and a dense region makes a hub bucket one task owns.
+    * Salting splits every bucket S ways: candidates take a
+    * deterministic salt from their id hash, probes replicate across
+    * all S salts — each (probe, candidate) pair still meets in exactly
+    * one salt, so results are IDENTICAL (the regime-equivalence specs
+    * and the q81 oracle run salted). 0 (the default) = auto:
+    * ceil(shuffle partitions / key count) — just enough to restore
+    * full shuffle parallelism, a no-op when keys already exceed
+    * partitions.
+    */
+  val AnnBucketSaltKey = "spark.graft.ann.bucketSalt"
+
+  private def bucketSalt(spark: SparkSession, nKeys: Long): Int = {
+    val conf = spark.conf.getOption(AnnBucketSaltKey).map(_.toInt).getOrElse(0)
+    if (conf > 0) conf
+    else {
+      val parts = spark.sessionState.conf.numShufflePartitions.toLong
+      math.min(math.max(1L, (parts + nKeys - 1) / nKeys), 1L << 20).toInt
+    }
+  }
+
+  /** Salted bucket equi-join (see [[AnnBucketSaltKey]]): `cands` must
+    * carry `cand_id`; both sides must carry `bucketCol`. Probe-side
+    * rows replicate `salt` ways, so callers size `salt` against the
+    * probe frame they pass.
+    */
+  private def saltedBucketJoin(
+      cands: DataFrame, probes: DataFrame, bucketCol: String,
+      salt: Int): DataFrame =
+    if (salt <= 1) cands.join(probes, Seq(bucketCol))
+    else {
+      val salted = cands.withColumn("__salt",
+        pmod(xxhash64(col("cand_id")), lit(salt.toLong)))
+      val replicated = probes.withColumn("__salt",
+        explode(typedlit((0L until salt.toLong).toSeq)))
+      salted.join(replicated, Seq(bucketCol, "__salt")).drop("__salt")
+    }
 
   /** Exact brute-force top-k of a probe SUBSET of `emb` against all
     * of `emb` — the single-frame convenience over
@@ -256,19 +333,20 @@ object Similarity {
     *    per-partition right-side spill filled >60 GB of disk and the
     *    job died at ~17 min, where the chunked kernels finish in
     *    59 s — BENCHNOTES_r14). The engine therefore FAILS FAST here
-    *    with the scale alternatives (`lshTopK`/`ivfTopK`, whose
-    *    over-gate joins are bucket EQUI-joins) unless the session
+    *    with the scale alternatives (`lshTopKFrames`/`ivfTopKFrames`,
+    *    whose over-gate joins are bucket EQUI-joins) unless the session
     *    opts in via [[AnnForceJoinKey]]. Passing
     *    `maxEmbeddedProbes = 0` disables every kernel regime and runs
     *    the join silently (the spec seam pinning kernel ≡ join).
     *
     * Driver-memory bound: the winning side's (id, vector) matrix is
     * collected under BOTH a row cap (`maxChunkedProbes`) and a BYTE
-    * budget (`maxCollectBytes`, default 512 MB, dims sniffed from the
-    * gate prefix — a row-only cap meaning 0.5 GB at 64 dims means
-    * 6 GB at 768-dim embeddings); the regime decision itself
-    * transfers O(maxEmbeddedProbes) rows + two bounded counts, never
-    * a full matrix it then discards (see [[decideRegime]]).
+    * budget (`maxCollectBytes`, default 512 MB) — dims are sniffed
+    * from one probe row BEFORE anything collects, so the budget bounds
+    * the gate prefix, the full matrix, AND each chunk's embedded plan
+    * literal (see [[decideRegime]]); the regime decision itself
+    * transfers O(effective gate) rows + two bounded counts, never a
+    * full matrix it then discards.
     *
     * `includeSelf = true` is the CROSS-CORPUS mode: probe and
     * candidate ids come from unrelated id spaces, so a numeric id
@@ -291,9 +369,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val gate = math.max(maxEmbeddedProbes, 0)
     import org.apache.spark.sql.graftbridge.SparkBridge
-    decideRegime(probes, probeIdCol, probeVecCol,
+    val dec = decideRegime(probes, probeIdCol, probeVecCol,
       Some((corpus, corpusIdCol, corpusVecCol)),
-      gate, maxChunkedProbes, maxCollectBytes)._1 match {
+      gate, maxChunkedProbes, maxCollectBytes)
+    dec.regime match {
       case AnnRegime.Probes(collected) =>
         // null id OR null vector: the join regime silently drops such
         // probes (a null-valued join/score condition never matches), so
@@ -301,7 +380,8 @@ object Similarity {
         val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         val cand = Dedup.rebalance(
           corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val chunk = math.max(dec.chunkRows, 1)
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
         val frames = (0 until nChunks).map { c =>
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
@@ -323,7 +403,8 @@ object Similarity {
         val usable = candCollected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         val probeFrame = Dedup.rebalance(
           probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val chunk = math.max(dec.chunkRows, 1)
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
         // the kernel sits DIRECTLY inside the generator (never behind
         // a projected alias): InferFiltersFromGenerate skips non-cheap
         // generator inputs, but an aliased array gets a `size(tk) > 0`
@@ -363,7 +444,7 @@ object Similarity {
         }
       case AnnRegime.BothOver =>
         if (gate > 0) enforceJoinContract(spark, "bruteForceTopK",
-          math.max(maxChunkedProbes, gate))
+          dec.effectiveCap)
         val probeSide = probes
           .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
           .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
@@ -382,7 +463,13 @@ object Similarity {
         // planner-above pattern as the MoR DV anti-join
         // (LakeTable.DvBroadcastBytes).
         val joined =
-          if (includeSelf) cand.crossJoin(probeSide)
+          if (includeSelf)
+            // the kernels drop null-id rows; the crossJoin has no join
+            // condition to drop them implicitly (the `=!=` below does),
+            // so filter explicitly or the join regime alone would emit
+            // NULL-id result groups
+            cand.where(col("cand_id").isNotNull)
+              .crossJoin(probeSide.where(col("probe_id").isNotNull))
           else cand.join(probeSide, col("probe_id") =!= col("cand_id"))
         val scored = joined
           .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
@@ -420,14 +507,9 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first
-    * `nCentroids` corpus vectors by id) partitions the corpus into
-    * inverted lists by nearest centroid; a probe searches only the
-    * `nProbe` lists whose centroids are closest to it. Unlike LSH,
-    * list sizes are data-adaptive; like real IVF, recall is tuned by
-    * `nProbe`. Centroid assignment is a broadcast of `nCentroids`
-    * vectors — the corpus scan stays shuffle-free until the final
-    * per-probe top-k.
+  /** IVF-style ANN over a single frame: probes are a filtered subset
+    * of `emb` — the convenience form of [[ivfTopKFrames]] (regimes,
+    * quantizer, and salting documented there).
     */
   def ivfTopK(
       emb: DataFrame,
@@ -440,38 +522,70 @@ object Similarity {
       trainedCentroids: Option[Array[Seq[Double]]] = None,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame = {
-    val spark = emb.sparkSession
+      maxCollectBytes: Long = 512L << 20): DataFrame =
+    ivfTopKFrames(
+      emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
+      emb, idCol, vecCol, k, nCentroids, nProbe, trainedCentroids,
+      maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+
+  /** IVF-style ANN, probes and corpus as SEPARATE frames (the
+    * cross-corpus decontamination shape — the restricted-index scale
+    * alternative the exact operators' fail-fast message promises): a
+    * deterministic coarse quantizer (the first `nCentroids` CORPUS
+    * vectors by id, or `trainedCentroids` e.g. from
+    * Clustering.kmeansCentroids) partitions the corpus into inverted
+    * lists by nearest centroid; a probe searches only the `nProbe`
+    * lists whose centroids are closest to it. Unlike LSH, list sizes
+    * are data-adaptive; like real IVF, recall is tuned by `nProbe`.
+    *
+    * Regimes (same gates/rationale as [[bruteForceTopKFrames]] — no
+    * role swap: the IVF restriction index is probe-side):
+    *  - EMBEDDED/CHUNKED (probes within the collect caps): probes
+    *    collect bounded, each probe's nProbe nearest lists resolve
+    *    driver-side, and per probe chunk one `graft_probe_topk`
+    *    aggregate scans the corpus with the centroid assignment and
+    *    the per-list probe index INSIDE the kernel — no exploded probe
+    *    frame, no joined rows.
+    *  - JOIN (probes above the caps): the inverted-list bucket
+    *    EQUI-join over the two frames — the legitimate scale path
+    *    (never CartesianProduct), salted when the list count is below
+    *    the shuffle parallelism ([[AnnBucketSaltKey]]).
+    *
+    * `includeSelf = true` scores id collisions in every regime
+    * (cross-corpus id spaces — [[bruteForceTopKFrames]]).
+    */
+  def ivfTopKFrames(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      trainedCentroids: Option[Array[Seq[Double]]] = None,
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20,
+      includeSelf: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
     // Coarse quantizer: nCentroids vectors collected to the driver
     // (metadata-scale) and embedded as literals, so list assignment is
     // a pure map-side expression — no shuffle touches the corpus until
-    // the final per-probe top-k. Pass `trainedCentroids` (e.g.
-    // Clustering.kmeansCentroids) for a real quantizer; the default
-    // id-prefix seed keeps the operator self-contained and
-    // oracle-replayable.
+    // the final per-probe top-k. The default id-prefix seed keeps the
+    // operator self-contained and oracle-replayable.
     val centroids: Array[Seq[Double]] = trainedCentroids.getOrElse(
-      emb.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(vecCol).cast("array<double>")).collect()
+      corpus.orderBy(col(corpusIdCol)).limit(nCentroids)
+        .select(col(corpusVecCol).cast("array<double>")).collect()
         .map(_.getSeq[Double](0)))
 
-    // EMBEDDED/CHUNKED regimes (same gates/rationale as
-    // bruteForceTopKFrames — no role swap: the IVF restriction index
-    // is probe-side): probes collect bounded, each probe's nProbe
-    // nearest lists resolve driver-side with nearestLists' exact
-    // (-dot, id) ordering, and per probe CHUNK one graft_probe_topk
-    // aggregate scans the corpus with the centroid assignment and the
-    // per-list probe index INSIDE the kernel — no exploded probe
-    // frame, no joined rows. Chunks partition the PROBES, so the
-    // union of per-chunk results IS the single-kernel answer (the
-    // same argument as the brute-force chunked regime; the r11
-    // measurement priced the equi-join's per-pair row plumbing this
-    // replaces).
-    val regime = decideRegime(emb.where(probeFilter), idCol, vecCol,
-      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)._1
-    regime match {
+    val dec = decideRegime(probes, probeIdCol, probeVecCol,
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+    dec.regime match {
       case AnnRegime.Probes(collectedProbes) =>
         import org.apache.spark.sql.graftbridge.SparkBridge
-        val gate = math.max(maxEmbeddedProbes, 1)
+        val chunk = math.max(dec.chunkRows, 1)
         val cents: Array[Array[Double]] = centroids.map(_.toArray)
         def dotD(a: Array[Double], b: Array[Double]): Double = {
           val d = math.min(a.length, b.length)
@@ -481,9 +595,9 @@ object Similarity {
         }
         // drop null-id AND null-vector probes, like the join regime does
         val usable = collectedProbes.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        val corpus = Dedup.rebalance(
-          emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
+        val cand = Dedup.rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
         return (0 until nChunks).map { c =>
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
@@ -498,12 +612,13 @@ object Similarity {
               .foreach(cc => byList(cc) += pi)
           }
           val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-            SparkBridge.expression(corpus("cand_id")),
-            SparkBridge.expression(corpus("cand_vec")),
+            SparkBridge.expression(cand("cand_id")),
+            SparkBridge.expression(cand("cand_vec")),
             pIds, pVecs, k,
-            centroids = cents, probesByList = byList.map(_.toArray))
+            centroids = cents, probesByList = byList.map(_.toArray),
+            includeSelf = includeSelf)
             .toAggregateExpression())
-          corpus.agg(agg.as("tk"))
+          cand.agg(agg.as("tk"))
         }.reduce(_.union(_))
           .select(explode(col("tk")).as("e"))
           .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
@@ -515,7 +630,7 @@ object Similarity {
     /** top-`n` nearest centroid ids for a vector, as an array column:
       * sort a tiny struct array of (-dot, id) — map-side only.
       */
-    def nearestLists(df: DataFrame, vec: Column, n: Int): Column = {
+    def nearestLists(vec: Column, n: Int): Column = {
       val scored = array(centroids.zipWithIndex.map { case (c, p) =>
         struct((-VectorFunctions.dot(spark, vec, typedlit(c))).as("negs"),
           lit(p).as("id"))
@@ -525,50 +640,34 @@ object Similarity {
 
     // rebalance before the per-row nCentroids×dims assignment dots —
     // a single-row-group corpus file must not serialize them
-    val corpus = Dedup.rebalance(
-      emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-      .withColumn("list_id", element_at(nearestLists(emb, col("cand_vec"), 1), 1))
+    val cand = Dedup.rebalance(
+      corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+      .withColumn("list_id", element_at(nearestLists(col("cand_vec"), 1), 1))
       .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-    val probes = emb.where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-      .withColumn("list_id", explode(nearestLists(emb, col("probe_vec"), nProbe)))
+    val probeSide = probes
+      .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
+      .withColumn("list_id", explode(nearestLists(col("probe_vec"), nProbe)))
       .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
     // no broadcast hint above the embedded gate (see bruteForceTopK):
-    // probe counts can grow ∝ corpus; the planner sizes the build side
-    val scored = corpus.join(probes, Seq("list_id"))
-      .where(col("probe_id") =!= col("cand_id"))
+    // probe counts can grow ∝ corpus; the planner sizes the build side.
+    // Salted: nCentroids list keys alone cap the shuffle parallelism
+    val joined = saltedBucketJoin(cand, probeSide, "list_id",
+      bucketSalt(spark, math.max(nCentroids.toLong, 1L)))
+    val filtered =
+      if (includeSelf)
+        // match the kernels' null-id semantics (the `=!=` below drops
+        // nulls implicitly; includeSelf has no condition that would)
+        joined.where(col("probe_id").isNotNull && col("cand_id").isNotNull)
+      else joined.where(col("probe_id") =!= col("cand_id"))
+    val scored = filtered
       .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
         col("probe_norm"), col("cand_norm")))
     rankTopK(scored, k)
   }
 
-  /** ANN via LSH bucketing: exact rank within the probe's bucket.
-    *
-    * Same regime structure as bruteForceTopK/ivfTopK (spec-pinned
-    * equal; no role swap — the signature restriction index is
-    * probe-side):
-    *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`): probe signatures
-    *    resolve driver-side against the deterministic hyperplanes and
-    *    one `graft_probe_topk` aggregate scans the corpus with the
-    *    signature hash and the per-bucket probe index INSIDE the
-    *    kernel — the bucket equi-join's semantics with zero joined
-    *    rows, zero signature column, zero shuffle before the k-bounded
-    *    exchange.
-    *  - CHUNKED (gate < probes ≤ `maxChunkedProbes`, byte-budgeted by
-    *    `maxCollectBytes`): ⌈n/gate⌉ disjoint probe chunks, one
-    *    kernel each with its chunk-local signature index, results
-    *    unioned — probes partition across chunks, so the union IS the
-    *    single-kernel answer, still with zero joined rows.
-    *  - JOIN (above the caps): signature bucket EQUI-join — the
-    *    legitimate scale path (never CartesianProduct) — WITHOUT a
-    *    broadcast hint (probe counts can grow ∝ corpus; the planner
-    *    sizes the build side, see bruteForceTopK).
-    *
-    * The embedding dimension comes from the first collected probe
-    * (uniform dims — splitScore's precondition), folding the one-row
-    * `head()` sizing job the previous formulation paid; only the
-    * over-gate regime with an all-null collected prefix still asks the
-    * corpus.
+  /** ANN via LSH bucketing over a single frame: probes are a filtered
+    * subset of `emb` — the convenience form of [[lshTopKFrames]]
+    * (regimes and salting documented there).
     */
   def lshTopK(
       emb: DataFrame,
@@ -579,15 +678,68 @@ object Similarity {
       planes: Int = 12,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame = {
-    val spark = emb.sparkSession
+      maxCollectBytes: Long = 512L << 20): DataFrame =
+    lshTopKFrames(
+      emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
+      emb, idCol, vecCol, k, planes, maxEmbeddedProbes, maxChunkedProbes,
+      maxCollectBytes)
+
+  /** ANN via LSH bucketing, probes and corpus as SEPARATE frames (the
+    * cross-corpus decontamination shape): exact rank within the
+    * probe's signature bucket.
+    *
+    * Regime structure (spec-pinned equal; no role swap — the signature
+    * restriction index is probe-side):
+    *  - EMBEDDED (probes ≤ `maxEmbeddedProbes`, byte-shrunk by
+    *    `maxCollectBytes` — [[decideRegime]]): probe signatures
+    *    resolve driver-side against the deterministic hyperplanes and
+    *    one `graft_probe_topk` aggregate scans the corpus with the
+    *    signature hash and the per-bucket probe index INSIDE the
+    *    kernel — the bucket equi-join's semantics with zero joined
+    *    rows, zero signature column, zero shuffle before the k-bounded
+    *    exchange.
+    *  - CHUNKED (gate < probes ≤ the caps): ⌈n/gate⌉ disjoint probe
+    *    chunks, one kernel each with its chunk-local signature index,
+    *    results unioned — probes partition across chunks, so the union
+    *    IS the single-kernel answer, still with zero joined rows.
+    *  - JOIN (above the caps): signature bucket EQUI-join over the two
+    *    frames — the legitimate scale path (never CartesianProduct) —
+    *    WITHOUT a broadcast hint (probe counts can grow ∝ corpus; the
+    *    planner sizes the build side, see bruteForceTopK), and SALTED
+    *    when 2^planes is below the shuffle parallelism
+    *    ([[AnnBucketSaltKey]]: the signature key space would otherwise
+    *    cap the join at 2^planes tasks and hand a dense region's hub
+    *    bucket to one of them).
+    *
+    * The embedding dimension for the join's signature expression is
+    * the one [[decideRegime]] sniffed (no second sizing job); only the
+    * kernels-disabled seam (`maxEmbeddedProbes = 0`) or an all-null
+    * probe side still asks the frames.
+    *
+    * `includeSelf = true` scores id collisions in every regime
+    * (cross-corpus id spaces — [[bruteForceTopKFrames]]).
+    */
+  def lshTopKFrames(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      planes: Int = 12,
+      maxEmbeddedProbes: Int = 1 << 16,
+      maxChunkedProbes: Int = 1 << 20,
+      maxCollectBytes: Long = 512L << 20,
+      includeSelf: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
-    val regime = decideRegime(emb.where(probeFilter), idCol, vecCol,
-      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)._1
-    regime match {
+    val dec = decideRegime(probes, probeIdCol, probeVecCol,
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+    dec.regime match {
       case AnnRegime.Probes(collected) =>
         import org.apache.spark.sql.graftbridge.SparkBridge
-        val gate = math.max(maxEmbeddedProbes, 1)
+        val chunk = math.max(dec.chunkRows, 1)
         // null id or vector: dropped, like the bucket join drops them
         val usable = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         val dims = usable.headOption.map(_.getSeq[Double](1).length).getOrElse(0)
@@ -607,10 +759,10 @@ object Similarity {
           }
           sig
         }
-        val corpus = Dedup.rebalance(
-          emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-        val nChunks = math.max(1, math.ceil(usable.length.toDouble / gate).toInt)
-        return (0 until nChunks).map { c =>
+        val cand = Dedup.rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+        val nChunks = math.max(1, math.ceil(usable.length.toDouble / chunk).toInt)
+        (0 until nChunks).map { c =>
           val lo = (c.toLong * usable.length / nChunks).toInt
           val hi = ((c + 1).toLong * usable.length / nChunks).toInt
           val slice = usable.slice(lo, hi)
@@ -620,42 +772,52 @@ object Similarity {
             pVecs.indices.groupBy(pi => sigOf(pVecs(pi)))
               .map { case (s, idxs) => s -> idxs.toArray }
           val agg = SparkBridge.column(graft.functions.TopKFunctions.ProbeTopKAgg(
-            SparkBridge.expression(corpus("cand_id")),
-            SparkBridge.expression(corpus("cand_vec")),
+            SparkBridge.expression(cand("cand_id")),
+            SparkBridge.expression(cand("cand_vec")),
             pIds, pVecs, k,
-            planes = planeMat, probesBySig = bySig).toAggregateExpression())
-          corpus.agg(agg.as("tk"))
+            planes = planeMat, probesBySig = bySig,
+            includeSelf = includeSelf).toAggregateExpression())
+          cand.agg(agg.as("tk"))
         }.reduce(_.union(_))
           .select(explode(col("tk")).as("e"))
           .select(col("e.probe_id").as("probe_id"), col("e.rank").as("rank"),
             col("e.cand_id").as("cand_id"), col("e.sim").as("sim"))
       case _ =>
-    }
-    {
-      // all-null collected prefix: ask the corpus, but only non-null
-      // vectors (size(null) is null → getInt NPEs) and tolerate an
-      // all-null / empty corpus (head() on empty throws) — 0 dims then,
-      // and every signature collapses to one bucket, which is correct
-      // (the per-pair splitScore over null vectors yields no rows).
-      val dims = emb.where(probeFilter && col(vecCol).isNotNull)
-        .select(size(col(vecCol))).head(1)
-        .headOption.map(_.getInt(0))
-        .getOrElse(emb.where(col(vecCol).isNotNull)
-          .select(size(col(vecCol))).head(1)
-          .headOption.map(_.getInt(0)).getOrElse(0))
-      val probes = emb.where(probeFilter)
-        .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-        .withColumn("sig", lshSignature(emb, col("probe_vec"), planes, dims))
-        .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
-      val cands = Dedup.rebalance(
-        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-        .withColumn("sig", lshSignature(emb, col("cand_vec"), planes, dims))
-        .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
-      val scored = cands.join(probes, Seq("sig"))
-        .where(col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
-          col("probe_norm"), col("cand_norm")))
-      rankTopK(scored, k)
+        // Over the caps (or kernels disabled): the bucket equi-join.
+        // Dims: reuse the decision's sniff; the gate=0 seam skipped it
+        // (kernels disabled = zero extra jobs there), so fall back to
+        // asking the probes, then the corpus — only non-null vectors
+        // (size(null) is null → getInt NPEs), tolerating an all-null /
+        // empty side (head() on empty throws): 0 dims then, and every
+        // signature collapses to one bucket, which is correct (the
+        // per-pair splitScore over null vectors yields no rows).
+        val dims = dec.dims
+          .orElse(probes.where(col(probeVecCol).isNotNull)
+            .select(size(col(probeVecCol).cast("array<double>"))).head(1)
+            .headOption.map(_.getInt(0)))
+          .orElse(corpus.where(col(corpusVecCol).isNotNull)
+            .select(size(col(corpusVecCol).cast("array<double>"))).head(1)
+            .headOption.map(_.getInt(0)))
+          .getOrElse(0)
+        val probeSide = probes
+          .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("probe_vec"))
+          .withColumn("sig", lshSignature(probes, col("probe_vec"), planes, dims))
+          .withColumn("probe_norm", VectorFunctions.norm2(spark, col("probe_vec")))
+        val cands = Dedup.rebalance(
+          corpus.select(col(corpusIdCol).as("cand_id"), col(corpusVecCol).as("cand_vec")))
+          .withColumn("sig", lshSignature(corpus, col("cand_vec"), planes, dims))
+          .withColumn("cand_norm", VectorFunctions.norm2(spark, col("cand_vec")))
+        val joined = saltedBucketJoin(cands, probeSide, "sig",
+          bucketSalt(spark, 1L << math.min(planes, 62)))
+        val filtered =
+          if (includeSelf)
+            // kernel null-id semantics (see ivfTopKFrames)
+            joined.where(col("probe_id").isNotNull && col("cand_id").isNotNull)
+          else joined.where(col("probe_id") =!= col("cand_id"))
+        val scored = filtered
+          .withColumn("sim", splitScore(spark, col("probe_vec"), col("cand_vec"),
+            col("probe_norm"), col("cand_norm")))
+        rankTopK(scored, k)
     }
   }
 }

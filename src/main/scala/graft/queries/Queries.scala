@@ -1766,6 +1766,138 @@ object Queries {
              |r AS (SELECT probe_id, cand_id, sim,
              |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
              |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
+
+    // BYTE-governed regime decision (r17): with the default row caps,
+    // a 16 KB collect budget at 64-dim embeddings caps every matrix at
+    // 16384/(8·64) = 32 rows — the probes (the whole table) exceed it,
+    // the ≤20-row corpus fits at every local sf, so the BYTE budget
+    // (not the row caps the caller left at defaults) routes the call
+    // through role swap. The hash gate pins the byte path's RESULTS
+    // cross-engine, not just its transfer bound (the r16 spec checked
+    // only the latter).
+    "q79_ann_byte_regime" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopKFrames(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 3,
+          maxCollectBytes = 16384L)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+             |  FROM e p, e c WHERE c.vec_id % 100 = 0 AND p.vec_id <> c.vec_id),
+             |r AS (SELECT probe_id, cand_id, sim,
+             |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+             |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
+
+    // CROSS-CORPUS chunked LSH (r17): q74's forcing over two DISTINCT
+    // frames — the decontamination shape the single-frame probeFilter
+    // could not express (the r16 fail-fast message promised the
+    // restricted indexes at scale, but they only took one frame). 20
+    // probes over a disjoint 250-row corpus, forced gate 7 → 3 chunks,
+    // each with its chunk-local signature index inside the kernel.
+    "q80_ann_lsh_frames" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopKFrames(
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 5, planes = 8, maxEmbeddedProbes = 7)
+      },
+      Some {
+        val dims = 64
+        def planeDot(p: Int): String =
+          (0 until dims).map { i =>
+            s"v[${i + 1}]*(${Similarity.planeComponent(p, i)})"
+          }.mkString(" + ")
+        val sigExpr = (0 until 8).map { p =>
+          s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
+           |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+           |  FROM sg p JOIN sg c USING (sig)
+           |  WHERE p.vec_id % 20 = 0 AND p.vec_id < 400 AND c.vec_id % 2 = 1),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
+
+    // Over-cap cross-corpus LSH through the SALTED bucket equi-join
+    // (r17): both caps forced to 1, so the frames route through the
+    // join regime — the genuine 100 TB path, not the gate=0 spec seam —
+    // and 2^4 = 16 signature keys sit below the session's 32 shuffle
+    // partitions, so the auto salt (AnnBucketSaltKey) splits each
+    // bucket ×2 to restore full parallelism. The hash gate pins that
+    // salting changes NOTHING about the results.
+    "q81_ann_lsh_frames_join" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopKFrames(
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 5, planes = 4, maxEmbeddedProbes = 1, maxChunkedProbes = 1)
+      },
+      Some {
+        val dims = 64
+        def planeDot(p: Int): String =
+          (0 until dims).map { i =>
+            s"v[${i + 1}]*(${Similarity.planeComponent(p, i)})"
+          }.mkString(" + ")
+        val sigExpr = (0 until 4).map { p =>
+          s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
+           |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
+           |  FROM sg p JOIN sg c USING (sig)
+           |  WHERE p.vec_id % 20 = 0 AND p.vec_id < 400 AND c.vec_id % 2 = 1),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
+
+    // CROSS-CORPUS chunked IVF (r17): q75's forcing over two distinct
+    // frames — the coarse quantizer seeds from the CORPUS frame (first
+    // 16 odd vec_ids), corpus rows land in their nearest list, each of
+    // the 3 probe chunks carries its chunk-local inverted list inside
+    // the kernel.
+    "q82_ann_ivf_frames" -> QueryDef(
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopKFrames(
+          emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4, maxEmbeddedProbes = 7)
+      },
+      Some {
+        val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+           |  FROM e WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
+           |dots AS (SELECT e.vec_id, cent.cid, ($dot) AS dot FROM e, cent),
+           |ranked AS (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM dots),
+           |corpus AS (SELECT vec_id AS cand_id, cid AS list_id FROM ranked
+           |  WHERE rn = 1 AND vec_id % 2 = 1),
+           |probes AS (SELECT vec_id AS probe_id, cid AS list_id FROM ranked
+           |  WHERE rn <= 4 AND vec_id % 20 = 0 AND vec_id < 400),
+           |s AS (SELECT DISTINCT p.probe_id, c.cand_id,
+           |  round(list_cosine_similarity(pe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN corpus c USING (list_id)
+           |  JOIN e pe ON pe.vec_id = p.probe_id
+           |  JOIN e ce ON ce.vec_id = c.cand_id),
+           |r AS (SELECT probe_id, cand_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
+           |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
+      }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

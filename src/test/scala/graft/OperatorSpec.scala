@@ -2158,24 +2158,36 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("id", "vec")
     // gate 2, row cap 1000, byte budget 320 B => byte cap = 5 rows:
     // probes (40) exceed it, the corpus (3) fits => ROLE SWAP
-    val (swap, _) = Similarity.decideRegime(probes, "id", "vec",
+    val swap = Similarity.decideRegime(probes, "id", "vec",
       Some((corpus3, "id", "vec")), 2, 1000, 320L)
-    assert(swap.isInstanceOf[Similarity.AnnRegime.Corpus], swap.getClass.toString)
+    assert(swap.regime.isInstanceOf[Similarity.AnnRegime.Corpus],
+      swap.regime.getClass.toString)
+    assert(swap.effectiveCap == 5L,
+      "the fail-fast message must name the BYTE-derived cap the data exceeded")
     // same call with the default budget: the row cap governs => probes
-    val (chunked, _) = Similarity.decideRegime(probes, "id", "vec",
+    val chunked = Similarity.decideRegime(probes, "id", "vec",
       Some((corpus3, "id", "vec")), 2, 1000, 512L << 20)
-    chunked match {
+    chunked.regime match {
       case Similarity.AnnRegime.Probes(rows) => assert(rows.length == 40)
       case other => fail(s"expected Probes, got $other")
     }
-    // the byte budget never shrinks the cap below the embedded gate
-    // (the gate prefix is already collected): budget of ONE row still
-    // admits gate-many probes
-    val probes5 = (1L to 5L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    // the GATE collect itself is byte-budgeted (r17): dims are sniffed
+    // from ONE row BEFORE the prefix collect, so a dims-blind gate of
+    // 1000 rows must NOT move 1000 high-dim vectors — the effective
+    // gate shrinks to budget/(8*dims) and the decision's total driver
+    // transfer stays within one chunk's budget plus the bounded
+    // counts/corpus rows
+    val wide = (1L to 40L).map(i => (i, Array.fill(128)(rnd.nextGaussian())))
       .toDF("id", "vec")
-    val (gateHeld, _) = Similarity.decideRegime(probes5, "id", "vec",
-      Some((corpus3, "id", "vec")), 5, 1000, 8L)
-    assert(gateHeld.isInstanceOf[Similarity.AnnRegime.Probes])
+    val budget = 128L * 8 * 4 // exactly 4 rows' bytes
+    val gateDec = Similarity.decideRegime(wide, "id", "vec",
+      Some((corpus3, "id", "vec")), 1000, 1000, budget)
+    assert(gateDec.chunkRows == 4, s"effective gate = budget/(8*dims), got ${gateDec.chunkRows}")
+    assert(gateDec.regime.isInstanceOf[Similarity.AnnRegime.Corpus])
+    // transfer bound: 1 dims row + (effGate+1) prefix + 2 counts + the
+    // 3-row corpus matrix — never the 40-row high-dim probe matrix
+    assert(gateDec.fetched <= 1 + (4 + 1) + 2 + 3,
+      s"gate collect must be byte-bounded, driver fetched ${gateDec.fetched} rows")
     // end-to-end: the tiny byte budget tips a would-be chunked call
     // into role swap and the answers still agree exactly
     val viaSwap = Similarity.bruteForceTopKFrames(probes, "id", "vec",
@@ -2185,6 +2197,17 @@ class OperatorSpec extends AnyFunSuite {
       corpus3, "id", "vec", k = 2,
       maxEmbeddedProbes = 2, maxChunkedProbes = 1000)
     assert(viaSwap.except(viaChunks).isEmpty && viaChunks.except(viaSwap).isEmpty)
+    // both sides over the BYTE-derived cap: the fail-fast message must
+    // name the cap the data actually exceeded (5, from the budget),
+    // not the row cap the caller passed (1000)
+    val corpus40 = (201L to 240L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val ex = intercept[graft.core.UserException] {
+      Similarity.bruteForceTopKFrames(probes, "id", "vec",
+        corpus40, "id", "vec", k = 2,
+        maxEmbeddedProbes = 2, maxChunkedProbes = 1000, maxCollectBytes = 320L)
+    }
+    assert(ex.getMessage.contains("effective 5 rows"), ex.getMessage)
   }
 
   test("ANN regime decision transfers O(gate) rows, never a discarded matrix") {
@@ -2192,12 +2215,14 @@ class OperatorSpec extends AnyFunSuite {
     val big = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
       .toDF("id", "vec")
     // both sides over the caps (gate 3, cap 5): deciding the fallback
-    // must cost the gate prefix plus two bounded counts - not two full
-    // cap-sized collects (the r15 shape)
-    val (regime, fetched) = Similarity.decideRegime(big, "id", "vec",
+    // must cost one dims-sniff row + the gate prefix + two bounded
+    // counts - not two full cap-sized collects (the r15 shape)
+    val dec = Similarity.decideRegime(big, "id", "vec",
       Some((big, "id", "vec")), 3, 5, 512L << 20)
-    assert(regime == Similarity.AnnRegime.BothOver)
-    assert(fetched <= 3 + 1 + 2, s"driver fetched $fetched rows to decide")
+    assert(dec.regime == Similarity.AnnRegime.BothOver)
+    assert(dec.fetched <= 1 + 3 + 1 + 2,
+      s"driver fetched ${dec.fetched} rows to decide")
+    assert(dec.effectiveCap == 5L && dec.chunkRows == 3)
   }
 
   test("LSH/IVF topK: chunked over-gate kernels == single kernel == bucket join, no join planned") {
@@ -2305,6 +2330,117 @@ class OperatorSpec extends AnyFunSuite {
     assert((pairs -- dfltPairs).exists { case (p, c) => p == c } ||
       pairs.exists { case (p, c) => p == c },
       "an id collision must be scoreable under includeSelf")
+  }
+
+  test("LSH/IVF frames forms: distinct probe/corpus frames, all regimes agree; salted join == plain") {
+    val rndA = new scala.util.Random(41)
+    val rndB = new scala.util.Random(43)
+    val probes = (1L to 30L).map(i => (i, Array.fill(6)(rndA.nextGaussian())))
+      .toDF("id", "vec").repartition(3)
+    val corpus = (11L to 50L).map(i => (i, Array.fill(6)(rndB.nextGaussian())))
+      .toDF("id", "vec").repartition(4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // LSH over two frames: embedded == chunked == bucket join
+    val lshEmb = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 4)
+    val lshChunk = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 4, maxEmbeddedProbes = 4)
+    val lshJoin = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 4, maxEmbeddedProbes = 0)
+    assert(rows(lshEmb) == rows(lshJoin), "frames LSH: embedded must equal bucket join")
+    assert(rows(lshChunk) == rows(lshJoin), "frames LSH: chunked must equal bucket join")
+    assert(rows(lshEmb).nonEmpty)
+    // salting: 2^4 = 16 buckets ≥ this session's 4 shuffle partitions,
+    // so the AUTO factor is 1 (no salt columns, no probe replication) —
+    // but a 1-plane join has 2 buckets < 4 partitions and must
+    // auto-salt; and a forced factor must be plan-visible without
+    // changing results
+    val saltKey = Similarity.AnnBucketSaltKey
+    assert(!lshJoin.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "auto salt must be a no-op when buckets already exceed partitions")
+    val autoSalted = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 1, maxEmbeddedProbes = 0)
+    assert(autoSalted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "below-parallelism signature join must salt by default")
+    val saved = spark.conf.getOption(saltKey)
+    try {
+      spark.conf.set(saltKey, "8")
+      val salted8 = Similarity.lshTopKFrames(probes, "id", "vec",
+        corpus, "id", "vec", k = 3, planes = 4, maxEmbeddedProbes = 0)
+      assert(salted8.queryExecution.optimizedPlan.toString.contains("__salt"))
+      assert(rows(salted8) == rows(lshJoin), "salt factor must not change results")
+      spark.conf.set(saltKey, "1")
+      val plainP1 = Similarity.lshTopKFrames(probes, "id", "vec",
+        corpus, "id", "vec", k = 3, planes = 1, maxEmbeddedProbes = 0)
+      assert(rows(plainP1) == rows(autoSalted), "auto salting must not change results")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(saltKey, v)
+        case None => spark.conf.unset(saltKey)
+      }
+    }
+    // includeSelf: the id overlap (11..30) scores when buckets collide,
+    // and every regime agrees on it
+    val lshSelfEmb = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 4, includeSelf = true)
+    val lshSelfJoin = Similarity.lshTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, planes = 4, maxEmbeddedProbes = 0,
+      includeSelf = true)
+    assert(rows(lshSelfEmb) == rows(lshSelfJoin), "frames LSH includeSelf: regimes agree")
+    // IVF over two frames: embedded == chunked == list join (the join
+    // salted: 4 lists < 32 partitions => auto salt 8)
+    val ivfEmb = Similarity.ivfTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, nCentroids = 4, nProbe = 2)
+    val ivfChunk = Similarity.ivfTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, nCentroids = 4, nProbe = 2,
+      maxEmbeddedProbes = 4)
+    val ivfJoin = Similarity.ivfTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, nCentroids = 4, nProbe = 2,
+      maxEmbeddedProbes = 0)
+    assert(rows(ivfEmb) == rows(ivfJoin), "frames IVF: embedded must equal list join")
+    assert(rows(ivfChunk) == rows(ivfJoin), "frames IVF: chunked must equal list join")
+    assert(rows(ivfEmb).nonEmpty)
+    val ivfSelfEmb = Similarity.ivfTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, nCentroids = 4, nProbe = 2, includeSelf = true)
+    val ivfSelfJoin = Similarity.ivfTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 3, nCentroids = 4, nProbe = 2,
+      maxEmbeddedProbes = 0, includeSelf = true)
+    assert(rows(ivfSelfEmb) == rows(ivfSelfJoin), "frames IVF includeSelf: regimes agree")
+  }
+
+  test("over-gate quota join-back runs the corpus-scanning aggregate ONCE (r17)") {
+    // count corpus scans through an opaque typed barrier (Catalyst
+    // cannot collapse or duplicate it): the r16 shape discarded the
+    // gating collect and re-ran the aggregate inside the join — three
+    // corpus passes where two suffice (probe + the join's own left
+    // side)
+    val acc = spark.sparkContext.longAccumulator("corpusRows")
+    val base = (1L to 600L).map(i => (i, s"dom${i % 300}", "x"))
+      .toDF("id", "dom", "body")
+      .as[(Long, String, String)]
+      .mapPartitions { it => it.map { r => acc.add(1L); r } }
+      .toDF("id", "dom", "body")
+    val key = Sampling.QuotaBroadcastRowsKey
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "100") // strata × k = 300 × 2 = 600 > 100
+      acc.reset()
+      val rows = Sampling.stratifiedExactKRows(base, "dom", "id", 2)
+      val probeScans = acc.value // the gating probe's aggregate run
+      assert(probeScans == 600L, s"probe must scan the corpus once, saw $probeScans")
+      assert(rows.count() == 600L)
+      // join execution: its own left-side scan only — the quota side
+      // reuses the probe's cached/shuffle-registered aggregate
+      assert(acc.value == probeScans + 600L,
+        s"over-gate join must NOT re-run the quota aggregate: ${acc.value - probeScans - 600L} extra corpus rows scanned")
+    } finally {
+      spark.catalog.clearCache()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("ANN output schema is regime-independent: INT ids widen to BIGINT in every regime") {
