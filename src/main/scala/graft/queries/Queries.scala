@@ -1827,13 +1827,15 @@ object Queries {
            |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 5""".stripMargin
       }),
 
-    // Over-cap cross-corpus LSH through the SALTED bucket equi-join
-    // (r17): both caps forced to 1, so the frames route through the
-    // join regime — the genuine 100 TB path, not the gate=0 spec seam —
-    // and 2^4 = 16 signature keys sit below the session's 32 shuffle
-    // partitions, so the auto salt (AnnBucketSaltKey) splits each
-    // bucket ×2 to restore full parallelism. The hash gate pins that
-    // salting changes NOTHING about the results.
+    // Over-cap cross-corpus LSH through the bucket equi-join (r17):
+    // both caps forced to 1, so the frames route through the join
+    // regime — the genuine 100 TB path, not the gate=0 spec seam.
+    // With 2^4 = 16 signature keys, sessions whose shuffle
+    // parallelism exceeds the key count (Bench's 32 partitions) get
+    // the AUTO bucket salt (AnnBucketSaltKey: ceil(partitions/keys));
+    // sessions at or below it (Verify's 4) correctly skip it. The
+    // hash gate pins that the salt factor changes NOTHING about the
+    // results — only the join's key space.
     "q81_ann_lsh_frames_join" -> QueryDef(
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
