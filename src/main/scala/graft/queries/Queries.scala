@@ -1772,7 +1772,10 @@ object Queries {
     // 16384/(8·64) = 32 rows — the probes (the whole table) exceed it,
     // the ≤20-row corpus fits at every local sf, so the BYTE budget
     // (not the row caps the caller left at defaults) routes the call
-    // through role swap. The hash gate pins the byte path's RESULTS
+    // through role swap. The corpus filter clamps at vec_id < 2000 so
+    // the corpus stays ≤ 20 rows at EVERY sf (the probe side grows
+    // with the table — the regime routing is identical from sf0.001
+    // to sf10). The hash gate pins the byte path's RESULTS
     // cross-engine, not just its transfer bound (the r16 spec checked
     // only the latter).
     "q79_ann_byte_regime" -> QueryDef(
@@ -1780,14 +1783,14 @@ object Queries {
         val emb = tbl(s, d, "embeddings")
         Similarity.bruteForceTopKFrames(
           emb, "vec_id", "embedding",
-          emb.where(col("vec_id") % 100 === 0),
+          emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000),
           "vec_id", "embedding", k = 3,
           maxCollectBytes = 16384L)
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
              |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
-             |  FROM e p, e c WHERE c.vec_id % 100 = 0 AND p.vec_id <> c.vec_id),
+             |  FROM e p, e c WHERE c.vec_id % 100 = 0 AND c.vec_id < 2000 AND p.vec_id <> c.vec_id),
              |r AS (SELECT probe_id, cand_id, sim,
              |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank FROM s)
              |SELECT probe_id, rank, cand_id, sim FROM r WHERE rank <= 3""".stripMargin)),
