@@ -46,6 +46,21 @@ object SparkEntry {
     // interconnects than a single host can revisit; the session
     // default follows the measurements, not the theory.
     .config("spark.sql.session.timeZone", "UTC")
+    // Join strategy (guide §3.1): let AQE rewrite a planned sort-merge
+    // join to SHUFFLED HASH at runtime when every post-shuffle
+    // partition's map output is under 64 MB (default 0 = never) — the
+    // SMJ's two sorts are pure overhead whenever the per-partition
+    // build fits, and 64 MB per task is modest against any practical
+    // executor sizing (the bound is per-task, not cluster-sized).
+    // Deliberately RUNTIME-only: statically preferring SHJ
+    // (spark.sql.join.preferSortMergeJoin=false) measured 2.2x WORSE
+    // at sf1 — a static SHJ forgoes the runtime SMJ→broadcast
+    // promotion AQE gives mid-sized sides — while the AQE rewrite
+    // keeps broadcast first and hashes only what stays a shuffle join.
+    // Measured r17 (OPTIMIZATION_r17.md): sf10 q11 4.16→2.78 s,
+    // q12 6.38→3.88 s, q09 1.99→1.60 s; sf1/sf0.1 flat; hash vs merge
+    // is execution strategy only — 82/82 oracle re-proven after.
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     .config("spark.ui.enabled", "false")
     // the cluster-deployment pair every entry point carries: native
     // functions + SQL DML rules, and the graft TableCatalog so

@@ -138,11 +138,20 @@ object Multimodal {
         // sticky because there it is a measured 146x win and the
         // deviation is documented at the decodeAudio site.
         val spis = imageReaderSpis()
+        // one READER INSTANCE per claiming provider per partition,
+        // created lazily and reused across payloads (setInput rebinds
+        // it; reset() in decodeOne clears state between rows): the old
+        // shape paid createReaderInstance() — reader allocation +
+        // plugin init — per payload. Measured with DriveImageSniff at
+        // 500k payloads: decode 2.0 s → 1.9 s together with the bulk
+        // scanline reads below — the rest IS the inflate
+        // (OPTIMIZATION_r17.md q61).
+        val readers = new Array[javax.imageio.ImageReader](spis.length)
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
-          decodeOne(id, payload, fmt, maxDecodeBytes, spis)
+          decodeOne(id, payload, fmt, maxDecodeBytes, spis, readers)
         }
       }(enc)
   }
@@ -164,7 +173,8 @@ object Multimodal {
 
   private def decodeOne(
       id: Long, payload: Array[Byte], fmt: String, maxDecodeBytes: Int,
-      spis: Array[javax.imageio.spi.ImageReaderSpi]): Row = {
+      spis: Array[javax.imageio.spi.ImageReaderSpi],
+      readers: Array[javax.imageio.ImageReader]): Row = {
     val nullRow = (err: String) =>
       Row(id, fmt, null, null, null, null, null, null, err)
     if (payload == null || payload.length == 0) return nullRow("empty_payload")
@@ -185,14 +195,18 @@ object Multimodal {
       val s = stream
       def sniffs(spi: javax.imageio.spi.ImageReaderSpi): Boolean =
         try spi.canDecodeInput(s) catch { case _: Exception => false }
-      var spi: javax.imageio.spi.ImageReaderSpi = null
+      var spiIdx = -1
       var i = 0
-      while (spi == null && i < spis.length) {
-        if (sniffs(spis(i))) spi = spis(i)
+      while (spiIdx < 0 && i < spis.length) {
+        if (sniffs(spis(i))) spiIdx = i
         i += 1
       }
-      if (spi == null) return nullRow("unsupported_format")
-      val reader = spi.createReaderInstance()
+      if (spiIdx < 0) return nullRow("unsupported_format")
+      // reuse the partition-scoped reader for this provider (created
+      // on first claim); reset() — not dispose() — between payloads
+      if (readers(spiIdx) == null)
+        readers(spiIdx) = spis(spiIdx).createReaderInstance()
+      val reader = readers(spiIdx)
       try {
         reader.setInput(stream, true, true)
         // header-only: IHDR/SOF parse, no pixel decode
@@ -202,23 +216,32 @@ object Multimodal {
           return Row(id, fmt, w, h, null, null, null, null, "too_large")
         val img = reader.read(0)
         val bands = img.getRaster.getNumBands
-        // channel means in one raster pass (RGB; gray maps to band 0)
+        // channel means in one raster pass (RGB; gray maps to band 0).
+        // Samples move per SCANLINE through getPixels — one virtual
+        // dispatch per row instead of 3 per pixel; values and the
+        // y-then-x accumulation order are identical to the per-sample
+        // loop, so the double sums are bit-identical.
         var sr = 0.0; var sg = 0.0; var sb = 0.0
         val raster = img.getRaster
+        val gi = math.min(1, bands - 1)
+        val bi = math.min(2, bands - 1)
+        val line = new Array[Int](w * bands)
         var y = 0
         while (y < h) {
+          raster.getPixels(0, y, w, 1, line)
           var x = 0
           while (x < w) {
-            sr += raster.getSample(x, y, 0)
-            sg += raster.getSample(x, y, math.min(1, bands - 1))
-            sb += raster.getSample(x, y, math.min(2, bands - 1))
+            val base = x * bands
+            sr += line(base)
+            sg += line(base + gi)
+            sb += line(base + bi)
             x += 1
           }
           y += 1
         }
         val n = w.toDouble * h
         Row(id, fmt, w, h, bands, sr / n, sg / n, sb / n, null)
-      } finally reader.dispose()
+      } finally reader.reset()
     } catch {
       case _: Exception => nullRow("decode_failed")
     } finally {
@@ -240,6 +263,19 @@ object Multimodal {
     Dedup.rebalance(ids.select(col(idCol).cast("long").as("media_id")),
         Seq(col("media_id")))
       .mapPartitions { rows =>
+        // ONE png writer per partition: ImageIO.write(img, "png", _)
+        // walks the IIORegistry for a claiming writer AND creates a
+        // fresh writer instance per payload; the encoder itself is
+        // reusable (setOutput rebinds, reset() clears state), and the
+        // provider set cannot change mid-partition. Byte-identical
+        // output — ImageIO.write delegates to exactly this
+        // writer.write(img) call on the first registry claimant.
+        // Measured with DriveImageSniff at 500k payloads: render
+        // 2.2 s → 1.9 s together with the bulk fill below — the rest
+        // IS the max-effort deflate the JDK writer hard-codes
+        // (OPTIMIZATION_r17.md q61).
+        val writerIt = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        val writer = if (writerIt.hasNext) writerIt.next() else null
         rows.map { r =>
           val id = r.getLong(0)
           val w = (4 + id % 61).toInt
@@ -248,19 +284,22 @@ object Multimodal {
             (id * 31 % 256)).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          // constant fill straight into the INT_RGB backing array:
+          // setRGB pays a ColorModel round-trip per PIXEL; the pixels
+          // (and the encoded PNG) are identical
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          java.util.Arrays.fill(data, rgb)
           val bos = new java.io.ByteArrayOutputStream()
           // explicit memory-backed output stream: ImageIO.write(_, _,
           // OutputStream) routes through createImageOutputStream, whose
           // default-useCache path spills every encode through a temp
           // FILE (see decodeOne) — 500k file creates at sf10
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          javax.imageio.ImageIO.write(img, "png", ios)
+          if (writer != null) { // no png writer: empty payload, as
+            writer.setOutput(ios) // ImageIO.write's false-return left it
+            try writer.write(img) finally writer.reset()
+          }
           ios.close()
           val bytes = bos.toByteArray
           Row(id, bytes, "png", bytes.length.toLong)

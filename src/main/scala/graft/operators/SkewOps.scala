@@ -19,7 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** count + sum(valueCol as decimal) per key, salted. */
+  /** count + sum(valueCol as decimal) per key, salted.
+    *
+    * Phase 1 runs the fused money-cast + int128 decimal sum
+    * (`graft_money` / `graft_decimal_sum`) instead of
+    * `sum(cast(v as decimal(18,2)))`: the built-in promotes the
+    * accumulator to DECIMAL(28,2), which exceeds the compact-long
+    * representation and boxes a BigDecimal per row — the r17-measured
+    * 2x of this operator's per-row cost (OPTIMIZATION_r17.md q34).
+    * Bit-identical semantics are pinned by MoneyCastSpec /
+    * DecimalSumSpec; phase 2 keeps the built-in sum (≤ saltBuckets
+    * rows per key).
+    */
   def saltedAgg(
       df: DataFrame,
       keyCol: String,
@@ -27,9 +38,16 @@ object SkewOps {
       saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltBuckets)))
+    // graft_money takes doubles only; any other value type keeps the
+    // built-in cast (the fused sum is still exact over it)
+    val asMoney = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        graft.functions.DecimalFunctions.moneyCast(col(valueCol), 18, 2)
+      case _ => col(valueCol).cast("decimal(18,2)")
+    }
     salted.groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("pn"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("ps"))
+        graft.functions.DecimalFunctions.decimalSum(asMoney).as("ps"))
       .groupBy(col(keyCol))
       .agg(sum(col("pn")).cast("long").as("n"),
         sum(col("ps")).cast("double").as("total"))

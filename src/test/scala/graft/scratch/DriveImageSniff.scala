@@ -19,6 +19,14 @@ object DriveImageSniff {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Multimodal
     val ids = spark.range(n).select(col("id").as("doc_id"))
+    // render stage alone (noop sink so every payload byte materializes)
+    for (round <- 1 to 3) {
+      val t0 = System.nanoTime()
+      Multimodal.renderSyntheticPngs(ids, "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[imagesniff n=$n round=$round] render-only t=$t%.2f s")
+    }
     // media payloads materialized once so the timed pass is decode-only
     val media = Multimodal.renderSyntheticPngs(ids, "doc_id").cache()
     media.count()
