@@ -23,10 +23,24 @@ import java.nio.file.{Files, Paths}
   */
 object DumpQueryPlans {
   def main(args: Array[String]): Unit = {
+    // validate argc and query names BEFORE the session spins up: an
+    // unknown name used to throw a raw NoSuchElementException with
+    // the JVM already warm (ADVICE r17)
+    if (args.length < 4) {
+      System.err.println(
+        "usage: DumpQueryPlans <outDir> <tag> <sfDir> <query>...")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val tag = args(1)
     val sfDir = args(2)
     val names = args.drop(3)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkEntry.configure(
       SparkSession.builder()

@@ -1015,16 +1015,35 @@ object Dedup {
       bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(bands <= 8, "band index must fit the 3 bits above the 60-bit hash")
     val spark = docs.sparkSession
     import spark.implicits._
-    val buckets = bandBuckets(minhashSignatures(docs, idCol, textCol, k), k, bands)
-    val grams = rebalance(docs.select(col(idCol).cast("long").as("id"),
+    // ONE corpus scan computes BOTH per-doc arrays (r18; guide §2.4 —
+    // remove shuffles outright): the r17 shape built band buckets and
+    // gram arrays in two separate scans and re-united them with an
+    // id-keyed join — two extra exchanges (both join sides hashed on
+    // id) and a second pass over the text, for rows that were born on
+    // the same scan task. Fused, the only exchange left is the bucket
+    // shuffle the verification itself requires. The bucket expression
+    // is bandBuckets' verbatim (band index packed above a 60-bit md5
+    // prefix of the band's concatenated minhashes — `sig` element
+    // refs instead of mh column refs, same values, same string
+    // coercion into md5); both kernels are non-cheap multi-/once-
+    // referenced aliases, so CollapseProject keeps each evaluated
+    // once per row (the perRowSignatures pattern).
+    val r = k / bands
+    val base = rebalance(docs.select(col(idCol).cast("long").as("id"),
         col(textCol).as("t")))
       .where(col("t").isNotNull)
-      .select(col("id"), sort_array(
-        graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
-    buckets.join(grams, Seq("id"))
-      .select(col("bucket"), col("id"), col("elems"))
+      .select(col("id"),
+        graft.functions.TextKernelFunctions.minhashSignature(col("t"), k).as("sig"),
+        sort_array(
+          graft.functions.TextKernelFunctions.shingleHashes(col("t"))).as("elems"))
+    val bucketArr = array((0 until bands).map(b =>
+      shiftleft(lit(b.toLong), 60).bitwiseOR(
+        conv(substring(md5(concat((b * r until (b + 1) * r).map(j =>
+          element_at(col("sig"), j + 1)): _*)), 1, 15), 16, 10).cast("long"))): _*)
+    base.select(explode(bucketArr).as("bucket"), col("id"), col("elems"))
       .as[(Long, Long, Array[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long, Array[Long])]) =>
@@ -1168,11 +1187,12 @@ object Dedup {
       threshold: Double,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame =
+      maxCollectBytes: Long = 512L << 20,
+      dims: Option[Int] = None): DataFrame =
     embeddingNearDupFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
       emb, idCol, vecCol, threshold, maxEmbeddedProbes, maxChunkedProbes,
-      maxCollectBytes)
+      maxCollectBytes, dims = dims)
 
   /** [[embeddingNearDup]] with probes and corpus as SEPARATE frames
     * (cross-corpus near-dup: decontamination-style "which corpus docs
@@ -1217,14 +1237,15 @@ object Dedup {
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
       maxCollectBytes: Long = 512L << 20,
-      allPairs: Boolean = false): DataFrame = {
+      allPairs: Boolean = false,
+      dims: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     import graft.functions.VectorFunctions
     val gate = math.max(maxEmbeddedProbes, 0)
     import org.apache.spark.sql.graftbridge.SparkBridge
     val dec = Similarity.decideRegime(probes, probeIdCol, probeVecCol,
       Some((corpus, corpusIdCol, corpusVecCol)),
-      gate, maxChunkedProbes, maxCollectBytes)
+      gate, maxChunkedProbes, maxCollectBytes, knownDims = dims)
     dec.regime match {
       case Similarity.AnnRegime.Probes(collected) =>
         // EMBEDDED/CHUNKED: per corpus row the graft_probe_matches

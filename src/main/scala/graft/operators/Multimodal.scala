@@ -147,6 +147,20 @@ object Multimodal {
         // scanline reads below — the rest IS the inflate
         // (OPTIMIZATION_r17.md q61).
         val readers = new Array[javax.imageio.ImageReader](spis.length)
+        // dispose() is the documented end-of-life call — without it a
+        // reader can pin decode buffers until GC (ADVICE r17). The
+        // task-completion listener covers both exhaustion and failure.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            var i = 0
+            while (i < readers.length) {
+              if (readers(i) != null) {
+                try readers(i).dispose() catch { case _: Exception => () }
+                readers(i) = null
+              }
+              i += 1
+            }
+          })
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
@@ -241,7 +255,19 @@ object Multimodal {
         }
         val n = w.toDouble * h
         Row(id, fmt, w, h, bands, sr / n, sg / n, sb / n, null)
-      } finally reader.reset()
+      } finally {
+        // a reader whose reset() is incomplete or itself throws must
+        // not poison later payloads claimed by the same SPI (ADVICE
+        // r17): on reset failure, dispose and drop the instance so the
+        // next payload gets a fresh one (the original exception, if
+        // any, still propagates to the decode_failed handler).
+        try reader.reset()
+        catch {
+          case _: Exception =>
+            try reader.dispose() catch { case _: Exception => () }
+            readers(spiIdx) = null
+        }
+      }
     } catch {
       case _: Exception => nullRow("decode_failed")
     } finally {
@@ -274,8 +300,21 @@ object Multimodal {
         // 2.2 s → 1.9 s together with the bulk fill below — the rest
         // IS the max-effort deflate the JDK writer hard-codes
         // (OPTIMIZATION_r17.md q61).
-        val writerIt = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        // writer selected with the TYPE_INT_RGB ImageTypeSpecifier —
+        // getImageWriters applies the canEncodeImage filter exactly as
+        // ImageIO.write's ImageIO.getWriter(img) does (ADVICE r17: a
+        // bare format-name lookup could pick a third-party PNG SPI
+        // that cannot encode INT_RGB). Every image rendered below is
+        // TYPE_INT_RGB, so one selection per partition is exact.
+        val writerIt = javax.imageio.ImageIO.getImageWriters(
+          javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+            java.awt.image.BufferedImage.TYPE_INT_RGB), "png")
         val writer = if (writerIt.hasNext) writerIt.next() else null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (writer != null)
+              try writer.dispose() catch { case _: Exception => () }
+          })
         rows.map { r =>
           val id = r.getLong(0)
           val w = (4 + id % 61).toInt

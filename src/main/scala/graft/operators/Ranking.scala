@@ -37,6 +37,52 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranking {
 
+  /** Top-k rows per group under `(orderCol DESC, idCol ASC)` WITHOUT a
+    * per-group sort — the bounded-heap complement of the
+    * `row_number() OVER (PARTITION BY g ORDER BY v DESC, id)` window.
+    *
+    * The window formulation sorts every group's FULL row set before
+    * WindowGroupLimit can trim it: each scan split locally sorts all
+    * its rows, and the exchange still carries ≤ k·groups·splits rows
+    * only AFTER that sort was paid (guide §2 — the sort is the cost,
+    * not the exchange). This rides the mergeable `graft_top_k`
+    * aggregate instead: every map task keeps a k-element heap per
+    * group (O(1) per losing row, O(log k) per contender), the
+    * exchange carries splits × groups × k rows, and NO sort node
+    * appears anywhere in the plan.
+    *
+    * Equivalence to the window form (`rank <= k` under
+    * `(orderCol DESC, idCol ASC)`) is exact whenever `orderCol` and
+    * `idCol` are non-null and non-NaN — the heap's tie rule IS the
+    * window's (value desc, id asc), pinned by RankingSpec. The ONE
+    * deliberate deviation (graft_top_k's contract): null/NaN-valued
+    * rows never rank, where the window would rank them last/first.
+    *
+    * Output: (groupCols…, rkCol BIGINT 1..k, idCol BIGINT, orderCol
+    * DOUBLE) — the heap carries (double, long) pairs, so the order
+    * value must be float/double and the id integral; both pass
+    * through the heap bit-unchanged.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      idCol: String,
+      k: Int,
+      rkCol: String = "rk"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(groupCols.nonEmpty, "at least one group column")
+    val spark = df.sparkSession
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKFunctions.topK(
+        spark, col(orderCol), col(idCol), k).as("__tk"))
+      .select(groupCols.map(col) :+ posexplode(col("__tk")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__pos") + 1).cast("long").as(rkCol),
+        col("__e.cand_id").as(idCol),
+        col("__e.sim").as(orderCol)): _*)
+  }
+
   /** Adds `outCol` = 1-based global row number under a total order. The
     * caller's sort columns must form a total order (include a tiebreak
     * key) for the rank to be deterministic.

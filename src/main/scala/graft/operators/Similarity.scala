@@ -156,18 +156,29 @@ object Similarity {
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       corpus: Option[(DataFrame, String, String)],
       maxEmbeddedProbes: Int, maxChunkedProbes: Int,
-      maxCollectBytes: Long): RegimeDecision = {
+      maxCollectBytes: Long,
+      knownDims: Option[Int] = None): RegimeDecision = {
     // clamped vs Int overflow when a caller passes Int.MaxValue (the
     // fail-fast message explicitly invites raising the caps)
     val rawGate = math.min(math.max(maxEmbeddedProbes, 0), Int.MaxValue - 1)
     if (rawGate == 0) return RegimeDecision(AnnRegime.BothOver, 0L, 0, 0L, None)
     val pSel = probes.select(
       col(probeIdCol).cast("long"), col(probeVecCol).cast("array<double>"))
-    val dims = probes
-      .select(col(probeVecCol).cast("array<double>").as("__v"))
-      .where(col("__v").isNotNull && size(col("__v")) > 0)
-      .select(size(col("__v"))).head(1).headOption.map(_.getInt(0))
-    var fetched = dims.size.toLong
+    // `knownDims` (r18): a caller whose embedding width is STATICALLY
+    // known (a model's fixed dimension) skips the one-row sniff job —
+    // the only Spark job the decision otherwise adds per call. The
+    // value feeds exactly what the sniff fed (the byte-budget row
+    // caps); regimes are spec-pinned result-equal, so a consistent
+    // width yields the identical decision, and the transfer bound
+    // (`fetched`) only ever shrinks by the skipped row.
+    val dims = knownDims.filter(_ > 0).orElse {
+      probes
+        .select(col(probeVecCol).cast("array<double>").as("__v"))
+        .where(col("__v").isNotNull && size(col("__v")) > 0)
+        .select(size(col("__v"))).head(1).headOption.map(_.getInt(0))
+    }
+    var fetched =
+      if (knownDims.exists(_ > 0)) 0L else dims.size.toLong
     val byteCapRows = dims.map(d => math.max(1L, maxCollectBytes / (8L * d)))
       .getOrElse(Long.MaxValue) // no non-null probe vector: row caps govern
     val gate = math.min(rawGate.toLong, byteCapRows).toInt
@@ -288,11 +299,12 @@ object Similarity {
       k: Int,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame =
+      maxCollectBytes: Long = 512L << 20,
+      dims: Option[Int] = None): DataFrame =
     bruteForceTopKFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
       emb, idCol, vecCol, k, maxEmbeddedProbes, maxChunkedProbes,
-      maxCollectBytes)
+      maxCollectBytes, dims = dims)
 
   /** Exact brute-force top-k, probes and corpus as SEPARATE frames
     * (the usual real shape: a query set against a corpus). Four
@@ -365,13 +377,14 @@ object Similarity {
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
       maxCollectBytes: Long = 512L << 20,
-      includeSelf: Boolean = false): DataFrame = {
+      includeSelf: Boolean = false,
+      dims: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     val gate = math.max(maxEmbeddedProbes, 0)
     import org.apache.spark.sql.graftbridge.SparkBridge
     val dec = decideRegime(probes, probeIdCol, probeVecCol,
       Some((corpus, corpusIdCol, corpusVecCol)),
-      gate, maxChunkedProbes, maxCollectBytes)
+      gate, maxChunkedProbes, maxCollectBytes, knownDims = dims)
     dec.regime match {
       case AnnRegime.Probes(collected) =>
         // null id OR null vector: the join regime silently drops such
@@ -522,11 +535,12 @@ object Similarity {
       trainedCentroids: Option[Array[Seq[Double]]] = None,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame =
+      maxCollectBytes: Long = 512L << 20,
+      dims: Option[Int] = None): DataFrame =
     ivfTopKFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
       emb, idCol, vecCol, k, nCentroids, nProbe, trainedCentroids,
-      maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+      maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes, dims = dims)
 
   /** IVF-style ANN, probes and corpus as SEPARATE frames (the
     * cross-corpus decontamination shape — the restricted-index scale
@@ -568,7 +582,8 @@ object Similarity {
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
       maxCollectBytes: Long = 512L << 20,
-      includeSelf: Boolean = false): DataFrame = {
+      includeSelf: Boolean = false,
+      dims: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     // Coarse quantizer: nCentroids vectors collected to the driver
     // (metadata-scale) and embedded as literals, so list assignment is
@@ -581,7 +596,8 @@ object Similarity {
         .map(_.getSeq[Double](0)))
 
     val dec = decideRegime(probes, probeIdCol, probeVecCol,
-      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes,
+      knownDims = dims)
     dec.regime match {
       case AnnRegime.Probes(collectedProbes) =>
         import org.apache.spark.sql.graftbridge.SparkBridge
@@ -678,11 +694,12 @@ object Similarity {
       planes: Int = 12,
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
-      maxCollectBytes: Long = 512L << 20): DataFrame =
+      maxCollectBytes: Long = 512L << 20,
+      dims: Option[Int] = None): DataFrame =
     lshTopKFrames(
       emb.where(probeFilter).select(col(idCol), col(vecCol)), idCol, vecCol,
       emb, idCol, vecCol, k, planes, maxEmbeddedProbes, maxChunkedProbes,
-      maxCollectBytes)
+      maxCollectBytes, dims = dims)
 
   /** ANN via LSH bucketing, probes and corpus as SEPARATE frames (the
     * cross-corpus decontamination shape): exact rank within the
@@ -731,11 +748,13 @@ object Similarity {
       maxEmbeddedProbes: Int = 1 << 16,
       maxChunkedProbes: Int = 1 << 20,
       maxCollectBytes: Long = 512L << 20,
-      includeSelf: Boolean = false): DataFrame = {
+      includeSelf: Boolean = false,
+      dims: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
     val dec = decideRegime(probes, probeIdCol, probeVecCol,
-      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes)
+      None, maxEmbeddedProbes, maxChunkedProbes, maxCollectBytes,
+      knownDims = dims)
     dec.regime match {
       case AnnRegime.Probes(collected) =>
         import org.apache.spark.sql.graftbridge.SparkBridge

@@ -126,12 +126,26 @@ object TextAnalysis {
     * integer and the deterministic tiebreak decides identically
     * everywhere.
     */
+  /** Session conf: max distinct words drawn through the bounded
+    * collect that gates the dfreq broadcast join-back (default 2²⁰).
+    * The collect is `limit(maxRows + 1)`, so the driver transfer is
+    * bounded by the conf whatever the vocabulary turns out to be.
+    */
+  val TfidfBroadcastWordsKey = "spark.graft.tfidf.broadcastWords"
+  private val TfidfBroadcastWordsDefault = 1 << 20
+  /** Byte backstop for the same gate (long words can blow the implied
+    * size of a row gate) — aligned with the quota sampler's 64 MB
+    * force-broadcast budget (Sampling.QuotaBroadcastBytes).
+    */
+  private val TfidfBroadcastBytes = 64L << 20
+
   def topTermsByTfidf(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val n = docs.count()
     // term frequencies come from the compiled per-doc kernel: only
     // DISTINCT (doc, term) pairs are ever exploded — the word-
@@ -142,17 +156,58 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.TextKernelFunctions.wordTf(col("t"))).as("wt"))
       .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
-    // document frequency as a COUNT window over the word partition:
-    // the same shuffle that a groupBy("word") would pay now ALSO
-    // delivers dfreq onto every row — no second tf consumption, no
-    // dfreq build side, no join exchange (was: groupBy + equi-join,
-    // two more exchanges and a double scan of tf)
-    val dfreq = count(lit(1)).over(Window.partitionBy("word"))
+    // document frequency by groupBy(word), NOT a count window over
+    // the word partition: the window form re-shuffled the ENTIRE
+    // (doc, word, tf) stream keyed on the word — a vocabulary-sized
+    // key space (guide §2.5's too-few-distinct-values trap) that is
+    // Zipf-skewed on any real corpus, where the groupBy's map-side
+    // partial aggregation condenses each task's hot words to one row
+    // before the exchange (≤ tasks × vocab rows, corpus-size-
+    // independent, hot keys flattened).
+    //
+    // dfreq RECOMPUTES the kernel scan rather than caching tf: the
+    // r18 measurement ran all three sharings at sf10 — window-dfreq
+    // 6.69 s / localCheckpoint(tf)+join 5.76 s / recompute+join
+    // 6.45 s isolated — but the checkpoint holds a corpus-sized tf in
+    // the block manager until the frame is GC'd, and that residue
+    // measurably taxed the NEXT query in a bench sequence (q66
+    // 7.7 → 12 s). Guide §5: cache only when recomputation costs more
+    // than the memory pressure — at 100 TB a corpus-scale cached
+    // intermediate is the OOM/spill shape, while this second scan
+    // prunes to the text column alone (doc_id is unused by dfreq).
+    val dfr = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+      .select(col("word").as("__w"), col("dfreq"))
+    // join-back gate (the quota sampler's bounded-collect pattern):
+    // the vocabulary is data-dependent, so the broadcast decision is
+    // drawn through `limit(maxRows + 1)` — under the row gate the
+    // collected rows embed as a local relation (broadcast-hinted
+    // under the 64 MB byte backstop), and tf never shuffles at all;
+    // past the gate the planner sizes the shuffle join itself and
+    // AQE's skew-join splitting handles hot-word partitions.
+    val maxWords = spark.conf.getOption(TfidfBroadcastWordsKey)
+      .map(_.toInt).getOrElse(TfidfBroadcastWordsDefault)
+    val head = dfr.limit(maxWords + 1).collect()
+    // null-safe word equality: the window form groups null words into
+    // a partition like any other value, so the join-back must match
+    // them too, not drop them
+    val cond = col("word") <=> col("__w")
+    val joined = if (head.length <= maxWords) {
+      val bytes = head.iterator.map(r =>
+        (r.getAs[Any](0) match {
+          case s: String => 24L + 2L * s.length
+          case _ => 16L
+        }) + 16L).sum
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(head: _*), dfr.schema)
+        .toDF("__w", "dfreq")
+      if (bytes <= TfidfBroadcastBytes) tf.join(broadcast(local), cond)
+      else tf.join(local, cond)
+    } else tf.join(dfr, cond)
     val qscore = floor(col("tf") * log(lit(n.toDouble) / col("dfreq")) * lit(1e6))
       .cast("long")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("qscore").desc, col("tf").desc, col("word").asc)
-    tf.withColumn("dfreq", dfreq)
+    joined.drop("__w")
       .withColumn("qscore", qscore)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)

@@ -261,7 +261,15 @@ object Queries {
              |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
              |GROUP BY n_name""".stripMargin)),
 
-    // window functions: running totals per key
+    // window functions: running totals per key. The running sum rides
+    // the fused money cast + int128 decimal sum (r18, the q34 lesson
+    // applied to the WINDOW frame): the built-in sum(DECIMAL(18,2))
+    // promotes its accumulator to DECIMAL(28,2) — past the compact
+    // long representation, so every frame update round-trips a boxed
+    // BigDecimal — while graft_decimal_sum updates two primitive
+    // longs. Result type and semantics identical (DecimalSumSpec);
+    // only the once-per-row finish builds a Decimal, which the
+    // built-in paid too.
     "q13_window_running" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
@@ -269,7 +277,7 @@ object Queries {
         tbl(s, d, "orders")
           .withColumn("rn", row_number().over(w).cast("long"))
           .withColumn("run_spend",
-            sum(dec2(col("o_totalprice"))).over(
+            decSum(dec2(col("o_totalprice"))).over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select(col("o_orderkey"), col("rn"),
             round(col("run_spend"), 2).cast("double").as("run_spend"))
@@ -484,7 +492,8 @@ object Queries {
     "q24_dedup_embedding" -> QueryDef(
       (s, d) => Dedup.embeddingNearDup(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") % 20 === 0, threshold = 0.2),
+        probeFilter = col("vec_id") % 20 === 0, threshold = 0.2,
+        dims = Some(64)),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
              |SELECT a.vec_id AS probe_id, b.vec_id AS cand_id FROM e a, e b
              |WHERE a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
@@ -494,7 +503,7 @@ object Queries {
     "q25_ann_bruteforce" -> QueryDef(
       (s, d) => Similarity.bruteForceTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") % 100 === 0, k = 5),
+        probeFilter = col("vec_id") % 100 === 0, k = 5, dims = Some(64)),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
              |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
@@ -515,7 +524,8 @@ object Queries {
     "q26_ann_lsh" -> QueryDef(
       (s, d) => Similarity.lshTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") % 100 === 0, k = 5, planes = 8),
+        probeFilter = col("vec_id") % 100 === 0, k = 5, planes = 8,
+        dims = Some(64)),
       Some {
         val dims = 64
         def planeDot(p: Int): String =
@@ -610,23 +620,24 @@ object Queries {
   /** Additional capability queries appended after the §7.5 block. */
   private val more: Seq[(String, QueryDef)] = Seq(
 
-    // top-k per group (window rank under total order). The partial
-    // WindowGroupLimit runs per SCAN SPLIT (local sort + first-k per
-    // group), so a single-row-group orders file serializes a 1.5M-row
-    // local sort on one core (1.7 s at sf1); rebalanced BY KEY (hash,
-    // no round-robin pre-sort — rebalance scaladoc), each of 32 tasks
-    // sorts ~47k rows and ships <=k*groups rows to the final window
-    // (no-op on multi-split tables, i.e. at real scale; 1.73->0.59 s
-    // at sf1 — BENCHNOTES_r7 decomposition)
+    // top-k per group via the mergeable bounded-heap aggregate
+    // (Ranking.topKPerGroup, r18): the window-rank form sorted every
+    // group's FULL row set per scan split before WindowGroupLimit
+    // could trim it (plans/r18/q31_topk_per_group_before.txt: two
+    // Sort nodes around the exchange — 1.5M rows sorted per split at
+    // sf1, 15M at sf10); the heap keeps 3 candidates per group per
+    // task, the exchange carries splits x groups x 3 rows, and the
+    // plan has NO Sort node at all (the r7 keyed rebalance is gone
+    // too: a serial heap pass is ~ns/row, cheaper than the exchange
+    // it rode on). Tie rule (o_totalprice DESC, o_orderkey ASC) is
+    // identical in both forms (RankingSpec pins window ≡ heap on
+    // non-null data); both columns pass through the heap bit-unchanged
+    // (double / long slots).
     "q31_topk_per_group" -> QueryDef(
-      (s, d) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Dedup.rebalance(tbl(s, d, "orders"), Seq(col("o_orderkey")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .where(col("rk") <= 3)
-          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
-      },
+      (s, d) => Ranking.topKPerGroup(
+        tbl(s, d, "orders"), Seq("o_orderpriority"),
+        orderCol = "o_totalprice", idCol = "o_orderkey", k = 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice")),
       Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
              |    CAST(row_number() OVER (PARTITION BY o_orderpriority
@@ -674,7 +685,7 @@ object Queries {
     "q35_ann_ivf" -> QueryDef(
       (s, d) => Similarity.ivfTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") % 100 === 0, k = 5),
+        probeFilter = col("vec_id") % 100 === 0, k = 5, dims = Some(64)),
       Some {
         val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1565,7 +1576,7 @@ object Queries {
       (s, d) => Similarity.bruteForceTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400, k = 3,
-        maxEmbeddedProbes = 7),
+        maxEmbeddedProbes = 7, dims = Some(64)),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
              |  round(list_cosine_similarity(p.v, c.v), 6) AS sim
@@ -1613,7 +1624,7 @@ object Queries {
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding", k = 3,
-          maxEmbeddedProbes = 7, maxChunkedProbes = 64)
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64, dims = Some(64))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -1637,7 +1648,7 @@ object Queries {
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding", threshold = 0.15,
-          maxEmbeddedProbes = 7, maxChunkedProbes = 64)
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64, dims = Some(64))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
              |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id FROM e p, e c
@@ -1672,7 +1683,7 @@ object Queries {
       (s, d) => Similarity.lshTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400,
-        k = 5, planes = 8, maxEmbeddedProbes = 7),
+        k = 5, planes = 8, maxEmbeddedProbes = 7, dims = Some(64)),
       Some {
         val dims = 64
         def planeDot(p: Int): String =
@@ -1701,7 +1712,7 @@ object Queries {
       (s, d) => Similarity.ivfTopK(
         tbl(s, d, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") % 20 === 0 && col("vec_id") < 400,
-        k = 5, maxEmbeddedProbes = 7),
+        k = 5, maxEmbeddedProbes = 7, dims = Some(64)),
       Some {
         val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1738,7 +1749,7 @@ object Queries {
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding",
           emb, "vec_id", "embedding", threshold = 0.15,
-          allPairs = true)
+          allPairs = true, dims = Some(64))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
              |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id FROM e p, e c
@@ -1757,7 +1768,8 @@ object Queries {
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding", k = 3,
-          maxEmbeddedProbes = 7, maxChunkedProbes = 64, includeSelf = true)
+          maxEmbeddedProbes = 7, maxChunkedProbes = 64, includeSelf = true,
+          dims = Some(64))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -1785,7 +1797,7 @@ object Queries {
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000),
           "vec_id", "embedding", k = 3,
-          maxCollectBytes = 16384L)
+          maxCollectBytes = 16384L, dims = Some(64))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -1808,7 +1820,7 @@ object Queries {
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding",
           emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          k = 5, planes = 8, maxEmbeddedProbes = 7)
+          k = 5, planes = 8, maxEmbeddedProbes = 7, dims = Some(64))
       },
       Some {
         val dims = 64
@@ -1846,7 +1858,8 @@ object Queries {
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding",
           emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          k = 5, planes = 4, maxEmbeddedProbes = 1, maxChunkedProbes = 1)
+          k = 5, planes = 4, maxEmbeddedProbes = 1, maxChunkedProbes = 1,
+          dims = Some(64))
       },
       Some {
         val dims = 64
@@ -1880,7 +1893,8 @@ object Queries {
           emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 400),
           "vec_id", "embedding",
           emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4, maxEmbeddedProbes = 7)
+          k = 5, nCentroids = 16, nProbe = 4, maxEmbeddedProbes = 7,
+          dims = Some(64))
       },
       Some {
         val dot = (1 to 64).map(i => s"e.v[$i] * cent.cv[$i]").mkString(" + ")

@@ -2470,4 +2470,103 @@ class OperatorSpec extends AnyFunSuite {
         maxEmbeddedProbes = 0))
     ndRegimes.foreach(df => assert(types(df) == ndExpected, types(df).toString))
   }
+
+  // ---- r18 optimization pins ----------------------------------------------
+
+  test("topKPerGroup == window row_number (ties included) and plans no Sort") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260819)
+    // deliberate ties: values drawn from a tiny grid so the (value
+    // DESC, id ASC) tiebreak decides most ranks; ids unique, shuffled
+    val rows = rnd.shuffle((1L to 4000L).toVector).map { id =>
+      (s"g${id % 7}", id, (rnd.nextInt(12) * 0.25))
+    }
+    val df = rows.toDF("g", "id", "v").repartition(16)
+    val heap = Ranking.topKPerGroup(df, Seq("g"), orderCol = "v",
+      idCol = "id", k = 3)
+      .select($"g", $"rk", $"id", $"v")
+    val w = Window.partitionBy("g").orderBy($"v".desc, $"id")
+    val window = df.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 3).select($"g", $"rk", $"id", $"v")
+    assert(heap.except(window).isEmpty && window.except(heap).isEmpty,
+      "bounded-heap top-k per group must equal the window-rank form")
+    // the point of the rewrite: no Sort node anywhere (the window form
+    // sorts every group's full row set per split)
+    heap.collect()
+    val plan = heap.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort"), plan)
+  }
+
+  test("topTermsByTfidf: broadcast join-back == over-gate shuffle join == window-dfreq reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 3
+    // the r17 single-pass reference: dfreq as a COUNT window over the
+    // word partition (the full-stream word shuffle the r18 join-back
+    // removes) — kept here as the executable spec of what dfreq means
+    val reference = {
+      val n = docs.count()
+      val tf = docs.select($"doc_id",
+          explode(graft.functions.TextKernelFunctions.wordTf($"text")).as("wt"))
+        .select($"doc_id", $"wt.word".as("word"), $"wt.tf".as("tf"))
+      val dfreq = count(lit(1)).over(Window.partitionBy("word"))
+      val qscore = floor($"tf" * log(lit(n.toDouble) / $"dfreq") * lit(1e6))
+        .cast("long")
+      val w = Window.partitionBy("doc_id")
+        .orderBy($"qscore".desc, $"tf".desc, $"word".asc)
+      tf.withColumn("dfreq", dfreq).withColumn("qscore", qscore)
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= k)
+        .select($"doc_id", $"rk".cast("long").as("rk"), $"word", $"tf", $"dfreq")
+    }
+    def run() = TextAnalysis.topTermsByTfidf(docs, "doc_id", "text", k)
+      .select($"doc_id", $"rk", $"word", $"tf", $"dfreq")
+    val broadcastForm = run()
+    assert(broadcastForm.except(reference).isEmpty &&
+      reference.except(broadcastForm).isEmpty,
+      "groupBy-dfreq broadcast join-back must equal the window-dfreq form")
+    // force the over-gate path (vocab > 1): the shuffle join (AQE skew
+    // handling at scale) must produce identical rows
+    spark.conf.set(TextAnalysis.TfidfBroadcastWordsKey, "1")
+    try {
+      val shuffleForm = run()
+      assert(shuffleForm.except(reference).isEmpty &&
+        reference.except(shuffleForm).isEmpty,
+        "over-gate shuffle join-back must equal the window-dfreq form")
+    } finally spark.conf.unset(TextAnalysis.TfidfBroadcastWordsKey)
+  }
+
+  test("ANN knownDims skips the sniff job, decides identically, results unchanged") {
+    val rnd = new scala.util.Random(42)
+    val probes = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val corpus = (101L to 103L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    // same byte budget as the byte-cap spec: dims govern the row caps
+    val sniffed = Similarity.decideRegime(probes, "id", "vec",
+      Some((corpus, "id", "vec")), 2, 1000, 320L)
+    val known = Similarity.decideRegime(probes, "id", "vec",
+      Some((corpus, "id", "vec")), 2, 1000, 320L, knownDims = Some(8))
+    // identical decision: regime class, effective caps, chunk rows
+    assert(known.regime.getClass == sniffed.regime.getClass)
+    assert(known.effectiveCap == sniffed.effectiveCap)
+    assert(known.chunkRows == sniffed.chunkRows)
+    assert(known.dims == sniffed.dims)
+    // the transfer bound SHRINKS by exactly the skipped sniff row
+    assert(known.fetched == sniffed.fetched - 1,
+      s"knownDims must skip the one-row sniff (got ${known.fetched} vs ${sniffed.fetched})")
+    // end to end: results identical with and without the hint
+    val withDims = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 2, maxEmbeddedProbes = 2,
+      maxChunkedProbes = 1000, maxCollectBytes = 320L, dims = Some(8))
+    val without = Similarity.bruteForceTopKFrames(probes, "id", "vec",
+      corpus, "id", "vec", k = 2, maxEmbeddedProbes = 2,
+      maxChunkedProbes = 1000, maxCollectBytes = 320L)
+    assert(withDims.except(without).isEmpty && without.except(withDims).isEmpty)
+    // a non-positive hint is ignored (falls back to the sniff)
+    val zero = Similarity.decideRegime(probes, "id", "vec",
+      Some((corpus, "id", "vec")), 2, 1000, 320L, knownDims = Some(0))
+    assert(zero.fetched == sniffed.fetched && zero.dims == sniffed.dims)
+  }
 }
